@@ -1,0 +1,122 @@
+"""Per-document extraction pipeline — the kernel behind the main Arrow UDF.
+
+Reproduces the reference's single-doc dataflow (OcrWrapper.ocr,
+ocr_wrapper.py:103-175, SURVEY.md §3.1) over page payloads:
+
+    sniff doc type -> branch extract -> normalize -> detect & apply
+    rotation -> split date-range boxes -> reading-order sort -> assemble
+
+The same function is the pytest oracle and the body of the Spark UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bbox_core as bc
+from . import clean, layout, order, pdf_extract
+from .html_extract import extract_main_text
+from .pdf_extract import RTL_LANGUAGES
+from .textops import flip_number_blocks, has_arabic_text
+
+# constant confidence assigned to combined-provider output
+# (reference google_azure_ocr.py:208)
+HTML_CONFIDENCE = 0.9
+
+
+def bidi_fix_words(words: list[str], lang: str) -> list[str]:
+    """Reference _correct_bidi_bug (google_ocr.py:123-136): words detected
+    as Arabic but containing no Arabic characters get their digit blocks
+    flipped."""
+    if lang != "ar":
+        return words
+    return [
+        flip_number_blocks(w) if len(w) > 1 and not has_arabic_text(w) else w
+        for w in words
+    ]
+
+
+class ExtractResult:
+    __slots__ = ("coords", "texts", "confidences", "rotation", "tilt_angle", "provider", "error")
+
+    def __init__(self, coords, texts, confidences, rotation, tilt_angle, provider, error=None):
+        self.coords = coords
+        self.texts = texts
+        self.confidences = confidences
+        self.rotation = rotation
+        self.tilt_angle = tilt_angle
+        self.provider = provider
+        self.error = error
+
+    @property
+    def extracted_text(self) -> str:
+        return order.assemble_text(self.texts)
+
+
+def _empty(provider: str, error: str | None = None) -> ExtractResult:
+    return ExtractResult(bc.empty_boxes(), [], [], 0, 0.0, provider, error)
+
+
+def extract_html(payload: bytes, lang: str) -> ExtractResult:
+    """HTML branch: text-density boilerplate strip -> synthesized layout ->
+    normalize -> order -> assemble."""
+    main_text = extract_main_text(payload)
+    words = main_text.split(" ") if main_text else []
+    words = bidi_fix_words(words, lang)
+    if not words:
+        return _empty("html")
+    rtl = lang in RTL_LANGUAGES
+    coords_px, width, height = layout.layout_words(words, rtl=rtl)
+    coords = bc.to_normalized(coords_px, width, height)
+    confidences = [HTML_CONFIDENCE] * len(words)
+    coords, words, confidences = clean.split_date_boxes(coords, words, confidences)
+    ordered, tilt, _, _ = order.order_boxes(coords, words, width, height)
+    return ExtractResult(
+        coords[ordered],
+        [words[i] for i in ordered],
+        [confidences[i] for i in ordered],
+        0,
+        tilt,
+        "html",
+    )
+
+
+def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
+    """PDF branch: parse layout quads -> canonicalize -> rotation detect &
+    correct (reference ocr_wrapper.py:146-151) -> date split -> order."""
+    raw, words, confidences, width, height, doc_lang = pdf_extract.parse_pdf_payload(payload)
+    doc_lang = doc_lang or lang
+    if raw.shape[0] == 0:
+        return _empty("pdf")
+    rotation = pdf_extract.detect_rotation(raw, doc_lang)
+    coords = bc.canonicalize(raw, in_pixels=False, validate=False)
+    if rotation:
+        coords = bc.rotate(coords, rotation)
+        if rotation in (90, 270):
+            width, height = height, width
+    words = bidi_fix_words(words, doc_lang)
+    coords, words, confidences = clean.split_date_boxes(coords, words, confidences)
+    ordered, tilt, _, _ = order.order_boxes(coords, words, width, height)
+    return ExtractResult(
+        coords[ordered],
+        [words[i] for i in ordered],
+        [confidences[i] for i in ordered],
+        rotation,
+        tilt,
+        "pdf",
+    )
+
+
+def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
+    """Dispatch on sniffed document type (SURVEY.md §2.10 D1): ``%PDF``
+    magic bytes -> PDF branch, else HTML. Errors are captured per-document
+    into the error field instead of failing the task (D2)."""
+    lang = lang or ""
+    if payload is None:
+        return _empty("none", "null payload")
+    try:
+        if pdf_extract.is_pdf(payload):
+            return extract_pdf(payload, lang)
+        return extract_html(payload, lang)
+    except Exception as exc:  # error row, not task failure (SURVEY.md §2.10 D2)
+        return _empty("error", f"{type(exc).__name__}: {exc}")

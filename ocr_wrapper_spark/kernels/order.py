@@ -1,0 +1,255 @@
+"""Reading-order kernel — the flagship per-document operator (SURVEY.md §2.5 O1).
+
+Re-implements the semantics of the reference's line finder
+(`_extract_properties` bbox_order.py:133-220 and `_order_boxes_fast`
+bbox_order.py:223-368) as array code over the (n, 8) coordinate layout:
+
+* per-box geometry + bidi character class vote
+* global writing-direction majority vote (rtl iff #R > #L)
+* x-stable-sort (reversed for rtl)
+* parabola-weighted scatter-add line-gain histogram over a tilt scan of
+  +-11 deg in 21 steps, squared-gain argmax picks the tilt
+* neighbor-compare peak detection -> line centers; boxes assigned to the
+  nearest line center; empty lines compacted
+
+All math is float64 numpy with the same operations as the reference, so
+results are bit-reproducible (SURVEY.md §7 watch-list item 1).
+"""
+
+from __future__ import annotations
+
+from unicodedata import bidirectional
+
+import numpy as np
+
+from . import bbox_core as bc
+
+DEGREE2RADIAN = 2 * np.pi / 360
+# tilt scan range/steps (reference bbox_order.py:21-25)
+MAX_TILT_ANGLE = 11
+NB_TILT = 21
+MAX_TILT_FRACTION = np.tan(MAX_TILT_ANGLE * DEGREE2RADIAN)
+
+# bidi class -> dominance code; lowest code wins within a box
+# (reference bbox_order.py:27-40)
+TYPE_CODES = {"ON": 5, "ET": 4, "AN": 3, "EN": 2, "R": 1, "AL": 1, "L": 0}
+_CODE_L, _CODE_R, _CODE_EN, _CODE_AN, _CODE_ET, _CODE_ON = 0, 1, 2, 3, 4, 5
+
+# cutoff for reliable word statistics (reference bbox_order.py:194)
+MIN_WORDS_FOR_STATS = 10
+
+_char_code_cache: dict[str, int] = {}
+
+
+def _char_code(ch: str) -> int:
+    code = _char_code_cache.get(ch)
+    if code is None:
+        code = TYPE_CODES.get(bidirectional(ch), _CODE_ON)
+        _char_code_cache[ch] = code
+    return code
+
+
+def box_type(text: str) -> int:
+    """Dominant bidi class of a box's text; empty text -> L
+    (reference bbox_order.py:176-179)."""
+    if not text:
+        return _CODE_L
+    return min(_char_code(c) for c in set(text))
+
+
+class DocumentGeometry:
+    """Derived per-document values (reference DocumentProperties,
+    bbox_order.py:55-73) — intermediate only, never materialized as columns."""
+
+    __slots__ = (
+        "full_width",
+        "full_height",
+        "half_width",
+        "median_height",
+        "median_char_width",
+        "writing_direction",
+        "is_bidirectional",
+        "tilt_factor",
+    )
+
+    def __init__(self):
+        self.median_height = None
+        self.median_char_width = None
+        self.writing_direction = "ltr"
+        self.is_bidirectional = False
+        self.tilt_factor = 0.0
+
+
+def extract_properties(
+    coords: np.ndarray,
+    texts: list[str],
+    document_width: int,
+    document_height: int,
+):
+    """Per-box geometry + document stats (reference bbox_order.py:133-220).
+
+    ``coords`` must be normalized (n, 8). Returns
+    (geom, order, left, right, width, x_center, top, bottom, height, y,
+     int_top, int_height, types) where ``order`` is the x-stable-sorted box
+    index array (reversed for rtl documents).
+    """
+    n = coords.shape[0]
+    geom = DocumentGeometry()
+    geom.full_height = max(200, document_height)
+    geom.full_width = max(200, document_width)
+    geom.half_width = document_width / 2
+
+    c = coords
+    left = geom.full_width * np.clip((c[:, bc.TLX] + c[:, bc.BLX]) / 2, 0.0, 1.0)
+    right = geom.full_width * np.clip((c[:, bc.TRX] + c[:, bc.BRX]) / 2, 0.0, 1.0)
+    width = np.maximum(1.0, right - left)
+    x = (right + left) / 2
+    x_center = x - geom.half_width
+    top = geom.full_height * np.clip((c[:, bc.TLY] + c[:, bc.TRY]) / 2, 0.0, 1.0)
+    bottom = np.maximum(top + 1, geom.full_height * np.clip((c[:, bc.BLY] + c[:, bc.BRY]) / 2, 0.0, 1.0))
+    height = np.maximum(1.0, bottom - top)
+    y = (top + bottom) / 2
+    # int(round(.)) in the reference is banker's rounding (Python round);
+    # np.rint matches round-half-to-even
+    int_top = np.rint(top).astype(np.int64)
+    int_bottom = np.rint(bottom).astype(np.int64)
+    int_height = np.maximum(1, int_bottom - int_top)
+
+    types = np.fromiter((box_type(t or "") for t in texts), dtype=np.int64, count=n)
+    type_count = np.bincount(types, minlength=6)
+
+    # word stats for the median height / char width (bbox_order.py:183-197)
+    heights_of_words: list[float] = []
+    char_widths: list[float] = []
+    nb_words = 0
+    for i, t in enumerate(texts):
+        t = t or ""
+        if t.isalpha() and len(t) > 1:
+            nb_words += 1
+            heights_of_words.append(height[i])
+            avg_w = width[i] / len(t)
+            char_widths.extend([avg_w] * len(t))
+    if nb_words > MIN_WORDS_FOR_STATS:
+        geom.median_height = float(np.median(np.asarray(heights_of_words, dtype=np.float64)))
+        geom.median_char_width = float(np.median(np.asarray(char_widths, dtype=np.float64)))
+
+    # writing-direction majority vote (bbox_order.py:198-208)
+    geom.writing_direction = "rtl" if type_count[_CODE_R] > type_count[_CODE_L] else "ltr"
+    ltr = int(type_count[_CODE_L] + type_count[_CODE_EN] + type_count[_CODE_ET])
+    rtl = int(type_count[_CODE_R])
+    geom.is_bidirectional = min(ltr, rtl) > 1
+
+    # one stable sort by x frees us from per-line sorts (bbox_order.py:210-218)
+    if geom.writing_direction == "rtl":
+        order = np.argsort(-x, kind="stable")
+    else:
+        order = np.argsort(x, kind="stable")
+
+    return geom, order, left, right, width, x_center, top, bottom, height, y, int_top, int_height, types
+
+
+def order_boxes(
+    coords: np.ndarray,
+    texts: list[str],
+    document_width: int,
+    document_height: int,
+) -> tuple[np.ndarray, float, np.ndarray, DocumentGeometry]:
+    """Full reading-order computation.
+
+    Returns (ordered_idx, tilt_angle_deg, line_id_per_ordered_box, geom):
+    ``ordered_idx[k]`` is the original index of the k-th box in reading
+    order (reference get_ordered_bboxes_idxs, bbox_order.py:371-382).
+    """
+    n = coords.shape[0]
+    geom = DocumentGeometry()
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), 0.0, np.zeros(0, dtype=np.int64), geom
+
+    (geom, order, left, right, width, x_center, top, bottom, height, y, int_top, int_height, types) = (
+        extract_properties(coords, texts, document_width, document_height)
+    )
+
+    # reorder per-box arrays into x-sorted order (the reference sorts box_lst)
+    xs_x_center = x_center[order]
+    xs_int_height = int_height[order]
+    xs_int_top = int_top[order]
+    xs_width = width[order]
+    xs_y = y[order]
+
+    max_tilt_pixel = int(np.ceil(MAX_TILT_FRACTION * geom.half_width))
+    tilt_fraction = np.linspace(-MAX_TILT_FRACTION, MAX_TILT_FRACTION, NB_TILT, dtype=float)
+    y_range = geom.full_height + 2 * max_tilt_pixel + 2
+
+    half_height = xs_int_height.astype(float) / 2
+    if geom.median_height is not None:
+        height_factor = np.minimum(1, xs_int_height / geom.median_height)
+    else:
+        height_factor = np.ones_like(xs_width)
+    weight = xs_width * height_factor
+    nb_y = xs_int_height + 1
+    max_height = 1 + int(nb_y.max())
+
+    # parabola-weighted gains per y pixel of each box (bbox_order.py:271-295)
+    parabolae = np.arange(max_height, dtype=float).reshape(1, -1).repeat(n, axis=0)
+    mask = parabolae <= xs_int_height[:, np.newaxis]
+    parabolae = parabolae[mask]
+    w_flat = weight.reshape(-1, 1).repeat(max_height, axis=1)[mask]
+    hh_flat = half_height.reshape(-1, 1).repeat(max_height, axis=1)[mask]
+    parabolae = (1 - ((parabolae - hh_flat) / np.maximum(0.5, hh_flat)) ** 2) * w_flat
+    y_pos = (np.arange(max_height, dtype=int) + xs_int_top[:, np.newaxis])[mask]
+    x_factor = xs_x_center.reshape(-1, 1).repeat(max_height, axis=1)[mask]
+    y_pos_tilt = max_tilt_pixel + y_pos + np.outer(tilt_fraction, x_factor).astype(int)
+
+    all_gains = np.zeros((NB_TILT, y_range), dtype=float)
+    np.add.at(all_gains, (np.arange(NB_TILT)[:, np.newaxis], y_pos_tilt), parabolae)
+
+    # squared-gain argmax picks the best tilt (bbox_order.py:296-309)
+    best_tilt = int(np.argmax((all_gains**2).sum(axis=1)))
+    tilt_factor = float(tilt_fraction[best_tilt])
+    best_tilt_angle = float(np.arctan(tilt_factor) / DEGREE2RADIAN)
+    geom.tilt_factor = tilt_factor
+
+    tilted_y = xs_y + xs_x_center * tilt_factor
+
+    # neighbor-compare peak detection (bbox_order.py:319-337)
+    best_gains = all_gains[best_tilt, :]
+    line_center_bool = (best_gains[:-2] <= best_gains[1:-1]) & (best_gains[2:] < best_gains[1:-1])
+    index = np.arange(1, len(best_gains) - 1, dtype=int)
+    line_center_y = index[line_center_bool]
+    if line_center_y.shape[0] == 0:
+        line_center_y = np.zeros(1, dtype=int)
+    line_center_y = line_center_y - max_tilt_pixel
+
+    # nearest line center per box (bbox_order.py:338-342)
+    line_distance = np.abs(tilted_y[:, np.newaxis] - line_center_y[np.newaxis, :])
+    box_line = line_distance.argmin(axis=1)
+
+    # compact away empty lines (bbox_order.py:343-358)
+    used_lines = np.unique(box_line)
+    if used_lines.shape[0] != line_center_y.shape[0]:
+        sorted_lines = np.sort(used_lines)
+        line_index = np.arange(sorted_lines.shape[0], dtype=int)
+        old2new = np.arange(sorted_lines[-1] + 1, dtype=int)
+        old2new[sorted_lines[line_index]] = line_index
+        box_line = old2new[box_line]
+
+    # boxes are already x-ordered; a stable sort by line id yields the
+    # line-by-line reading order (bbox_order.py:359-364)
+    within = np.argsort(box_line, kind="stable")
+    ordered_idx = order[within]
+    line_ids = box_line[within]
+    return ordered_idx.astype(np.int64), best_tilt_angle, line_ids.astype(np.int64), geom
+
+
+def reading_order_indices(
+    coords: np.ndarray, texts: list[str], document_width: int, document_height: int
+) -> np.ndarray:
+    """Reference get_ordered_bboxes_idxs equivalent (bbox_order.py:371-382)."""
+    idx, _, _, _ = order_boxes(coords, texts, document_width, document_height)
+    return idx
+
+
+def assemble_text(texts_in_order: list[str]) -> str:
+    """The byte-identity column: space-joined ordered span texts
+    (reference ocr_wrapper.py:283-289 / tests/test_googleocr.py:56-57)."""
+    return " ".join(texts_in_order)

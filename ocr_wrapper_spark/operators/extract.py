@@ -1,0 +1,164 @@
+"""Extraction operators: the main Arrow UDF chain (SURVEY.md §2.12).
+
+The heavy per-document logic lives in kernels/extract_doc.py; this module
+is only the Arrow plumbing: pandas batches in, struct columns out. One
+fused UDF performs sniff -> branch extract -> normalize -> rotate ->
+date-split -> order -> assemble per document, avoiding span-array
+serialization between stages (the reference's §3.1 chain is per-doc
+sequential anyway, so fusing loses no parallelism and saves Arrow round
+trips at 10^12-row scale).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import bbox_core as bc
+from ..kernels.extract_doc import ExtractResult, extract_document
+from ..schema import COORD_FIELDS, SPAN_STRUCT, SPANS_ARRAY
+
+EXTRACT_STRUCT = T.StructType(
+    [
+        T.StructField("spans", SPANS_ARRAY),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("doc_rotation", T.IntegerType()),
+        T.StructField("tilt_angle", T.DoubleType()),
+        T.StructField("n_spans", T.IntegerType()),
+        T.StructField("provider", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("extract_ms", T.DoubleType()),
+    ]
+)
+
+
+def spans_to_records(res: ExtractResult, label: str | None = None) -> list[dict]:
+    """ExtractResult -> list of span-struct dicts (normalized coords)."""
+    coords = res.coords.tolist()
+    out = []
+    for i, row in enumerate(coords):
+        rec = dict(zip(COORD_FIELDS, row))
+        rec["in_pixels"] = False
+        rec["text"] = res.texts[i]
+        rec["label"] = label
+        rec["confidence"] = float(res.confidences[i]) if i < len(res.confidences) else None
+        out.append(rec)
+    return out
+
+
+def records_to_arrays(spans: list[dict]) -> tuple[np.ndarray, list[str], list[float]]:
+    """Span-struct dicts -> (coords (n,8), texts, confidences)."""
+    n = len(spans)
+    coords = np.empty((n, 8), dtype=np.float64)
+    texts: list[str] = []
+    confs: list[float] = []
+    for i, s in enumerate(spans):
+        for j, c in enumerate(COORD_FIELDS):
+            coords[i, j] = s[c]
+        texts.append(s["text"])
+        confs.append(s["confidence"] if s["confidence"] is not None else 0.0)
+    return coords, texts, confs
+
+
+@F.pandas_udf(EXTRACT_STRUCT)
+def extract_udf(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """Vectorized batch driver for extract_document (no per-row Python UDFs:
+    this is one Arrow batch per call, numpy kernels inside)."""
+    spans_col, text_col, rot_col, tilt_col, n_col, prov_col, err_col, ms_col = (
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+    )
+    for payload, lg in zip(html.tolist(), lang.tolist()):
+        t0 = time.perf_counter()
+        res = extract_document(payload, lg)
+        ms = (time.perf_counter() - t0) * 1000.0
+        spans_col.append(spans_to_records(res))
+        text_col.append(res.extracted_text)
+        rot_col.append(res.rotation)
+        tilt_col.append(res.tilt_angle)
+        n_col.append(len(res.texts))
+        prov_col.append(res.provider)
+        err_col.append(res.error)
+        ms_col.append(ms)
+    return pd.DataFrame(
+        {
+            "spans": spans_col,
+            "extracted_text": text_col,
+            "doc_rotation": pd.array(rot_col, dtype="int32"),
+            "tilt_angle": tilt_col,
+            "n_spans": pd.array(n_col, dtype="int32"),
+            "provider": prov_col,
+            "error": err_col,
+            "extract_ms": ms_col,
+        }
+    )
+
+
+def with_extraction(df, html_col: str = "html", lang_col: str = "lang"):
+    """Attach the fused extraction struct and flatten it to columns."""
+    out = df.withColumn("_x", extract_udf(F.col(html_col), F.col(lang_col)))
+    for field in EXTRACT_STRUCT.fieldNames():
+        out = out.withColumn(field, F.col(f"_x.{field}"))
+    return out.drop("_x")
+
+
+# ---------------------------------------------------------------------------
+# stage-level UDFs (exposed for the combiner, tests, and API parity with the
+# reference's composable post-processing; same kernels, smaller scopes)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(SPANS_ARRAY)
+def normalize_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    """§1.4 canonicalization + to_normalized per span array."""
+    out = []
+    for recs, w, h in zip(spans.tolist(), width.tolist(), height.tolist()):
+        if not recs:
+            out.append([])
+            continue
+        coords, texts, confs = records_to_arrays(recs)
+        coords = bc.to_normalized(coords, int(w), int(h))
+        res = []
+        for i, row in enumerate(coords.tolist()):
+            rec = dict(zip(COORD_FIELDS, row))
+            rec["in_pixels"] = False
+            rec["text"] = texts[i]
+            rec["label"] = recs[i].get("label")
+            rec["confidence"] = confs[i]
+            res.append(rec)
+        out.append(res)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def order_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    """Reading-order index array per document (O1)."""
+    from ..kernels.order import reading_order_indices
+
+    out = []
+    for recs, w, h in zip(spans.tolist(), width.tolist(), height.tolist()):
+        if not recs:
+            out.append([])
+            continue
+        coords, texts, _ = records_to_arrays(recs)
+        out.append([int(i) for i in reading_order_indices(coords, texts, int(w), int(h))])
+    return pd.Series(out)
+
+
+def assemble_text_col(spans_col: Column) -> Column:
+    """A6 text assembly as a pure JVM expression (no UDF): space-joined
+    span texts (reference ocr_wrapper.py:283-289). NULL-safe for empty
+    arrays."""
+    return F.array_join(F.transform(spans_col, lambda s: s["text"]), " ")

@@ -1,0 +1,171 @@
+"""Deterministic Common-Crawl-style page synthesis.
+
+Turns the driver's ``documents`` table (doc_id, text, lang, source,
+n_chars) into the input_hint page shape
+``(url, warc_ts, html binary, text, lang)`` — seeded, reproducible,
+no external data (FIXTURES.md §1).
+
+* hosts are drawn from a Zipfian distribution so the skew/salting path is
+  exercised (SURVEY.md §2.11);
+* ~20% of documents carry a ``%PDF``-prefixed synthetic layout payload
+  (kernels/pdf_extract.py format); a deterministic subset of those are
+  rotated (90/180/270) or tilted (on the reading-order kernel's scan grid)
+  to exercise the rotation / tilt paths;
+* the remaining documents are wrapped in templated HTML with known
+  boilerplate (link-dense nav/footer, short ads) around the main content,
+  so the expected extracted text is the document text, byte for byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import layout, order
+from ..schema import PAGES_SCHEMA
+
+N_HOSTS = 40
+ZIPF_S = 1.1
+PDF_MOD = 5  # doc_id % 5 == 3 -> PDF payload
+PDF_CONFIDENCE = 0.95
+EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+_zipf_cdf: np.ndarray | None = None
+
+
+def _host_cdf() -> np.ndarray:
+    global _zipf_cdf
+    if _zipf_cdf is None:
+        w = 1.0 / np.arange(1, N_HOSTS + 1, dtype=np.float64) ** ZIPF_S
+        _zipf_cdf = np.cumsum(w / w.sum())
+    return _zipf_cdf
+
+
+def host_for_doc(doc_id: np.ndarray) -> np.ndarray:
+    """Deterministic Zipfian host index per doc (Knuth multiplicative hash)."""
+    u = ((doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)).astype(
+        np.float64
+    ) / 2.0**32
+    return np.searchsorted(_host_cdf(), u)
+
+
+_BOILER_NAV = ["home", "products", "pricing", "about", "careers", "contact", "blog", "login"]
+_BOILER_ADS = ["buy now click here", "sale ends soon", "subscribe today", "hot deals"]
+_BOILER_FOOT = ["privacy", "terms", "imprint", "sitemap", "help", "status"]
+
+
+def _paragraphs(words: list[str], size: int = 40, min_tail: int = 15) -> list[list[str]]:
+    """Chunk words into paragraphs; merge a short tail into the previous
+    chunk so every paragraph clears the extractor's MIN_BLOCK_CHARS."""
+    chunks = [words[i : i + size] for i in range(0, len(words), size)]
+    if len(chunks) > 1 and len(chunks[-1]) < min_tail:
+        chunks[-2].extend(chunks[-1])
+        chunks.pop()
+    return chunks
+
+
+def build_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Boilerplate-wrapped page; main content == ``text`` byte-for-byte
+    after the extractor's token join."""
+    rng = (doc_id * 6364136223846793005 + 1442695040888963407) % (2**63)
+    nav_n = 3 + rng % 5
+    nav = "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in (_BOILER_NAV * 2)[: int(nav_n)]
+    )
+    ad = _BOILER_ADS[rng % len(_BOILER_ADS)]
+    foot = " ".join(f'<a href="/{w}">{w}</a>' for w in _BOILER_FOOT[: 3 + rng % 3])
+    paras = "".join(f"<p>{' '.join(p)}</p>" for p in _paragraphs(text.split(" "))) if text else ""
+    html = (
+        f'<!DOCTYPE html><html lang="{lang}"><head><title>Doc {doc_id}</title>'
+        f"<style>body{{margin:0}}</style>"
+        f'<script>var page={doc_id};</script></head><body>'
+        f"<nav><ul>{nav}</ul></nav>"
+        f"<header><h1>Doc {doc_id}</h1></header>"
+        f'<aside class="ad">{ad}</aside>'
+        f'<main><div class="content">{paras}</div></main>'
+        f"<footer>{foot}</footer>"
+        f"</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
+    """Synthetic PDF-like payload (kernels/pdf_extract.py format) with a
+    deterministic rotation or on-grid tilt variant."""
+    words = text.split(" ") if text else []
+    variant = (doc_id // PDF_MOD) % 2
+    rotation = 0
+    tilt_fraction = 0.0
+    if variant == 0 and words:
+        rotation = [0, 90, 180, 270][(doc_id // PDF_MOD) % 4]
+    elif words:
+        # pick a fraction from the order kernel's scan grid (exact recovery)
+        grid = np.linspace(-order.MAX_TILT_FRACTION, order.MAX_TILT_FRACTION, order.NB_TILT)
+        tilt_fraction = float(grid[8 + (doc_id // PDF_MOD) % 5])  # ~±2.2 deg
+
+    rtl = lang in {"ar", "he", "fa", "ur"}
+    coords_px, width, height = layout.layout_words(words, rtl=rtl, tilt_fraction=tilt_fraction)
+    scale = np.array([width, height] * 4, dtype=np.float64)
+    raw = coords_px / scale if len(words) else coords_px
+    page_w, page_h = width, height
+    if rotation:
+        # synthesize the scanned-rotated document: inverse of the
+        # extractor's rotate(rotation) CCW correction
+        raw = layout.rotate_raw_quads(raw, (4 - rotation // 90) % 4)
+        if rotation in (90, 270):
+            page_w, page_h = height, width
+
+    lines = [
+        "%PDF-GRAFT1.0",
+        f"%W {page_w} {page_h}",
+        f"%L {lang}",
+        f"%R {rotation}",
+    ]
+    for i, w in enumerate(words):
+        c = " ".join(f"{v:.8f}" for v in raw[i])
+        lines.append(f"S {c} {PDF_CONFIDENCE} {w}")
+    return "\n".join(lines).encode("utf-8")
+
+
+def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pandas batch -> pages batch (vectorized where it matters)."""
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    hosts = host_for_doc(doc_ids)
+    langs = pdf["lang"].fillna("").tolist()
+    texts = pdf["text"].fillna("").tolist()
+
+    is_pdf = (doc_ids % PDF_MOD) == 3
+    urls = [
+        f"https://host{int(h):02d}.example.com/{lang}/{did:010d}.{'pdf' if p else 'html'}"
+        for h, lang, did, p in zip(hosts, langs, doc_ids, is_pdf)
+    ]
+    ts = EPOCH + (doc_ids % 365).astype("timedelta64[D]").astype("timedelta64[us]") + (
+        (doc_ids * 7919) % 86400
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+
+    payloads = [
+        build_pdf(int(did), text, lang) if p else build_html(int(did), text, lang)
+        for did, text, lang, p in zip(doc_ids, texts, langs, is_pdf)
+    ]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.Series(ts),
+            "html": payloads,
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages DataFrame (distributed, Arrow-batched)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            yield build_page_rows(pdf)
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)

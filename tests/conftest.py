@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from ocr_wrapper_spark.session import get_spark
+
+    spark = get_spark(app_name="ocr_wrapper_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield spark

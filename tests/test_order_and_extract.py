@@ -1,0 +1,135 @@
+"""Reading-order kernel + per-document extraction byte-identity tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_wrapper_spark.kernels import bbox_core as bc
+from ocr_wrapper_spark.kernels import layout, order
+from ocr_wrapper_spark.kernels.extract_doc import extract_document
+from ocr_wrapper_spark.sources.pages import build_html, build_pdf
+
+LOREM = (
+    "the quick brown fox jumps over a lazy dog while seventeen curious "
+    "researchers measure text density heuristics across many synthetic "
+    "web pages and carefully verify that every extracted token survives "
+    "the whole pipeline in exactly the right order without any loss"
+).split(" ")
+
+
+def test_layout_then_order_recovers_sequence_ltr():
+    coords_px, w, h = layout.layout_words(LOREM)
+    coords = bc.to_normalized(coords_px, w, h)
+    idx, tilt, lines, geom = order.order_boxes(coords, LOREM, w, h)
+    assert idx.tolist() == list(range(len(LOREM)))
+    assert tilt == pytest.approx(0.0, abs=1e-9)
+    assert geom.writing_direction == "ltr"
+
+
+def test_layout_then_order_recovers_sequence_rtl():
+    words = ["كلمة" + str(i) for i in range(30)]
+    coords_px, w, h = layout.layout_words(words, rtl=True)
+    coords = bc.to_normalized(bc.canonicalize(coords_px, True, validate=False), w, h)
+    idx, _, _, geom = order.order_boxes(coords, words, w, h)
+    assert geom.writing_direction == "rtl"
+    assert idx.tolist() == list(range(len(words)))
+
+
+def test_order_with_tilt_on_grid():
+    grid = np.linspace(-order.MAX_TILT_FRACTION, order.MAX_TILT_FRACTION, order.NB_TILT)
+    t = float(grid[13])  # positive tilt
+    coords_px, w, h = layout.layout_words(LOREM, tilt_fraction=t)
+    coords = bc.to_normalized(coords_px, w, h)
+    idx, tilt, _, geom = order.order_boxes(coords, LOREM, w, h)
+    assert idx.tolist() == list(range(len(LOREM)))
+    assert geom.tilt_factor == pytest.approx(t, abs=1e-9)
+    assert tilt == pytest.approx(float(np.arctan(t) / order.DEGREE2RADIAN), abs=1e-9)
+
+
+def test_order_empty():
+    idx, tilt, lines, _ = order.order_boxes(bc.empty_boxes(), [], 1000, 1000)
+    assert idx.tolist() == []
+    assert tilt == 0.0
+
+
+def test_box_type_codes():
+    assert order.box_type("hello") == 0  # L
+    assert order.box_type("مرحبا") == 1  # AL/R
+    assert order.box_type("123") == 2  # EN
+    assert order.box_type("") == 0
+
+
+TEXT = " ".join(LOREM)
+
+
+def test_html_byte_identity():
+    html = build_html(42, TEXT, "en")
+    res = extract_document(html, "en")
+    assert res.error is None
+    assert res.extracted_text == TEXT
+    assert res.provider == "html"
+    assert res.rotation == 0
+
+
+def test_html_multi_paragraph_byte_identity():
+    long_text = " ".join(LOREM * 6)  # forces several <p> blocks
+    html = build_html(7, long_text, "en")
+    res = extract_document(html, "en")
+    assert res.extracted_text == long_text
+
+
+def test_pdf_byte_identity_plain():
+    # doc_id chosen so PDF variant is tilt (doc_id//5 odd) -> 13//5=2 even=rotation 180
+    pdf = build_pdf(8, TEXT, "en")  # 8//5=1 -> tilt variant
+    res = extract_document(pdf, "en")
+    assert res.error is None
+    assert res.provider == "pdf"
+    assert res.extracted_text == TEXT
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_pdf_rotation_detection_and_identity(k):
+    # craft doc_ids whose rotation variant cycles 0/90/180/270:
+    # build_pdf uses rotation = [0,90,180,270][(doc_id//5) % 4] when
+    # (doc_id//5) % 2 == 0 -> doc_id//5 in {0,2,4,6} covers k in {0,2} only;
+    # instead synthesize directly via the layout + raw-rotation path
+    from ocr_wrapper_spark.kernels.pdf_extract import detect_rotation
+
+    words = LOREM
+    coords_px, w, h = layout.layout_words(words)
+    raw = coords_px / np.array([w, h] * 4, dtype=np.float64)
+    rot = k * 90
+    gen = layout.rotate_raw_quads(raw, (4 - k) % 4)
+    assert detect_rotation(gen, "en") == rot
+
+    page_w, page_h = (h, w) if rot in (90, 270) else (w, h)
+    lines = ["%PDF-GRAFT1.0", f"%W {page_w} {page_h}", "%L en", f"%R {rot}"]
+    for i, word in enumerate(words):
+        c = " ".join(f"{v:.8f}" for v in gen[i])
+        lines.append(f"S {c} 0.95 {word}")
+    res = extract_document("\n".join(lines).encode(), "en")
+    assert res.rotation == rot
+    assert res.extracted_text == TEXT
+
+
+def test_pdf_rotation_via_generator():
+    # generator doc_ids with (doc_id//5)%2==0 produce rotation variants
+    for doc_id, expected_rot in [(3, 0), (13, 180), (23, 0), (53, 90), (63, 270)]:
+        if (doc_id // 5) % 2 != 0:
+            continue
+        pdf = build_pdf(doc_id, TEXT, "en")
+        res = extract_document(pdf, "en")
+        assert res.extracted_text == TEXT, f"doc {doc_id}"
+
+
+def test_empty_doc_zero_spans():
+    """Reference tests/test_googleocr.py:100-104 analogue."""
+    res = extract_document(build_html(1, "", "en"), "en")
+    assert res.extracted_text == ""
+    assert len(res.texts) == 0
+
+
+def test_error_row_not_exception():
+    res = extract_document(None, "en")
+    assert res.error is not None
