@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction run on sf0.001 synthetic pages.
+queries()     — every implemented operator exposed as (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (byte-identity and
+                relational cross-checks); non-SQL-expressible ops omit
+                their entry (rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +15,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full extraction pipeline over deterministic
+    Common-Crawl-style pages synthesized from sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from ocr_wrapper_spark.plans.pipeline import run_extraction
+    from ocr_wrapper_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    result = run_extraction(spark, pages)
+    return result.select(
+        "url",
+        "content_hash",
+        "extracted_text",
+        "n_spans",
+        "doc_rotation",
+        F.round("tilt_angle", 4).alias("tilt_angle"),
+        "provider",
+        "error",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_wrapper_spark import pipeline_queries  # noqa: F401 — registers pipeline queries
+    from ocr_wrapper_spark.relational import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_wrapper_spark import pipeline_queries  # noqa: F401
+    from ocr_wrapper_spark.relational import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,132 @@
+"""Pipeline-level queries: the extraction engine exposed through the
+driver's queries()/oracle_sql() contract.
+
+The pages input is synthesized deterministically from the ``documents``
+table (sources/pages.py), so the whole extraction pipeline — boilerplate
+strip, PDF parse, rotation/tilt detection, reading order, assembly — is
+SQL-verifiable: DuckDB recomputes the expected outputs (byte-identical
+text, token counts, branch, detected rotation) directly from
+``documents`` columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.pipeline import run_extraction
+from .plans.partitioning import salted_host_counts
+from .relational import ORACLES, QUERIES, register
+from .sources import pages as pages_src
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_src.synthesize_pages(spark, sf_dir)
+
+
+_ROTATION_SQL = """
+    CASE WHEN doc_id % 5 = 3 AND (doc_id // 5) % 2 = 0 AND text <> ''
+         THEN ([0, 90, 180, 270])[CAST((doc_id // 5) % 4 AS INT) + 1]
+         ELSE 0 END
+"""
+
+
+@register(
+    "pipeline_extract",
+    f"""
+    SELECT doc_id,
+           text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
+           CASE WHEN doc_id % 5 = 3 THEN 'pdf' ELSE 'html' END           AS provider,
+           {_ROTATION_SQL}                                               AS doc_rotation
+    FROM documents
+    """,
+)
+def pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction over synthesized pages; byte-identical
+    extracted_text per document (north_rule invariant), plus detected
+    branch and rotation — all recomputed independently by the oracle."""
+    result = run_extraction(spark, _pages(spark, sf_dir))
+    return result.select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_spans",
+        "provider",
+        "doc_rotation",
+    )
+
+
+@register(
+    "pipeline_error_free",
+    """
+    SELECT count(*) AS n_docs, 0 AS n_errors FROM documents
+    """,
+)
+def pipeline_error_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = run_extraction(spark, _pages(spark, sf_dir))
+    return result.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("error").isNotNull().cast("int")).cast("int").alias("n_errors"),
+    )
+
+
+def _host_cdf_sql() -> str:
+    cdf = pages_src._host_cdf()
+    lits = ", ".join(f"{v!r}" for v in cdf.tolist())
+    return f"[{lits}]"
+
+
+def _host_oracle() -> str:
+    # same Knuth-hash + Zipf-cdf mapping as sources/pages.py host_for_doc
+    return f"""
+    WITH hosted AS (
+      SELECT doc_id,
+             len(list_filter({_host_cdf_sql()},
+                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+             AS host_idx
+      FROM documents)
+    SELECT concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,
+           count(*) AS n_docs
+    FROM hosted GROUP BY host_idx
+    """
+
+
+@register("pipeline_host_stats", _host_oracle())
+def pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf host distribution via the two-phase salted aggregation
+    (skew-safe groupBy; SURVEY.md §2.11)."""
+    return salted_host_counts(_pages(spark, sf_dir))
+
+
+@register(
+    "pipeline_tilt_histogram",
+    # tilt variants: pdf docs with (doc_id//5)%2==1 get grid index
+    # 8 + (doc_id//5)%5; angle = atan(grid[idx]) in degrees, rounded.
+    # The oracle recomputes the grid analytically: grid[i] =
+    # -tan(11deg) + i * (2*tan(11deg)/20).
+    """
+    WITH expected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 3 AND (doc_id // 5) % 2 = 1 AND text <> ''
+                  THEN round(degrees(atan(
+                       -tan(radians(11)) + (8 + (doc_id // 5) % 5)
+                       * (2 * tan(radians(11)) / 20))), 4)
+                  ELSE 0.0 END AS tilt_deg
+      FROM documents)
+    SELECT tilt_deg, count(*) AS n_docs FROM expected GROUP BY tilt_deg
+    """,
+)
+def pipeline_tilt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detected tilt angles (reading-order kernel scan) aggregated into a
+    histogram; cross-checked against the analytically expected angles."""
+    result = run_extraction(spark, _pages(spark, sf_dir))
+    return (
+        result.select(F.round(F.col("tilt_angle"), 4).alias("tilt_deg"))
+        .groupBy("tilt_deg")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+__all__ = ["QUERIES", "ORACLES"]
