@@ -1,0 +1,84 @@
+"""Benchmark runner — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+{"metric": "...", "value": <total_sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <float>, "docs_per_sec": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: flagship extraction + one per operator family
+BENCH_QUERIES = [
+    "pipeline_extract",
+    "pipeline_host_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_parts_per_brand",
+    "sessionize_events",
+    "events_tumbling_window",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "doc_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    import __spark_entry__ as entrymod
+    from ocr_wrapper_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = entrymod.queries()
+
+    # warm the JVM + Arrow path once on a trivial action
+    spark.range(1000).count()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    extract_sec = None
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full materialization
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if name == "pipeline_extract":
+            extract_sec = dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else None
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+relational headline wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,9 +37,13 @@ def bidi_fix_words(words: list[str], lang: str) -> list[str]:
 
 
 class ExtractResult:
-    __slots__ = ("coords", "texts", "confidences", "rotation", "tilt_angle", "provider", "error")
+    __slots__ = (
+        "coords", "texts", "confidences", "rotation", "tilt_angle",
+        "provider", "error", "width", "height",
+    )
 
-    def __init__(self, coords, texts, confidences, rotation, tilt_angle, provider, error=None):
+    def __init__(self, coords, texts, confidences, rotation, tilt_angle, provider,
+                 error=None, width=0, height=0):
         self.coords = coords
         self.texts = texts
         self.confidences = confidences
@@ -47,6 +51,8 @@ class ExtractResult:
         self.tilt_angle = tilt_angle
         self.provider = provider
         self.error = error
+        self.width = width
+        self.height = height
 
     @property
     def extracted_text(self) -> str:
@@ -78,6 +84,8 @@ def extract_html(payload: bytes, lang: str) -> ExtractResult:
         0,
         tilt,
         "html",
+        width=width,
+        height=height,
     )
 
 
@@ -104,7 +112,56 @@ def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
         rotation,
         tilt,
         "pdf",
+        width=width,
+        height=height,
     )
+
+
+def extract_dual(payload: bytes | None, lang: str | None, provider_text: str | None) -> ExtractResult:
+    """Dual-provider extraction (GoogleAzureOCR analogue, SURVEY.md §3.2).
+
+    Primary = the regular branch extractor (rotation authority, like
+    Google in the reference); secondary = spans synthesized from the
+    pre-existing provider ``text`` column (enrichment source, like Azure).
+    The combine applies F1/F2 to the primary, J2 anti-join + J4 ordered
+    merge for the secondary, constant confidence 0.9
+    (google_azure_ocr.py:145-208)."""
+    from . import combine as cmb
+
+    lang = lang or ""
+    if payload is None:
+        return _empty("none", "null payload")
+    try:
+        primary = extract_document(payload, lang)
+        if primary.error is not None:
+            return primary
+
+        words = (provider_text or "").split(" ") if provider_text else []
+        words = bidi_fix_words(words, lang)
+        rtl = lang in RTL_LANGUAGES
+        coords_px, w2, h2 = layout.layout_words(words, rtl=rtl)
+        coords_s = bc.to_normalized(coords_px, w2, h2) if words else bc.empty_boxes()
+
+        width = primary.width or w2
+        height = primary.height or h2
+        # the secondary is synthesized upright, so no rotation correction
+        # is needed (the reference rotates Azure boxes because Azure saw
+        # the still-rotated image)
+        merged, texts, confidences = cmb.combine_primary_secondary(
+            primary.coords, primary.texts, coords_s, words, 0, width, height
+        )
+        return ExtractResult(
+            merged,
+            texts,
+            confidences,
+            primary.rotation,
+            primary.tilt_angle,
+            "dual",
+            width=width,
+            height=height,
+        )
+    except Exception as exc:
+        return _empty("error", f"{type(exc).__name__}: {exc}")
 
 
 def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:

