@@ -184,37 +184,47 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
     ]
 
 
-def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None):
+def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_payload: bool):
     import pyarrow as pa
 
     in_schema = df.schema
     html_idx = in_schema.fieldNames().index(html_col)
     lang_idx = in_schema.fieldNames().index(lang_col)
     text_idx = in_schema.fieldNames().index(text_col) if text_col else None
-    out_schema = T.StructType(in_schema.fields + EXTRACT_STRUCT.fields)
-    extract_names = EXTRACT_STRUCT.fieldNames()
+
+    # Do NOT pass the html payload (or the provider text column) back out
+    # of the Python stage: every output column is Arrow-decoded and
+    # row-converted again JVM-side, and the payload is the widest column
+    # by far. Downstream consumers (cache, results, metrics) never need it.
+    drop = set() if keep_payload else {html_col} | ({text_col} if text_col else set())
+    kept = [(i, f) for i, f in enumerate(in_schema.fields) if f.name not in drop]
+    out_schema = T.StructType([f for _, f in kept] + EXTRACT_STRUCT.fields)
+    out_names = [f.name for _, f in kept] + EXTRACT_STRUCT.fieldNames()
+    kept_idx = [i for i, _ in kept]
 
     def op(batches):
         for batch in batches:
             new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx)
-            arrays = list(batch.columns) + new_cols
-            yield pa.RecordBatch.from_arrays(arrays, names=list(batch.schema.names) + extract_names)
+            arrays = [batch.column(i) for i in kept_idx] + new_cols
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(op, schema=out_schema)
 
 
-def with_extraction(df, html_col: str = "html", lang_col: str = "lang"):
-    """Fused extraction via mapInArrow: input columns pass through
-    untouched (zero-copy), extraction columns appended as native Arrow
-    arrays. ~2x less serialization overhead than the pandas-UDF path."""
-    return _map_in_arrow(df, html_col, lang_col, None)
+def with_extraction(df, html_col: str = "html", lang_col: str = "lang", keep_payload: bool = False):
+    """Fused extraction via mapInArrow: non-payload input columns pass
+    through zero-copy, extraction columns appended as native Arrow
+    arrays; the html payload is dropped on output (set keep_payload to
+    retain it)."""
+    return _map_in_arrow(df, html_col, lang_col, None, keep_payload)
 
 
-def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", text_col: str = "text"):
+def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", text_col: str = "text",
+                         keep_payload: bool = False):
     """Dual-provider (GoogleAzure-analogue) extraction: primary branch
     extractor + provider-text secondary, combined per document (J2 + J4,
     constant confidence 0.9)."""
-    return _map_in_arrow(df, html_col, lang_col, text_col)
+    return _map_in_arrow(df, html_col, lang_col, text_col, keep_payload)
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,31 @@ def pipeline_error_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_dual_extract",
+    """
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans
+    FROM documents WHERE doc_id % 5 <> 3
+    """,
+)
+def pipeline_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-provider (GoogleAzure-analogue) extraction over HTML pages:
+    primary branch extractor + provider-text secondary, combined via
+    F1/F2 filters, J2 overlap anti-join, J4 ordered merge. Secondary
+    geometry matches the primary's, so the combined text stays
+    byte-identical to the document text."""
+    from .operators.extract import with_dual_extraction
+
+    pages = _pages(spark, sf_dir).filter(~F.col("url").endswith(".pdf"))
+    out = with_dual_extraction(pages)
+    return out.select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_spans",
+    )
+
+
 def _host_cdf_sql() -> str:
     cdf = pages_src._host_cdf()
     lits = ", ".join(f"{v!r}" for v in cdf.tolist())

@@ -13,9 +13,9 @@ import os
 from pyspark.sql import SparkSession
 
 # Large html blobs: keep Arrow batches small so a batch of pages stays well
-# under executor memory (10k default rows x ~5 KB html would be fine, but at
-# Common-Crawl sizes html averages ~100 KB -> 256 rows/batch ~ 25 MB).
-ARROW_MAX_RECORDS_PER_BATCH = 256
+# under executor memory (at Common-Crawl sizes html averages ~100 KB ->
+# 1024 rows/batch ~ 100 MB upper bound; tune down via env for fatter pages).
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
 
 
 def get_spark(

@@ -1,0 +1,68 @@
+"""Streaming extraction: the same fused Arrow extraction operator over a
+file-source stream of page batches.
+
+The reference is strictly batch (SURVEY.md §1.3) — its "resume" is the
+cache + checkpoint table. A crawl pipeline, however, naturally receives
+WARC drops incrementally; this module shows the identical operator chain
+under Structured Streaming with exactly-once file-sink semantics:
+
+    readStream(pages dir) -> with_extraction -> writeStream(parquet,
+    checkpointLocation=...)
+
+plus a watermarked windowed aggregation over the events table (late-data
+handling for crawl telemetry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import with_extraction
+from ..schema import PAGES_SCHEMA
+
+
+def stream_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Returns the started StreamingQuery. Caller drives it
+    (processAllAvailable for tests, awaitTermination in production)."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    result = with_extraction(stream)  # payload dropped by the operator
+    return (
+        result.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_event_window_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data tolerated 1 h):
+    the Structured Streaming shape for crawl-telemetry rollups. Returns
+    the streaming DataFrame; caller attaches a sink."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks require TIMESTAMP (ltz); events parquet is ntz — session
+    # TZ is pinned UTC so the cast is deterministic
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
