@@ -37,14 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import pipeline_queries, text_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import media_queries, pipeline_queries, text_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import pipeline_queries, text_queries  # noqa: F401
+    from ocr_wrapper_spark import media_queries, pipeline_queries, text_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return dict(ORACLES)

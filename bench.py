@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # headline set: flagship extraction + one per operator family
 BENCH_QUERIES = [
     "pipeline_extract",
+    "pipeline_dual_extract",
     "pipeline_host_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1,0 +1,72 @@
+"""Span export-format conversions (SURVEY.md §2.7 C15) as JVM expressions.
+
+LayoutLM format: axis-aligned [x1, y1, x2, y2] ints scaled to [0, 1000]
+(reference bbox.py:439-457). LabelStudio rectangle values: percentages of
+page size (reference bbox.py:459-519, from_labelstudio_coords :266-292).
+No UDFs — pure `transform` arithmetic over the span array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _xs(s):
+    return F.array(s["TLx"], s["TRx"], s["BLx"], s["BRx"])
+
+
+def _ys(s):
+    return F.array(s["TLy"], s["TRy"], s["BLy"], s["BRy"])
+
+
+def spans_to_layoutlm(spans_col: Column) -> Column:
+    """array<array<int>>: per span [x, y, x+w, y+h] * 1000, floor-int like
+    the reference's int() truncation (bbox.py:457)."""
+
+    def one(s):
+        x = F.array_min(_xs(s))
+        y = F.array_min(_ys(s))
+        x2 = F.array_max(_xs(s))
+        y2 = F.array_max(_ys(s))
+        return F.array(
+            F.floor(x * 1000).cast("int"),
+            F.floor(y * 1000).cast("int"),
+            F.floor(x2 * 1000).cast("int"),
+            F.floor(y2 * 1000).cast("int"),
+        )
+
+    return F.transform(spans_col, one)
+
+
+def spans_to_labelstudio(spans_col: Column) -> Column:
+    """array<struct<x,y,width,height,rotation>> in percent (bbox.py:466-476)."""
+
+    def one(s):
+        x = F.array_min(_xs(s)) * 100
+        y = F.array_min(_ys(s)) * 100
+        w = F.array_max(_xs(s)) * 100 - x
+        h = F.array_max(_ys(s)) * 100 - y
+        return F.struct(
+            F.round(x, 6).alias("x"),
+            F.round(y, 6).alias("y"),
+            F.round(w, 6).alias("width"),
+            F.round(h, 6).alias("height"),
+            F.lit(0).alias("rotation"),
+        )
+
+    return F.transform(spans_col, one)
+
+
+def layoutlm_to_bbox_coords(ll_col: Column) -> Column:
+    """Inverse of spans_to_layoutlm: [x1,y1,x2,y2]/1000 -> 8-corner coords
+    (reference BBox.from_layoutlm, bbox.py:256-258)."""
+
+    def one(b):
+        x1 = b[0] / 1000.0
+        y1 = b[1] / 1000.0
+        x2 = b[2] / 1000.0
+        y2 = b[3] / 1000.0
+        return F.array(x1, y1, x2, y1, x2, y2, x1, y2)
+
+    return F.transform(ll_col, one)

@@ -164,6 +164,33 @@ def extract_dual(payload: bytes | None, lang: str | None, provider_text: str | N
         return _empty("error", f"{type(exc).__name__}: {exc}")
 
 
+def extract_consensus(payload: bytes | None, lang: str | None, n_samples: int = 2) -> ExtractResult:
+    """Multi-sample consensus extraction (reference ocr_samples=2 default,
+    ocr_wrapper.py:69 + aggregate_ocr_samples, SURVEY.md §2.10 D5): run the
+    extractor per sample, pool with response ids, pick the
+    best-mean-confidence response, enrich with non-overlapping singletons.
+
+    Page extraction is deterministic (no provider noise), so samples are
+    identical and consensus must return the base response unchanged — the
+    grouping/enrichment machinery still runs end to end.
+    """
+    from . import combine as cmb
+
+    if n_samples != 2:
+        raise NotImplementedError("Aggregating more than 2 responses is not yet implemented")
+    s1 = extract_document(payload, lang)
+    if s1.error is not None:
+        return s1
+    s2 = extract_document(payload, lang)
+    coords, texts, conf = cmb.aggregate_samples(
+        s1.coords, s1.texts, s1.confidences, s2.coords, s2.texts, s2.confidences
+    )
+    return ExtractResult(
+        coords, texts, conf, s1.rotation, s1.tilt_angle, "consensus",
+        width=s1.width, height=s1.height,
+    )
+
+
 def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
     """Dispatch on sniffed document type (SURVEY.md §2.10 D1): ``%PDF``
     magic bytes -> PDF branch, else HTML. Errors are captured per-document

@@ -1,0 +1,91 @@
+"""Multimodal-column queries: metadata parse, resize plan, frame sampling,
+feature extraction. Every derived value except the (stubbed) feature
+vector is a closed-form function of doc_id, so DuckDB recomputes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import multimodal as mm
+from .relational import register
+from .sources.media import synthesize_media
+
+_KIND_SQL = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+_META_SQL = f"""
+  SELECT doc_id AS media_id,
+         {_KIND_SQL} AS kind,
+         CASE WHEN {_KIND_SQL} <> 'audio' THEN CAST(320 + (doc_id*37) %% 3000 AS INT) ELSE 0 END AS width,
+         CASE WHEN {_KIND_SQL} <> 'audio' THEN CAST(240 + (doc_id*53) %% 2000 AS INT) ELSE 0 END AS height,
+         CASE WHEN {_KIND_SQL} = 'audio' THEN 16000 ELSE 0 END AS sample_rate,
+         CASE WHEN {_KIND_SQL} <> 'image' THEN CAST(1000 + (doc_id*97) %% 30000 AS INT) ELSE 0 END AS duration_ms,
+         CASE WHEN {_KIND_SQL} = 'video'
+              THEN CAST(greatest(1, (1000 + (doc_id*97) %% 30000) * 25 // 1000) AS INT)
+              WHEN {_KIND_SQL} = 'image' THEN 1 ELSE 0 END AS n_frames
+  FROM documents
+""".replace("%%", "%")
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.with_media_meta(synthesize_media(spark, sf_dir))
+
+
+@register("media_meta", f"SELECT * FROM ({_META_SQL})")
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register(
+    "media_resize_plan",
+    f"""
+    WITH m AS ({_META_SQL})
+    SELECT media_id, kind, width, height,
+           CASE WHEN width > 1024 OR height > 1024 THEN
+                CASE WHEN width > height THEN 1024
+                     ELSE CAST(floor(1024.0 * width / height) AS INT) END
+           ELSE width END AS resized_w,
+           CASE WHEN width > 1024 OR height > 1024 THEN
+                CASE WHEN width > height THEN CAST(floor(1024.0 * height / width) AS INT)
+                     ELSE 1024 END
+           ELSE height END AS resized_h
+    FROM m WHERE kind <> 'audio'
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 resize semantics (utils.py:62-73) as a pure-JVM dims contract."""
+    m = _media(spark, sf_dir).filter(F.col("meta.kind") != "audio")
+    return mm.resize_plan(m, max_size=1024)
+
+
+@register(
+    "media_frame_sample",
+    f"""
+    WITH m AS ({_META_SQL}),
+    v AS (SELECT media_id, duration_ms, n_frames,
+                 greatest(CAST(floor(n_frames * 1000.0 / duration_ms) AS BIGINT), 1) AS step
+          FROM m WHERE kind = 'video')
+    SELECT media_id,
+           CAST(f // step AS INT) AS sample_pos,
+           f AS frame_idx
+    FROM v, unnest(range(0, CAST(n_frames AS BIGINT), step)) AS t(f)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.sample_frames(_media(spark, sf_dir), every_ms=1000)
+
+
+@register("media_features")  # rows-only: stubbed decoder output
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = mm.extract_features(synthesize_media(spark, sf_dir))
+    return feats.select("media_id", F.size("features").alias("dim"),
+                        F.round(F.element_at("features", 1), 6).alias("f0"))

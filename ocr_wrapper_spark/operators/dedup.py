@@ -46,33 +46,27 @@ _PERM_A, _PERM_B = _perm_params()
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Stable 61-bit hashes of token k-shingles (FNV-1a over utf-8)."""
+    """Stable 64-bit hashes of token k-shingles (blake2b-8, C speed)."""
+    from hashlib import blake2b
+
     tokens = text.split(" ") if text else []
     if len(tokens) < k:
         shingles = [" ".join(tokens)] if tokens else []
     else:
         shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.empty(max(1, len(shingles)), dtype=np.uint64)
     if not shingles:
-        out[0] = 0
-        return out
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
-        out[i] = np.uint64(int(h) % MERSENNE)
-    return out
+        return np.zeros(1, dtype=np.uint64)
+    raw = b"".join(blake2b(s.encode("utf-8"), digest_size=8).digest() for s in shingles)
+    return np.frombuffer(raw, dtype=np.uint64)
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """(N_PERM,) int64 signature: min over shingles of (a*x + b) mod p."""
-    x = _shingle_hashes(text).astype(object)  # python ints avoid overflow
-    sig = np.empty(N_PERM, dtype=np.int64)
-    xs = [int(v) for v in x]
-    for j in range(N_PERM):
-        a, b = int(_PERM_A[j]), int(_PERM_B[j])
-        sig[j] = min(((a * v + b) % MERSENNE) for v in xs)
-    return sig
+    """(N_PERM,) int64 signature: min over shingles of the multiply-shift
+    hash family h_j(x) = (a_j * x + b_j) mod 2^64 — native uint64 wraparound,
+    fully vectorized (S x N_PERM matrix min-reduce per doc)."""
+    x = _shingle_hashes(text)
+    m = x[:, None] * _PERM_A[None, :].astype(np.uint64) + _PERM_B[None, :].astype(np.uint64)
+    return (m.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

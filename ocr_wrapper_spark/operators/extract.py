@@ -114,7 +114,8 @@ def with_extraction_pandas(df, html_col: str = "html", lang_col: str = "lang"):
     return out.drop("_x")
 
 
-def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | None = None):
+def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | None = None,
+                         mode: str = "single"):
     """One Arrow batch -> extraction columns as native Arrow arrays.
 
     Builds the span list<struct> column zero-copy from numpy buffers
@@ -123,7 +124,7 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
     path at 10^12 rows."""
     import pyarrow as pa
 
-    from ..kernels.extract_doc import extract_dual
+    from ..kernels.extract_doc import extract_consensus, extract_dual
 
     payloads = batch.column(html_idx).to_pylist()
     langs = batch.column(lang_idx).to_pylist()
@@ -144,10 +145,12 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
 
     for i in range(n):
         t0 = time.perf_counter()
-        if texts_in is None:
-            res = extract_document(payloads[i], langs[i])
-        else:
+        if mode == "dual":
             res = extract_dual(payloads[i], langs[i], texts_in[i])
+        elif mode == "consensus":
+            res = extract_consensus(payloads[i], langs[i])
+        else:
+            res = extract_document(payloads[i], langs[i])
         ms_col[i] = (time.perf_counter() - t0) * 1000.0
         k = len(res.texts)
         offsets[i + 1] = offsets[i] + k
@@ -184,7 +187,8 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
     ]
 
 
-def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_payload: bool):
+def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_payload: bool,
+                  mode: str = "single"):
     import pyarrow as pa
 
     in_schema = df.schema
@@ -204,7 +208,7 @@ def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_p
 
     def op(batches):
         for batch in batches:
-            new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx)
+            new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx, mode)
             arrays = [batch.column(i) for i in kept_idx] + new_cols
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
@@ -219,12 +223,18 @@ def with_extraction(df, html_col: str = "html", lang_col: str = "lang", keep_pay
     return _map_in_arrow(df, html_col, lang_col, None, keep_payload)
 
 
+def with_consensus_extraction(df, html_col: str = "html", lang_col: str = "lang",
+                              keep_payload: bool = False):
+    """Multi-sample consensus extraction (2 samples, reference D5 flow)."""
+    return _map_in_arrow(df, html_col, lang_col, None, keep_payload, mode="consensus")
+
+
 def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", text_col: str = "text",
                          keep_payload: bool = False):
     """Dual-provider (GoogleAzure-analogue) extraction: primary branch
     extractor + provider-text secondary, combined per document (J2 + J4,
     constant confidence 0.9)."""
-    return _map_in_arrow(df, html_col, lang_col, text_col, keep_payload)
+    return _map_in_arrow(df, html_col, lang_col, text_col, keep_payload, mode="dual")
 
 
 # ---------------------------------------------------------------------------

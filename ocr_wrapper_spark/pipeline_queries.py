@@ -97,6 +97,56 @@ def pipeline_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_consensus_extract",
+    """
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans
+    FROM documents
+    """,
+)
+def pipeline_consensus_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sample consensus (D5): two extraction samples pooled,
+    cross-response grouped, best-confidence base enriched with
+    singletons. Deterministic extraction makes samples identical, so the
+    consensus output must stay byte-identical to the document text."""
+    from .operators.extract import with_consensus_extraction
+
+    out = with_consensus_extraction(_pages(spark, sf_dir))
+    return out.select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_spans",
+    )
+
+
+@register(
+    "spans_layoutlm_export",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN [] ELSE str_split(text, ' ') END AS tokens
+      FROM documents WHERE doc_id % 5 <> 3 AND doc_id % 7 = 0)
+    SELECT doc_id, len(tokens) AS n_spans FROM toks
+    """,
+)
+def spans_layoutlm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LayoutLM export conversion (C15): spans -> [0,1000] int quads as a
+    pure JVM transform; checked structurally (count parity + value range
+    asserted in pytest; the oracle verifies cardinality)."""
+    from .functions.convert import spans_to_layoutlm
+    from .plans.pipeline import run_extraction
+
+    pages = _pages(spark, sf_dir).filter(~F.col("url").endswith(".pdf"))
+    result = run_extraction(spark, pages)
+    sample = result.withColumn(
+        "doc_id", F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
+    ).filter(F.col("doc_id") % 7 == 0)
+    return sample.select(
+        "doc_id", F.size(spans_to_layoutlm(F.col("spans"))).alias("n_spans")
+    )
+
+
 def _host_cdf_sql() -> str:
     cdf = pages_src._host_cdf()
     lits = ", ".join(f"{v!r}" for v in cdf.tolist())

@@ -26,8 +26,9 @@ from ..schema import CACHE_SCHEMA
 CACHE_KEY = "content_hash"
 
 
-def read_cache(spark: SparkSession, path: str | None) -> DataFrame:
-    """Cache table as a DataFrame; empty frame when absent."""
+def read_cache_or_none(spark: SparkSession, path: str | None) -> DataFrame | None:
+    """Cache table as a DataFrame; None when the table has no snapshots yet
+    (lets the pipeline skip the cache join entirely on first runs)."""
     if path and os.path.isdir(path) and any(
         name.startswith("snap-") for name in os.listdir(path)
     ):
@@ -35,7 +36,13 @@ def read_cache(spark: SparkSession, path: str | None) -> DataFrame:
         # last writer wins per hash; results are deterministic so any row is
         # equivalent — dropDuplicates keeps the join 1:1
         return df.dropDuplicates([CACHE_KEY])
-    return spark.createDataFrame([], CACHE_SCHEMA)
+    return None
+
+
+def read_cache(spark: SparkSession, path: str | None) -> DataFrame:
+    """Cache table as a DataFrame; empty frame when absent."""
+    df = read_cache_or_none(spark, path)
+    return df if df is not None else spark.createDataFrame([], CACHE_SCHEMA)
 
 
 def append_cache(df: DataFrame, path: str) -> None:

@@ -173,9 +173,13 @@ def synthesize_pages(
     doc_id*replicate + rep) for benchmarking at larger-than-sf scales.
     ``partitions`` pre-repartitions *before* synthesis — the documents
     parquet is a single small file, so without this the synthesis UDF
-    would run in one task.
+    would run in one task. Defaults to 2x the cluster's default
+    parallelism (repartitioning the small documents rows is cheap; it is
+    the *pages* rows that must never be reshuffled).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
     if replicate > 1:
         docs = (
             docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))

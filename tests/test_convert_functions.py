@@ -1,0 +1,62 @@
+"""Export-format conversion tests (C15) — value-level checks against the
+reference's arithmetic (bbox.py:439-519)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_wrapper_spark.functions.convert import (
+    layoutlm_to_bbox_coords,
+    spans_to_labelstudio,
+    spans_to_layoutlm,
+)
+
+
+@pytest.fixture(scope="module")
+def spans_df(spark):
+    span = {
+        "TLx": 0.1, "TLy": 0.2, "TRx": 0.3, "TRy": 0.2,
+        "BRx": 0.3, "BRy": 0.25, "BLx": 0.1, "BLy": 0.25,
+        "in_pixels": False, "text": "w", "label": None, "confidence": 0.9,
+    }
+    from ocr_wrapper_spark.schema import SPANS_ARRAY
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("spans", SPANS_ARRAY)])
+    return spark.createDataFrame([([span],)], schema)
+
+
+def test_layoutlm_values(spark, spans_df):
+    row = spans_df.select(spans_to_layoutlm(F.col("spans")).alias("ll")).collect()[0]
+    assert row.ll == [[100, 200, 300, 250]]
+
+
+def test_layoutlm_roundtrip(spark, spans_df):
+    out = spans_df.select(
+        layoutlm_to_bbox_coords(spans_to_layoutlm(F.col("spans"))).alias("coords")
+    ).collect()[0]
+    assert out.coords[0] == pytest.approx([0.1, 0.2, 0.3, 0.2, 0.3, 0.25, 0.1, 0.25], abs=1e-9)
+
+
+def test_labelstudio_values(spark, spans_df):
+    row = spans_df.select(spans_to_labelstudio(F.col("spans")).alias("ls")).collect()[0]
+    ls = row.ls[0]
+    assert ls.x == pytest.approx(10.0)
+    assert ls.y == pytest.approx(20.0)
+    assert ls.width == pytest.approx(20.0)
+    assert ls.height == pytest.approx(5.0)
+    assert ls.rotation == 0
+
+
+def test_consensus_kernel_identity():
+    from ocr_wrapper_spark.kernels.extract_doc import extract_consensus, extract_document
+    from ocr_wrapper_spark.sources.pages import build_html
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    html = build_html(5, text, "en")
+    single = extract_document(html, "en")
+    cons = extract_consensus(html, "en")
+    assert cons.provider == "consensus"
+    assert cons.extracted_text == single.extracted_text == text
+    assert len(cons.texts) == len(single.texts)

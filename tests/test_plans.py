@@ -1,0 +1,89 @@
+"""Physical-plan audits: the plans we want at 100 TB, asserted at sf0.001.
+
+These guard the scale properties (SURVEY.md §4): predicate pushdown into
+the parquet scan, column pruning, broadcast joins for small dims, and a
+shuffle-free extraction pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = l.filter(F.col("l_shipdate") < "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThan(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = l.select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    # ReadSchema must contain only the two referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dim_join_broadcasts(spark):
+    from ocr_wrapper_spark.relational import QUERIES
+
+    q = QUERIES["broadcast_dim_join"](spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_plan_has_no_shuffle(spark, tmp_path):
+    """Scan -> extract must be a single stage: no Exchange before the
+    Python operator (reshuffling html payloads measured 3x the extraction
+    cost)."""
+    from ocr_wrapper_spark.operators.extract import with_extraction
+    from ocr_wrapper_spark.sources.pages import synthesize_pages
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, SF).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    plan = _plan(with_extraction(pages))
+    before_python = plan.split("MapInArrow")[-1]  # operators BELOW (upstream of) the python node
+    assert "Exchange" not in before_python
+
+
+def test_cache_join_is_broadcast_when_cache_small(spark, tmp_path):
+    from ocr_wrapper_spark.plans.pipeline import run_extraction
+    from ocr_wrapper_spark.sources.pages import synthesize_pages
+
+    from ocr_wrapper_spark.sources.cache import read_cache, split_hits_misses
+    from pyspark.sql import functions as F
+
+    cache_path = str(tmp_path / "cache")
+    pages = synthesize_pages(spark, SF)
+    run_extraction(spark, pages, cache_path=cache_path, run_id="p1")
+    # second run: cache has rows; the hit/miss join should broadcast the
+    # (small) cache side — run_extraction checkpoints the result, so
+    # inspect the join plan at the split level
+    cache = read_cache(spark, cache_path)
+    hits, _ = split_hits_misses(pages.withColumn("content_hash", F.sha2(F.col("html"), 256)), cache)
+    plan = _plan(hits)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_candidate_join_is_equi_join(spark):
+    """The MinHash LSH candidate generation must be a hash-partitioned
+    equi-join on (band_id, band_hash) — never a cartesian product."""
+    from ocr_wrapper_spark.operators.dedup import lsh_candidate_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lsh_candidate_pairs(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
