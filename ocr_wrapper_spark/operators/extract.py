@@ -280,6 +280,60 @@ def order_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd
     return pd.Series(out)
 
 
+def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
+    """documents.parquet -> extraction results in ONE Python stage:
+    page synthesis (test scaffolding) and extraction run in the same
+    Arrow batch, skipping the intermediate pages hop and the span-array
+    serialization (correctness queries don't read spans).
+
+    Production reads a real pages table (see plans/pipeline.py); this is
+    the fast path for the documents-derived correctness/bench queries.
+    """
+    import pandas as pd
+
+    from ..kernels.extract_doc import extract_consensus, extract_document, extract_dual
+    from ..sources.pages import build_page_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            pages = build_page_rows(pdf)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                "url": pages["url"],
+                "extracted_text": [],
+                "n_spans": [],
+                "provider": [],
+                "doc_rotation": [],
+                "tilt_angle": [],
+                "error": [],
+            }
+            for payload, lang, text in zip(pages["html"], pages["lang"], pages["text"]):
+                if mode == "dual":
+                    res = extract_dual(payload, lang, text)
+                elif mode == "consensus":
+                    res = extract_consensus(payload, lang)
+                else:
+                    res = extract_document(payload, lang)
+                out["extracted_text"].append(res.extracted_text)
+                out["n_spans"].append(len(res.texts))
+                out["provider"].append(res.provider)
+                out["doc_rotation"].append(res.rotation)
+                out["tilt_angle"].append(res.tilt_angle)
+                out["error"].append(res.error)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "doc_id long, url string, extracted_text string, n_spans int, "
+            "provider string, doc_rotation int, tilt_angle double, error string"
+        ),
+    )
+
+
 def assemble_text_col(spans_col: Column) -> Column:
     """A6 text assembly as a pure JVM expression (no UDF): space-joined
     span texts (reference ocr_wrapper.py:283-289). NULL-safe for empty

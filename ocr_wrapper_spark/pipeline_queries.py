@@ -48,14 +48,10 @@ def pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction over synthesized pages; byte-identical
     extracted_text per document (north_rule invariant), plus detected
     branch and rotation — all recomputed independently by the oracle."""
-    result = run_extraction(spark, _pages(spark, sf_dir))
-    return result.select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
-        "extracted_text",
-        "n_spans",
-        "provider",
-        "doc_rotation",
-    )
+    from .operators.extract import extract_documents_fused
+
+    result = extract_documents_fused(spark, sf_dir)
+    return result.select("doc_id", "extracted_text", "n_spans", "provider", "doc_rotation")
 
 
 @register(
@@ -65,7 +61,9 @@ def pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_error_free(spark: SparkSession, sf_dir: str) -> DataFrame:
-    result = run_extraction(spark, _pages(spark, sf_dir))
+    from .operators.extract import extract_documents_fused
+
+    result = extract_documents_fused(spark, sf_dir)
     return result.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("error").isNotNull().cast("int")).cast("int").alias("n_errors"),
@@ -110,14 +108,10 @@ def pipeline_consensus_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-response grouped, best-confidence base enriched with
     singletons. Deterministic extraction makes samples identical, so the
     consensus output must stay byte-identical to the document text."""
-    from .operators.extract import with_consensus_extraction
+    from .operators.extract import extract_documents_fused
 
-    out = with_consensus_extraction(_pages(spark, sf_dir))
-    return out.select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
-        "extracted_text",
-        "n_spans",
-    )
+    out = extract_documents_fused(spark, sf_dir, mode="consensus")
+    return out.select("doc_id", "extracted_text", "n_spans")
 
 
 @register(
@@ -196,7 +190,9 @@ def pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_tilt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detected tilt angles (reading-order kernel scan) aggregated into a
     histogram; cross-checked against the analytically expected angles."""
-    result = run_extraction(spark, _pages(spark, sf_dir))
+    from .operators.extract import extract_documents_fused
+
+    result = extract_documents_fused(spark, sf_dir)
     return (
         result.select(F.round(F.col("tilt_angle"), 4).alias("tilt_deg"))
         .groupBy("tilt_deg")

@@ -194,3 +194,24 @@ def synthesize_pages(
             yield build_page_rows(pdf)
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def materialize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str = "/tmp/spark_graft_pages",
+    replicate: int = 1,
+    partitions: int | None = None,
+) -> str:
+    """Write (once) and return the path of a materialized pages table —
+    the benchmarking input shape (the north_rule input is a table, not an
+    in-flight generator)."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{base_dir}/{sf_tag}_r{replicate}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        synthesize_pages(spark, sf_dir, replicate=replicate, partitions=partitions or 64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
