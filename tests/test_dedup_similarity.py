@@ -1,0 +1,110 @@
+"""Dedup + similarity operator guarantees at sf0.001/sf0.01:
+
+* exact duplicates are found by every near-dup method (MinHash
+  signatures identical, SimHash distance 0, Jaccard 1.0)
+* LSH ANN achieves high recall vs the exact brute-force top-k
+* text-stat operators agree with plain-python recomputation
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """sf0.01 documents plus deterministic exact duplicates (doc_id+10000
+    copies of the first 15 docs) so every near-dup method has known
+    positives to find."""
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    dupes = base.filter(F.col("doc_id") < 15).withColumn("doc_id", F.col("doc_id") + 10000)
+    return base.unionByName(dupes).cache()
+
+
+def exact_dup_pairs(spark, docs):
+    a, b = docs.alias("a"), docs.alias("b")
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    }
+
+
+def test_minhash_finds_exact_duplicates(spark, docs):
+    from ocr_wrapper_spark.operators.dedup import lsh_candidate_pairs
+
+    exact = exact_dup_pairs(spark, docs)
+    assert exact, "fixture should contain duplicate documents"
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    missing = exact - cands
+    assert not missing, f"minhash LSH missed exact duplicates: {missing}"
+
+
+def test_simhash_zero_distance_on_exact_duplicates(spark, docs):
+    from ocr_wrapper_spark.operators.dedup import simhash_near_pairs
+
+    exact = exact_dup_pairs(spark, docs)
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs).collect()}
+    for pair in exact:
+        assert near.get(pair) == 0, f"simhash should report distance 0 for {pair}"
+
+
+def test_jaccard_one_on_exact_duplicates(spark, docs):
+    from ocr_wrapper_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = exact_dup_pairs(spark, docs)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    for pair in exact:
+        assert jac.get(pair) == pytest.approx(1.0)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    from ocr_wrapper_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(e, queries, k=5).select("query_id", "vec_id").collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_lsh(e, queries, k=5, dim=64).select("query_id", "vec_id").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_quality_scores_match_python(spark, docs):
+    from ocr_wrapper_spark.operators.textstats import STOPWORDS_EN, quality_score_cols
+
+    rows = (
+        docs.select("doc_id", "text", *quality_score_cols(F.col("text")))
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        toks = r.text.split(" ") if r.text else []
+        assert r.n_tokens == len(toks)
+        if toks:
+            ink = sum(len(t) for t in toks)
+            assert r.mean_word_len == pytest.approx(round(ink / len(toks), 4))
+            stop = sum(1 for t in toks if t in STOPWORDS_EN)
+            assert r.stopword_ratio == pytest.approx(round(stop / len(toks), 4))
+
+
+def test_fingerprint_stable_and_dedup_consistent(spark, docs):
+    from ocr_wrapper_spark.operators.textstats import fingerprint_col
+
+    fp = docs.select("doc_id", "text", fingerprint_col(F.col("text")).alias("fp"))
+    # same text -> same fingerprint; distinct fingerprints == distinct texts
+    n_texts = docs.select("text").distinct().count()
+    n_fp = fp.select("fp").distinct().count()
+    assert n_fp == n_texts
