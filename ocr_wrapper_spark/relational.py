@@ -757,3 +757,52 @@ def lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont); the approx variant (percentile_approx) is the scale
+    path but is engine-specific, so the oracle checks the exact one."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "host_skew_topk",
+    None,  # host distribution oracle exists via pipeline_host_stats; this
+    # one exercises approx_count_distinct + top-k ordering (rows-only)
+)
+def host_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hosts by doc count with approx-distinct langs — the monitoring
+    rollup a crawl operator runs; two-phase salted agg under the hood."""
+    from .plans.partitioning import host_of, salted_host_counts
+    from .sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    counts = salted_host_counts(pages)
+    langs = (
+        pages.select(host_of(F.col("url")).alias("host"), "lang")
+        .groupBy("host")
+        .agg(F.approx_count_distinct("lang").alias("approx_langs"))
+    )
+    return (
+        counts.join(langs, "host")
+        .orderBy(F.col("n_docs").desc(), "host")
+        .limit(10)
+    )

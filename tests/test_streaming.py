@@ -58,3 +58,42 @@ def test_streaming_event_windows(spark, tmp_path):
     # cross-check totals against the batch engine
     batch_total = spark.read.parquet(f"{SF}/events.parquet").count()
     assert sum(r.n_events for r in rows) == batch_total
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """Cross-micro-batch dedup keeps only the first occurrence of each
+    content hash (applyInPandasWithState keyed state)."""
+    from ocr_wrapper_spark.streaming.dedup_stream import stream_dedup_first_seen
+    from ocr_wrapper_spark.schema import PAGES_SCHEMA
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows_a = [(f"u{i}", ts, f"<div>{'doc '*30}{i % 3}</div>".encode(), "", "en") for i in range(6)]
+    rows_b = [(f"v{i}", ts, f"<div>{'doc '*30}{i % 4}</div>".encode(), "", "en") for i in range(8)]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows_a, PAGES_SCHEMA).write.parquet(src + "/batch_a")
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("select count(*) n from dedup_out").collect()[0].n
+    assert n1 == 3  # i%3 -> 3 distinct payload hashes
+
+    # second drop: hashes 0..3; only the new one (3) survives dedup
+    spark.createDataFrame(rows_b, PAGES_SCHEMA).write.parquet(src + "/batch_b")
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select content_hash from dedup_out").collect()
+    assert len(out) == 4
+    assert len({r.content_hash for r in out}) == 4
