@@ -193,3 +193,106 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.cosine_topk_lsh(e, queries, k=TOPK, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# custom join operators (as-of, range-predicate) + corpus curation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_last_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           round(p.value, 4) AS purchase_value,
+           c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it. Spark lacks the operator; composed from a tagged
+    union + last-non-null window (operators/asof.py). DuckDB's native
+    ASOF JOIN is the oracle."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_value_cols=["click_event_id"])
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("asof_click_event_id").alias("click_id"),
+    )
+
+
+@register(
+    "range_join_shipments",
+    """
+    SELECT o.o_orderkey AS o_orderkey, count(*) AS n_in_window
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join: lineitems shipped within 60 days of their
+    order date. Equi-key + range residual -> hash join with filter (no
+    cartesian); at scale the equi key carries the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS alpha_ratio
+      FROM documents),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM stats WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ratio >= 0.7)
+    SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+    FROM kept WHERE rn = 1 GROUP BY lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate (token count +
+    alpha ratio) -> exact dedup keep-first -> per-language corpus stats.
+    The composed shape of the C4/Gopher-style cleaning pipelines."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    alpha = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", "")) / F.length("text"),
+    ).otherwise(0.0)
+    stats = d.select("doc_id", "lang", F.md5("text").alias("fp"), toks.alias("n_tokens"), alpha.alias("alpha_ratio"))
+    kept = stats.filter(F.col("n_tokens").between(20, 1000) & (F.col("alpha_ratio") >= 0.7))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return first.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("n_tokens"), 4).alias("avg_tokens")
+    )
