@@ -66,6 +66,20 @@ def canonicalize(coords: np.ndarray, in_pixels: bool, validate: bool = True) -> 
     if validate and not in_pixels:
         validate_relative(coords)
 
+    # fast path: boxes already strictly canonical (left pair strictly left
+    # of right pair, tops strictly above bottoms) are fixed points of the
+    # corner sort and cannot have collapsed edges — the sort/expansion is
+    # the identity on them. Strict inequalities rule out tie-order effects.
+    if (
+        (coords[:, TLX] < coords[:, TRX]).all()
+        and (coords[:, BLX] < coords[:, BRX]).all()
+        and (coords[:, TLX] < coords[:, BRX]).all()
+        and (coords[:, BLX] < coords[:, TRX]).all()
+        and (coords[:, TLY] < coords[:, BLY]).all()
+        and (coords[:, TRY] < coords[:, BRY]).all()
+    ):
+        return coords  # np.maximum above already made a fresh array
+
     # points stacked in the reference's pointlist order [TL, TR, BR, BL]
     # (bbox.py:174-180) so stable-sort tie-breaking matches list.sort().
     pts = coords.reshape(-1, 4, 2)  # (n, 4, 2) already TL,TR,BR,BL order

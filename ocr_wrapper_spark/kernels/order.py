@@ -29,6 +29,9 @@ DEGREE2RADIAN = 2 * np.pi / 360
 MAX_TILT_ANGLE = 11
 NB_TILT = 21
 MAX_TILT_FRACTION = np.tan(MAX_TILT_ANGLE * DEGREE2RADIAN)
+# the scan grid is fixed — precompute once (identical to the reference's
+# per-call linspace, bbox_order.py:252)
+TILT_FRACTIONS = np.linspace(-MAX_TILT_FRACTION, MAX_TILT_FRACTION, NB_TILT, dtype=float)
 
 # bidi class -> dominance code; lowest code wins within a box
 # (reference bbox_order.py:27-40)
@@ -194,7 +197,7 @@ def order_boxes(
     xs_y = y[order]
 
     max_tilt_pixel = int(np.ceil(MAX_TILT_FRACTION * geom.half_width))
-    tilt_fraction = np.linspace(-MAX_TILT_FRACTION, MAX_TILT_FRACTION, NB_TILT, dtype=float)
+    tilt_fraction = TILT_FRACTIONS
 
     # Gains are zero outside the content's y-extent, and the neighbor-compare
     # peak test can never fire on an all-zero plateau, so restricting the
