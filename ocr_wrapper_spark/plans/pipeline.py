@@ -35,6 +35,7 @@ def run_extraction(
     n_buckets: int = partitioning.DEFAULT_BUCKETS,
     resume: bool = False,
     target_partitions: int | None = None,
+    extractor: str | None = None,
 ) -> DataFrame:
     """Returns the result DataFrame (lazy). Side tables (cache, metrics)
     are written when their paths are given — those writes are actions.
@@ -58,14 +59,19 @@ def run_extraction(
     cols = ["url", "bucket", "content_hash", "spans", "extracted_text", "doc_rotation",
             "tilt_angle", "n_spans", "provider", "error", "extract_ms", "is_hit"]
 
+    # extractor dispatch (D1): explicit name > env > 'single'
+    from ..operators.autoselect import autoselect_extractor
+
+    extract_op = autoselect_extractor(extractor)
+
     cache = cache_tbl.read_cache_or_none(spark, cache_path)
     if cache is None:
         # no cache table yet: skip the join + two-branch union entirely —
         # the single-stage scan -> extract plan (measured ~2x throughput)
-        result = with_extraction(pages).withColumn("is_hit", F.lit(False)).select(cols)
+        result = extract_op(pages).withColumn("is_hit", F.lit(False)).select(cols)
     else:
         hits, misses = cache_tbl.split_hits_misses(pages, cache)
-        computed = with_extraction(misses).withColumn("is_hit", F.lit(False))
+        computed = extract_op(misses).withColumn("is_hit", F.lit(False))
         hit_results = (
             hits.withColumn("extract_ms", F.lit(0.0))
             .withColumn("is_hit", F.lit(True))
