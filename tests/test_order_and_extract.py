@@ -133,3 +133,37 @@ def test_empty_doc_zero_spans():
 def test_error_row_not_exception():
     res = extract_document(None, "en")
     assert res.error is not None
+
+
+ARABIC_WORDS = ["كلمة" + str(i) for i in range(40)]
+# Arabic-majority with embedded digit tokens (bidi class EN — the
+# "Latin numbers in Arabic script" case, reference bbox_order.py:202-203);
+# the rtl majority vote must still hold and digits must survive intact
+MIXED_WORDS = [w if i % 3 else str(100 + i) for i, w in enumerate(ARABIC_WORDS)]
+
+
+@pytest.mark.parametrize("rot", [0, 90, 180, 270])
+@pytest.mark.parametrize(
+    "lang, words",
+    [("en", LOREM), ("ar", ARABIC_WORDS), ("ar", MIXED_WORDS)],
+    ids=["latin", "pure-rtl", "mixed-rtl"],
+)
+def test_rotation_matrix(lang, words, rot):
+    """Reference tests/test_googleocr.py:10-27,83-87: 12-case matrix of
+    {latin, pure-rtl, mixed} x {0, 90, 180, 270} — detected rotation must
+    equal the synthesized one and the text must survive byte-identically.
+    Exercises the RTL delta compensation (google_ocr.py:57-63 analogue)."""
+    rtl = lang == "ar"
+    coords_px, w, h = layout.layout_words(words, rtl=rtl)
+    scale = np.array([w, h] * 4, dtype=np.float64)
+    raw = coords_px / scale
+    gen = layout.rotate_raw_quads(raw, (4 - rot // 90) % 4)
+    page_w, page_h = (h, w) if rot in (90, 270) else (w, h)
+    lines = ["%PDF-GRAFT1.0", f"%W {page_w} {page_h}", f"%L {lang}", f"%R {rot}"]
+    for i, word in enumerate(words):
+        c = " ".join(f"{v:.8f}" for v in gen[i])
+        lines.append(f"S {c} 0.95 {word}")
+    res = extract_document("\n".join(lines).encode(), lang)
+    assert res.error is None
+    assert res.rotation == rot
+    assert res.extracted_text == " ".join(words)

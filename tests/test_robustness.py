@@ -73,3 +73,12 @@ def test_partial_resume_processes_only_missing_buckets(spark, tmp_path):
         (F.col("run_id") == "crashed") & (F.col("status") == "done")
     )
     assert {r.bucket for r in m.select("bucket").distinct().collect()} == set(buckets)
+
+
+def test_iceberg_gate_detects_absence(spark):
+    from ocr_wrapper_spark.sources.iceberg import is_iceberg_available, iceberg_session_conf
+
+    # the sandbox image ships no Iceberg jar — the gate must say so
+    assert is_iceberg_available(spark) is False
+    conf = iceberg_session_conf("/tmp/warehouse")
+    assert conf["spark.sql.catalog.graft.type"] == "hadoop"
