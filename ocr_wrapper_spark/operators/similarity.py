@@ -117,6 +117,55 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold): one numpy matmul per Arrow batch against the broadcast
+    corpus matrix. The corpus fits comfortably in a broadcast (dim-64
+    float64 is 0.5 KB/row); at larger corpora the LSH bucketing in
+    cosine_topk_lsh becomes the candidate generator and this kernel the
+    within-bucket verifier."""
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    M = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, Mn = ids[order], Mn[order]
+
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(Mn)
+
+    def op(batches):
+        all_ids, all_m = b_ids.value, b_m.value
+        for pdf in batches:
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if A.size == 0:
+                continue
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = np.round(An @ all_m.T, round_digits)
+            ii, jj = np.nonzero((S >= threshold) & (a_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": all_ids[jj],
+                    "cosine": S[ii, jj],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def _random_planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.RandomState(7)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

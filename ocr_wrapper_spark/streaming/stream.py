@@ -46,6 +46,24 @@ def stream_extraction(
     )
 
 
+def streaming_session_windows(spark: SparkSession, events_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a dynamic gap (session_window):
+    the streaming twin of the batch sessionize_events query."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def streaming_event_window_counts(spark: SparkSession, events_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data tolerated 1 h):
     the Structured Streaming shape for crawl-telemetry rollups. Returns

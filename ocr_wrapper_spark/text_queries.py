@@ -296,3 +296,23 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.round(F.avg("n_tokens"), 4).alias("avg_tokens")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
+    embeddings are near-orthogonal, so the check exercises a non-empty
+    pair set): numpy matmul per
+    Arrow batch against the broadcast normalized corpus."""
+    from .operators.similarity import cosine_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(e, threshold=0.4)

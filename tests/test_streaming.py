@@ -97,3 +97,27 @@ def test_stateful_stream_dedup(spark, tmp_path):
     out = spark.sql("select content_hash from dedup_out").collect()
     assert len(out) == 4
     assert len({r.content_hash for r in out}) == 4
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """session_window streaming agg: total session count equals the batch
+    sessionization query's total."""
+    from ocr_wrapper_spark.streaming.stream import streaming_session_windows
+    from ocr_wrapper_spark.relational import QUERIES
+
+    events_dir = str(tmp_path / "events_sw")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(events_dir)
+    q = (
+        streaming_session_windows(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_sessions = spark.sql("select count(*) n from sess_out").collect()[0].n
+    batch_sessions = (
+        QUERIES["sessionize_events"](spark, SF).agg(F.sum("n_sessions")).collect()[0][0]
+    )
+    assert stream_sessions == batch_sessions
