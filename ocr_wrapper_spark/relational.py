@@ -62,7 +62,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -94,8 +94,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -201,9 +201,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -512,8 +512,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     cand = o.filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
     )
     matched = cand.join(
         l, (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi"
@@ -571,8 +571,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
         )
         .groupBy("l_linestatus")
         .agg(
@@ -599,8 +599,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
