@@ -11,7 +11,6 @@ Arrow extraction UDF.
 
 from __future__ import annotations
 
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,9 +78,10 @@ def run_extraction(
         result = computed.select(cols).unionByName(hit_results.select(cols))
 
     if cache_path or metrics_path:
-        t0 = time.perf_counter()
-        result = result.localCheckpoint(eager=True)  # single extraction pass
-        wall_ms = (time.perf_counter() - t0) * 1000.0
+        # materialize once so cache append + metrics + the returned frame
+        # share a single extraction pass (on a cluster: write the results
+        # table and read it back; localCheckpoint is the local-mode analogue)
+        result = result.localCheckpoint(eager=True)
 
         if cache_path:
             new_entries = (
@@ -104,6 +104,5 @@ def run_extraction(
                 .withColumn("status", F.lit(metrics_tbl.STATUS_DONE))
             )
             metrics_tbl.append_metrics(metrics, metrics_path)
-        _ = wall_ms  # driver-side job wall time available to callers via logs
 
     return result.select(*RESULT_COLS, "bucket", "is_hit")
