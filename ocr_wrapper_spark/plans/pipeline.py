@@ -16,7 +16,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import with_extraction
 from ..schema import CACHE_SCHEMA, RESULT_SCHEMA
 from ..sources import cache as cache_tbl
 from ..sources import metrics as metrics_tbl
