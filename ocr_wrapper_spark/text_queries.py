@@ -316,3 +316,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_near_pairs(e, threshold=0.4)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(str_split(text, ' ')) >= {dedup.SHINGLE_K}
+               THEN list_transform(range(0, len(str_split(text, ' ')) - {dedup.SHINGLE_K} + 1),
+                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {dedup.SHINGLE_K}], ' '))
+               ELSE [text] END) AS shingles
+      FROM documents),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                   JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.6),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    walk(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT w.a, u.b FROM walk w JOIN und u ON w.b = u.a
+    )
+    SELECT a AS node, least(a, min(b)) AS component FROM walk GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters via distributed min-label
+    propagation (operators/components.py); the oracle computes the same
+    components with a recursive transitive-closure CTE."""
+    from .operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    return connected_components(pairs).select("node", "component")

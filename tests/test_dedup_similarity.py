@@ -108,3 +108,24 @@ def test_fingerprint_stable_and_dedup_consistent(spark, docs):
     n_texts = docs.select("text").distinct().count()
     n_fp = fp.select("fp").distinct().count()
     assert n_fp == n_texts
+
+
+def test_connected_components_clusters(spark):
+    from ocr_wrapper_spark.operators.components import connected_components, dedup_keepers
+
+    # two triangles + a chain + a singleton edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 33)],
+        "id_a long, id_b long",
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == comps[12] == 10
+    assert comps[20] == comps[21] == 20
+    assert comps[30] == comps[33] == 30
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30, 31, 32, 33, 99]], "doc_id long")
+    keepers = {r.doc_id: r.keeper_id for r in dedup_keepers(pairs, ids, "doc_id").collect()}
+    assert keepers[99] == 99  # singleton keeps itself
+    assert keepers[33] == 30
+    assert keepers[2] == 1
