@@ -41,13 +41,27 @@ GAP_TOLERANCE = 1
 
 
 def _block_stats(segment: str) -> tuple[str, int, int]:
-    """Returns (clean_text, n_chars, n_link_chars) for one inter-tag segment."""
+    """Returns (clean_text, n_chars, n_link_chars) for one inter-tag segment.
+
+    Fast paths: after the block-tag split most segments are plain text
+    (no '<', no '&'), so the tag/anchor regexes and entity unescape are
+    skipped unless their trigger characters appear.
+    ``' '.join(s.split())`` is the whitespace normalization (identical
+    result to the regex collapse + strip, measurably faster)."""
+    if "<" not in segment:
+        if "&" in segment:
+            segment = _html.unescape(segment)  # before ws-normalize (&nbsp; -> space)
+        text = " ".join(segment.split())
+        return text, len(text), 0
+
     link_chars = 0
     for m in _RE_A.finditer(segment):
         inner = _RE_TAG.sub(" ", m.group(1))
-        link_chars += len(_RE_WS.sub(" ", inner).strip())
+        link_chars += len(" ".join(inner.split()))
     no_tags = _RE_TAG.sub(" ", segment)
-    text = _RE_WS.sub(" ", _html.unescape(no_tags)).strip()
+    if "&" in no_tags:
+        no_tags = _html.unescape(no_tags)
+    text = " ".join(no_tags.split())
     return text, len(text), link_chars
 
 

@@ -41,6 +41,14 @@ _CODE_L, _CODE_R, _CODE_EN, _CODE_AN, _CODE_ET, _CODE_ON = 0, 1, 2, 3, 4, 5
 # cutoff for reliable word statistics (reference bbox_order.py:194)
 MIN_WORDS_FOR_STATS = 10
 
+# fused edge-midpoint projection: coords (n,8) @ (8,4) ->
+# [(TLx+BLx)/2, (TRx+BRx)/2, (TLy+TRy)/2, (BLy+BRy)/2]
+_EDGE_MID = np.zeros((8, 4))
+_EDGE_MID[[0, 6], 0] = 0.5  # TLx, BLx -> left
+_EDGE_MID[[2, 4], 1] = 0.5  # TRx, BRx -> right
+_EDGE_MID[[1, 3], 2] = 0.5  # TLy, TRy -> top
+_EDGE_MID[[5, 7], 3] = 0.5  # BLy, BRy -> bottom
+
 _char_code_cache: dict[str, int] = {}
 
 # per-token memo: token -> (type_code, is_word, n_chars). Web-scale corpora
@@ -120,21 +128,24 @@ def extract_properties(
     geom.full_width = max(200, document_width)
     geom.half_width = document_width / 2
 
-    c = coords
-    left = geom.full_width * np.clip((c[:, bc.TLX] + c[:, bc.BLX]) / 2, 0.0, 1.0)
-    right = geom.full_width * np.clip((c[:, bc.TRX] + c[:, bc.BRX]) / 2, 0.0, 1.0)
+    # edge midpoints via one fused matmul: columns = (left, right, top,
+    # bottom) halves -> clip -> scale (identical arithmetic to the
+    # per-column chains, ~4x fewer numpy dispatches)
+    g = np.clip(coords @ _EDGE_MID, 0.0, 1.0)
+    left = geom.full_width * g[:, 0]
+    right = geom.full_width * g[:, 1]
     width = np.maximum(1.0, right - left)
     x = (right + left) / 2
     x_center = x - geom.half_width
-    top = geom.full_height * np.clip((c[:, bc.TLY] + c[:, bc.TRY]) / 2, 0.0, 1.0)
-    bottom = np.maximum(top + 1, geom.full_height * np.clip((c[:, bc.BLY] + c[:, bc.BRY]) / 2, 0.0, 1.0))
+    top = geom.full_height * g[:, 2]
+    bottom = np.maximum(top + 1, geom.full_height * g[:, 3])
     height = np.maximum(1.0, bottom - top)
     y = (top + bottom) / 2
     # int(round(.)) in the reference is banker's rounding (Python round);
     # np.rint matches round-half-to-even
-    int_top = np.rint(top).astype(np.int64)
-    int_bottom = np.rint(bottom).astype(np.int64)
-    int_height = np.maximum(1, int_bottom - int_top)
+    ints = np.rint(np.stack([top, bottom], axis=0)).astype(np.int64)
+    int_top = ints[0]
+    int_height = np.maximum(1, ints[1] - ints[0])
 
     props = [token_props(t) for t in texts]
     types = np.array([p[0] for p in props], dtype=np.int64)
@@ -230,14 +241,15 @@ def order_boxes(
     x_factor = np.broadcast_to(xs_x_center[:, None], (n, max_height))[mask]
     base = max_tilt_pixel + y_pos
 
-    # scatter-add via per-tilt bincount (C-speed; identical in-order float
-    # summation to np.add.at, so bit-reproducibility is preserved); the
-    # tilt component is materialized one row at a time to keep the working
-    # set cache-resident
-    all_gains = np.empty((NB_TILT, y_range), dtype=float)
-    for t in range(NB_TILT):
-        idx_t = base + (tilt_fraction[t] * x_factor).astype(int)
-        all_gains[t] = np.bincount(idx_t, weights=parabolae, minlength=y_range)
+    # scatter-add via ONE flattened bincount over all tilt rows (the per-
+    # tilt loop was numpy-call-overhead bound at ~10^3 points per doc).
+    # Row-major flattening keeps the in-bin summation order identical to
+    # np.add.at, so bit-reproducibility is preserved.
+    idx2d = base[None, :] + (tilt_fraction[:, None] * x_factor[None, :]).astype(int)
+    idx2d += (np.arange(NB_TILT) * y_range)[:, None]
+    all_gains = np.bincount(
+        idx2d.ravel(), weights=np.tile(parabolae, NB_TILT), minlength=NB_TILT * y_range
+    ).reshape(NB_TILT, y_range)
 
     # squared-gain argmax picks the best tilt (bbox_order.py:296-309)
     best_tilt = int(np.argmax((all_gains**2).sum(axis=1)))
