@@ -187,6 +187,39 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
     ]
 
 
+def _prefetched(batches, depth: int = 1):
+    """Wrap the Arrow batch iterator with a reader thread + bounded queue
+    so the JVM can produce batch n+1 (socket I/O, parquet decode) while
+    Python computes batch n. The reader blocks in the socket read with
+    the GIL released; measured ~62% worker duty without it at 32 cores
+    (BENCH/BASELINE.md §1). depth=1 bounds per-task memory to two
+    in-flight batches (at 100 KB real-web pages: ~200 MB/task upper
+    bound with 1024-row batches — tune SPARK_GRAFT_ARROW_BATCH down for
+    fatter pages)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def reader():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_payload: bool,
                   mode: str = "single"):
     import pyarrow as pa
@@ -207,7 +240,7 @@ def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_p
     kept_idx = [i for i, _ in kept]
 
     def op(batches):
-        for batch in batches:
+        for batch in _prefetched(batches):
             new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx, mode)
             arrays = [batch.column(i) for i in kept_idx] + new_cols
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
