@@ -46,18 +46,19 @@ _PERM_A, _PERM_B = _perm_params()
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Stable 64-bit hashes of token k-shingles (blake2b-8, C speed)."""
-    from hashlib import blake2b
+    """Stable 64-bit hashes of token k-shingles: first 8 bytes of md5,
+    big-endian — chosen because DuckDB reproduces it exactly
+    (('0x' || left(md5(s),16))::UBIGINT), making the whole MinHash+LSH
+    path oracle-checkable."""
+    from hashlib import md5
 
     tokens = text.split(" ") if text else []
     if len(tokens) < k:
-        shingles = [" ".join(tokens)] if tokens else []
+        shingles = [" ".join(tokens)]
     else:
         shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    if not shingles:
-        return np.zeros(1, dtype=np.uint64)
-    raw = b"".join(blake2b(s.encode("utf-8"), digest_size=8).digest() for s in shingles)
-    return np.frombuffer(raw, dtype=np.uint64)
+    raw = b"".join(md5(s.encode("utf-8")).digest()[:8] for s in shingles)
+    return np.frombuffer(raw, dtype=">u8").astype(np.uint64)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -116,22 +117,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_BITS = 63  # 63 bits keep the packed value in signed-int64 range,
+# which lets the DuckDB oracle rebuild it without two's-complement gymnastics
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over tokens (FNV-1a token hashes, +-1 bit votes)."""
+    """63-bit SimHash over tokens: md5-based token hashes (the same
+    DuckDB-reproducible scheme as MinHash), +-1 bit votes, vectorized
+    (T x 63 bit matrix per doc)."""
+    from hashlib import md5
+
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
 
     def simhash(t: str) -> int:
-        if not t:
-            return 0
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in t.split(" "):
-            h = 0xCBF29CE484222325
-            for byte in tok.encode("utf-8"):
-                h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            votes += np.where(bits > 0, 1, -1)
-        out = np.packbits((votes > 0).astype(np.uint8)).view(">u8")[0]
-        return int(np.int64(np.uint64(out).astype(np.int64)))
+        tokens = t.split(" ")
+        raw = b"".join(md5(tok.encode("utf-8")).digest()[:8] for tok in tokens)
+        x = np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+        bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        return int((weights * (votes > 0)).sum())
 
     return text.fillna("").map(simhash)
 

@@ -356,3 +356,166 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6)
     return connected_components(pairs).select("node", "component")
+
+
+def _lsh_oracle() -> str:
+    """Mirror the hyperplane-LSH candidate generation + rerank in SQL:
+    identical plane literals, identical in-order float64 dot products,
+    so signatures match bit for bit."""
+    planes = similarity._random_planes(64)
+    per_band = similarity.N_PLANES // 4
+    dot_terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(f"{float(v)!r}" for v in plane)
+        dot_terms.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    sig = " + ".join(dot_terms)
+    bands = ", ".join(
+        f"(sig // {1 << (b * per_band)}) % {1 << per_band} AS b{b}" for b in range(4)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, b{b} AS bucket FROM sigs" for b in range(4)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {bands}
+      FROM (SELECT vec_id, embedding, {sig} AS sig FROM embeddings)),
+    banded AS ({band_rows}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, band_id, bucket
+          FROM banded WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id, c.embedding AS cvec, q.qvec
+      FROM banded c JOIN q ON c.band_id = q.band_id AND c.bucket = q.bucket),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_inner_product(cvec::DOUBLE[], qvec::DOUBLE[]) /
+                   (sqrt(list_inner_product(cvec::DOUBLE[], cvec::DOUBLE[])) *
+                    sqrt(list_inner_product(qvec::DOUBLE[], qvec::DOUBLE[]))), 6) AS cosine
+      FROM cand),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+from .relational import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["ann_topk_lsh"] = _lsh_oracle()
+
+
+def _host_top10_oracle() -> str:
+    from .pipeline_queries import _host_cdf_sql
+
+    return f"""
+    WITH hosted AS (
+      SELECT doc_id, lang,
+             len(list_filter({_host_cdf_sql()},
+                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+             AS host_idx
+      FROM documents)
+    SELECT concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM hosted GROUP BY host_idx
+    ORDER BY n_docs DESC, host LIMIT 10
+    """
+
+
+@register("host_top10_exact", _host_top10_oracle())
+def host_top10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hosts by page count with exact distinct-language counts —
+    the oracle-checked twin of host_skew_topk (which demonstrates the
+    approx_count_distinct scale path)."""
+    from .plans.partitioning import host_of, salted_host_counts
+    from .sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    counts = salted_host_counts(pages)
+    langs = (
+        pages.select(host_of(F.col("url")).alias("host"), "lang")
+        .groupBy("host")
+        .agg(F.countDistinct("lang").alias("n_langs"))
+    )
+    return (
+        counts.join(langs, "host")
+        .orderBy(F.col("n_docs").desc(), "host")
+        .limit(10)
+    )
+
+
+def _minhash_oracle() -> str:
+    """Exact SQL mirror of the MinHash+LSH banding path: md5-based
+    shingle hashes, multiply-shift family via UHUGEINT mod-2^64
+    arithmetic, min per permutation, 8 bands x 8 rows, band-equality
+    candidate join."""
+    perm_rows = ", ".join(
+        f"({j}, {int(dedup._PERM_A[j])}::UBIGINT, {int(dedup._PERM_B[j])}::UBIGINT)"
+        for j in range(dedup.N_PERM)
+    )
+    k = dedup.SHINGLE_K
+    rows = dedup.ROWS_PER_BAND
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(str_split(text, ' ')) >= {k}
+               THEN list_transform(range(0, len(str_split(text, ' ')) - {k} + 1),
+                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {k}], ' '))
+               ELSE [text] END AS shingles
+      FROM documents),
+    sh AS (
+      SELECT doc_id, ('0x' || left(md5(shingle), 16))::UBIGINT AS x
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
+    perms(j, a, b) AS (VALUES {perm_rows}),
+    sigs AS (
+      SELECT doc_id, j,
+             min((((a::UHUGEINT * x + b) % 18446744073709551616)::UBIGINT >> 1)::BIGINT) AS sig
+      FROM sh CROSS JOIN perms GROUP BY doc_id, j),
+    sig_arr AS (SELECT doc_id, list(sig ORDER BY j) AS sig FROM sigs GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(t.b AS INT) AS band_id,
+             sig[CAST(t.b AS INT) * {rows} + 1 : CAST(t.b AS INT) * {rows} + {rows}] AS band
+      FROM sig_arr, unnest(range(0, {dedup.N_BANDS})) AS t(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+    """
+
+
+_ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+def _simhash_oracle() -> str:
+    """SQL mirror of the SimHash near-pair path: md5 token hashes, +-1
+    votes per bit, 63-bit packed value, 16-bit-chunk blocking, Hamming
+    verify via bit_count(xor(...))."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, ('0x' || left(md5(t), 16))::UBIGINT AS x
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)),
+    votes AS (
+      SELECT doc_id, CAST(b AS INT) AS bit,
+             sum(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN unnest(range(0, 63)) AS r(b)
+      GROUP BY doc_id, b),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, simhash, CAST(k AS INT) AS chunk_id,
+             (simhash::UBIGINT >> (CAST(k AS INT) * 16)) & 65535 AS chunk
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS r(k))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+    """
+
+
+_ORACLES["dedup_simhash"] = _simhash_oracle()
