@@ -806,3 +806,49 @@ def host_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "host")
         .limit(10)
     )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON path extraction into typed
+    aggregation keys (get_json_object vs DuckDB json_extract)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT p_partkey,
+           ntile(4)        OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           dense_rank()    OVER w AS drank,
+           round(first_value(p_retailprice) OVER w, 2) AS cheapest_in_brand
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions: ntile, percent_rank, dense_rank,
+    first_value over a brand partition."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.first("p_retailprice").over(w), 2).alias("cheapest_in_brand"),
+    )
