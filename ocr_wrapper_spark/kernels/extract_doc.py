@@ -91,8 +91,12 @@ def extract_html(payload: bytes, lang: str) -> ExtractResult:
 
 def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
     """PDF branch: parse layout quads -> canonicalize -> rotation detect &
-    correct (reference ocr_wrapper.py:146-151) -> date split -> order."""
-    raw, words, confidences, width, height, doc_lang = pdf_extract.parse_pdf_payload(payload)
+    correct (reference ocr_wrapper.py:146-151) -> date split -> order.
+
+    Multi-page documents (the reference's pdf2image yields one image per
+    page) are ordered page by page; rotation is detected once across all
+    pages (a scanned document rotates as a whole)."""
+    raw, words, confidences, width, height, doc_lang, page_ids = pdf_extract.parse_pdf_payload(payload)
     doc_lang = doc_lang or lang
     if raw.shape[0] == 0:
         return _empty("pdf")
@@ -103,12 +107,29 @@ def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
         if rotation in (90, 270):
             width, height = height, width
     words = bidi_fix_words(words, doc_lang)
-    coords, words, confidences = clean.split_date_boxes(coords, words, confidences)
-    ordered, tilt, _, _ = order.order_boxes(coords, words, width, height)
+
+    out_coords: list[np.ndarray] = []
+    out_words: list[str] = []
+    out_conf: list[float] = []
+    tilt = 0.0
+    for p_idx, page in enumerate(np.unique(page_ids)):
+        sel = np.nonzero(page_ids == page)[0]
+        p_coords = coords[sel]
+        p_words = [words[i] for i in sel]
+        p_conf = [confidences[i] for i in sel]
+        p_coords, p_words, p_conf = clean.split_date_boxes(p_coords, p_words, p_conf)
+        ordered, p_tilt, _, _ = order.order_boxes(p_coords, p_words, width, height)
+        if p_idx == 0:
+            tilt = p_tilt
+        out_coords.append(p_coords[ordered])
+        out_words.extend(p_words[i] for i in ordered)
+        out_conf.extend(p_conf[i] for i in ordered)
+
+    all_coords = np.vstack(out_coords) if out_coords else bc.empty_boxes()
     return ExtractResult(
-        coords[ordered],
-        [words[i] for i in ordered],
-        [confidences[i] for i in ordered],
+        all_coords,
+        out_words,
+        out_conf,
         rotation,
         tilt,
         "pdf",

@@ -38,25 +38,35 @@ def is_pdf(payload: bytes) -> bool:
 
 def parse_pdf_payload(payload: bytes):
     """Parse the payload; returns (raw_quads (n,8), texts, confidences,
-    page_width, page_height, lang)."""
+    page_width, page_height, lang, page_ids).
+
+    ``P <idx>`` lines open a new page group (multi-page documents — the
+    reference's pdf2image produces one image per page); S records belong
+    to the most recent page (default 0). Non-S record types are dropped,
+    mirroring the reference's WORD-block filter (aws.py:54-56, F3)."""
     text = payload.decode("utf-8", errors="replace")
     width, height, lang = 1224, 1584, ""
     quads: list[list[float]] = []
     words: list[str] = []
     confs: list[float] = []
+    pages: list[int] = []
+    page = 0
     for line in text.split("\n"):
         if line.startswith("%W "):
             _, w, h = line.split(" ")
             width, height = int(w), int(h)
         elif line.startswith("%L "):
             lang = line[3:].strip()
+        elif line.startswith("P "):
+            page = int(line.split(" ", 1)[1])
         elif line.startswith("S "):
             parts = line.split(" ", 10)
             quads.append([float(v) for v in parts[1:9]])
             confs.append(float(parts[9]))
             words.append(parts[10] if len(parts) > 10 else "")
+            pages.append(page)
     coords = np.asarray(quads, dtype=np.float64).reshape(-1, 8)
-    return coords, words, confs, width, height, lang
+    return coords, words, confs, width, height, lang, np.asarray(pages, dtype=np.int64)
 
 
 def mean_flow_deltas(raw_quads: np.ndarray, lang: str) -> tuple[float, float]:

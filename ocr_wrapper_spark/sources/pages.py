@@ -107,14 +107,26 @@ def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
         tilt_fraction = float(grid[8 + (doc_id // PDF_MOD) % 5])  # ~±2.2 deg
 
     rtl = lang in {"ar", "he", "fa", "ur"}
-    coords_px, width, height = layout.layout_words(words, rtl=rtl, tilt_fraction=tilt_fraction)
-    scale = np.array([width, height] * 4, dtype=np.float64)
-    raw = coords_px / scale if len(words) else coords_px
+
+    # multi-page variant: tilted docs with enough words span two pages
+    # (reference: pdf2image yields one image per page)
+    if tilt_fraction != 0.0 and len(words) > 40:
+        pages_words = [words[: len(words) // 2], words[len(words) // 2 :]]
+    else:
+        pages_words = [words]
+
+    page_quads = []
+    width = height = 0
+    for pw in pages_words:
+        coords_px, width, height = layout.layout_words(pw, rtl=rtl, tilt_fraction=tilt_fraction)
+        scale = np.array([width, height] * 4, dtype=np.float64)
+        page_quads.append(coords_px / scale if len(pw) else coords_px)
+
     page_w, page_h = width, height
     if rotation:
         # synthesize the scanned-rotated document: inverse of the
         # extractor's rotate(rotation) CCW correction
-        raw = layout.rotate_raw_quads(raw, (4 - rotation // 90) % 4)
+        page_quads = [layout.rotate_raw_quads(q, (4 - rotation // 90) % 4) for q in page_quads]
         if rotation in (90, 270):
             page_w, page_h = height, width
 
@@ -124,9 +136,12 @@ def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
         f"%L {lang}",
         f"%R {rotation}",
     ]
-    for i, w in enumerate(words):
-        c = " ".join(f"{v:.8f}" for v in raw[i])
-        lines.append(f"S {c} {PDF_CONFIDENCE} {w}")
+    for p_idx, (pw, raw) in enumerate(zip(pages_words, page_quads)):
+        if len(pages_words) > 1:
+            lines.append(f"P {p_idx}")
+        for i, w in enumerate(pw):
+            c = " ".join(f"{v:.8f}" for v in raw[i])
+            lines.append(f"S {c} {PDF_CONFIDENCE} {w}")
     return "\n".join(lines).encode("utf-8")
 
 

@@ -167,3 +167,15 @@ def test_rotation_matrix(lang, words, rot):
     assert res.error is None
     assert res.rotation == rot
     assert res.extracted_text == " ".join(words)
+
+
+def test_multipage_pdf_byte_identity():
+    """Two-page tilted PDF: per-page reading order, page-order
+    concatenation, byte-identical total text."""
+    long_text = " ".join(LOREM * 3)  # 123 words -> splits into 2 pages
+    pdf = build_pdf(8, long_text, "en")  # doc 8 -> tilt variant
+    assert b"\nP 1\n" in pdf
+    res = extract_document(pdf, "en")
+    assert res.error is None
+    assert res.extracted_text == long_text
+    assert abs(res.tilt_angle) > 0.1  # tilt still detected per page
