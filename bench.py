@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "doc_lang_id",
+    "asof_purchase_last_click",
+    "corpus_curation",
+    "dedup_clusters",
 ]
 
 
