@@ -34,7 +34,6 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "asof_purchase_last_click",
     "corpus_curation",
-    "dedup_clusters",
 ]
 
 

@@ -32,6 +32,10 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # materialize once: the edge list is referenced every iteration, and
+    # upstream pair generation (e.g. a shingle self-join) is far more
+    # expensive than the component loop itself
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

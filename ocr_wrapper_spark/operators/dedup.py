@@ -182,7 +182,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over token k-shingles, relationally:
 
@@ -190,9 +195,11 @@ def ngram_jaccard_pairs(
     intersections -> Jaccard = inter / (|A| + |B| - inter).
 
     Pure built-ins (transform/sequence/array_distinct/explode), one
-    shuffle on the shingle key; a hot shingle ("the quick brown") fans
-    out quadratically, so production adds a stop-shingle filter — here
-    df is small enough to keep exactness for the oracle.
+    shuffle on the shingle key. A hot shingle fans out quadratically in
+    the self-join; ``max_df`` drops shingles present in more than that
+    many documents from BOTH the intersection and the set sizes (the
+    standard stop-shingle cut — Jaccard over the discriminative shingle
+    set). The DuckDB oracles mirror the same cut exactly.
     """
     toks = F.split(F.col(text_col), " ")
     shingled = df.select(
@@ -207,8 +214,16 @@ def ngram_jaccard_pairs(
             ).otherwise(F.array(F.col(text_col)))
         ).alias("shingles"),
     )
-    sizes = shingled.select(id_col, F.size("shingles").alias("n_shingles"))
     exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
+        exploded = (
+            exploded.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
+            .select(id_col, "shingle")
+        )
+        sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    else:
+        sizes = shingled.select(id_col, F.size("shingles").alias("n_shingles"))
 
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (

@@ -328,8 +328,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> array_to_string((str_split(text, ' '))[i + 1 : i + {dedup.SHINGLE_K}], ' '))
                ELSE [text] END) AS shingles
       FROM documents),
-    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
-    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    keep AS (SELECT shingle FROM exploded_all GROUP BY shingle HAVING count(*) <= 30),
+    exploded AS (SELECT e.doc_id, e.shingle FROM exploded_all e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM exploded GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -354,7 +356,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.components import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    # stop-shingle cut (df <= 30) bounds the self-join fanout; mirrored
+    # exactly in the oracle SQL above
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6, max_df=30)
     return connected_components(pairs).select("node", "component")
 
 
