@@ -58,6 +58,25 @@ def spans_to_labelstudio(spans_col: Column) -> Column:
     return F.transform(spans_col, one)
 
 
+def labelstudio_to_bbox_coords(ls_col: Column) -> Column:
+    """Inverse of spans_to_labelstudio: percent rect structs -> 8-corner
+    coords, clipped into [0,1] (reference from_labelstudio_coords,
+    bbox.py:266-292 — "values are sometimes minimally above 1.0 or below
+    0.0, so we have to clip")."""
+
+    def clip(v):
+        return F.greatest(F.least(v, F.lit(1.0)), F.lit(0.0))
+
+    def one(r):
+        x = r["x"] / 100.0
+        y = r["y"] / 100.0
+        x2 = (r["x"] + r["width"]) / 100.0
+        y2 = (r["y"] + r["height"]) / 100.0
+        return F.array(clip(x), clip(y), clip(x2), clip(y), clip(x2), clip(y2), clip(x), clip(y2))
+
+    return F.transform(ls_col, one)
+
+
 def layoutlm_to_bbox_coords(ll_col: Column) -> Column:
     """Inverse of spans_to_layoutlm: [x1,y1,x2,y2]/1000 -> 8-corner coords
     (reference BBox.from_layoutlm, bbox.py:256-258)."""

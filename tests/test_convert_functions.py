@@ -60,3 +60,29 @@ def test_consensus_kernel_identity():
     assert cons.provider == "consensus"
     assert cons.extracted_text == single.extracted_text == text
     assert len(cons.texts) == len(single.texts)
+
+
+def test_labelstudio_roundtrip(spark, spans_df):
+    from ocr_wrapper_spark.functions.convert import labelstudio_to_bbox_coords
+
+    out = spans_df.select(
+        labelstudio_to_bbox_coords(spans_to_labelstudio(F.col("spans"))).alias("coords")
+    ).collect()[0]
+    assert out.coords[0] == pytest.approx([0.1, 0.2, 0.3, 0.2, 0.3, 0.25, 0.1, 0.25], abs=1e-9)
+
+
+def test_labelstudio_import_clips(spark):
+    """Reference bbox.py:278-280: slightly out-of-range percent values clip."""
+    from ocr_wrapper_spark.functions.convert import labelstudio_to_bbox_coords
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ls", T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+        T.StructField("width", T.DoubleType()), T.StructField("height", T.DoubleType()),
+        T.StructField("rotation", T.IntegerType()),
+    ])))])
+    df = spark.createDataFrame([([{"x": -0.5, "y": 99.0, "width": 3.0, "height": 2.5, "rotation": 0}],)], schema)
+    out = df.select(labelstudio_to_bbox_coords(F.col("ls")).alias("c")).collect()[0]
+    c = out.c[0]
+    assert c[0] == 0.0        # clipped negative x
+    assert c[5] == 1.0        # clipped y+h > 100%
