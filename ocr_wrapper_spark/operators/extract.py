@@ -281,7 +281,7 @@ def normalize_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -
     """§1.4 canonicalization + to_normalized per span array."""
     out = []
     for recs, w, h in zip(spans.tolist(), width.tolist(), height.tolist()):
-        if not recs:
+        if recs is None or len(recs) == 0:
             out.append([])
             continue
         coords, texts, confs = records_to_arrays(recs)
@@ -305,7 +305,7 @@ def order_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd
 
     out = []
     for recs, w, h in zip(spans.tolist(), width.tolist(), height.tolist()):
-        if not recs:
+        if recs is None or len(recs) == 0:
             out.append([])
             continue
         coords, texts, _ = records_to_arrays(recs)
@@ -365,6 +365,41 @@ def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
             "provider string, doc_rotation int, tilt_angle double, error string"
         ),
     )
+
+
+@F.pandas_udf(SPANS_ARRAY)
+def postprocess_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    """Stage-level post-processing over a spans column (SURVEY.md §2.12
+    UDF #4): the primary-provider filters first (F1 vertical-box + F2
+    date-run, reference google_azure_ocr.py:406-440), then the date-range
+    split (C1) — the reference's order: filters clean the raw provider
+    boxes, the split then produces the canonical [date, "-", date]
+    triple (running F2 after C1 would delete what C1 just built).
+    Composable with normalize_spans_udf / order_spans_udf."""
+    from ..kernels import clean
+
+    out = []
+    for recs, w, h in zip(spans.tolist(), width.tolist(), height.tolist()):
+        if recs is None or len(recs) == 0:
+            out.append([])
+            continue
+        coords, texts, confs = records_to_arrays(recs)
+        wh_ratio = (int(w) / int(h)) if int(h) else 1.0
+        f_coords, f_texts = clean.filter_unwanted_boxes(coords, texts, wh_ratio)
+        conf_by_key = {(tuple(coords[i]), texts[i]): confs[i] for i in range(len(texts))}
+        f_confs = [conf_by_key.get((tuple(f_coords[i]), f_texts[i]), 0.0) for i in range(len(f_texts))]
+        kept_coords, kept_texts, kept_confs = clean.split_date_boxes(f_coords, f_texts, f_confs)
+        conf_map = {(tuple(kept_coords[i]), kept_texts[i]): kept_confs[i] for i in range(len(kept_texts))}
+        res = []
+        for i, row in enumerate(kept_coords.tolist()):
+            rec = dict(zip(COORD_FIELDS, row))
+            rec["in_pixels"] = False
+            rec["text"] = kept_texts[i]
+            rec["label"] = None
+            rec["confidence"] = conf_map.get((tuple(kept_coords[i]), kept_texts[i]), 0.0)
+            res.append(rec)
+        out.append(res)
+    return pd.Series(out)
 
 
 def assemble_text_col(spans_col: Column) -> Column:

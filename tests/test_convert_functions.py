@@ -86,3 +86,46 @@ def test_labelstudio_import_clips(spark):
     c = out.c[0]
     assert c[0] == 0.0        # clipped negative x
     assert c[5] == 1.0        # clipped y+h > 100%
+
+
+def test_stage_udfs_compose(spark):
+    """normalize -> postprocess -> order -> assemble as separate column
+    stages (the reference's composable post-processing surface)."""
+    from ocr_wrapper_spark.operators.extract import (
+        assemble_text_col,
+        normalize_spans_udf,
+        order_spans_udf,
+        postprocess_spans_udf,
+    )
+    from ocr_wrapper_spark.kernels import layout, bbox_core as bc
+    from ocr_wrapper_spark.schema import SPANS_ARRAY
+    from pyspark.sql import types as T
+
+    words = ["alpha", "01/01/2021 - 01/01/2022", "omega"] + [f"w{i}" for i in range(12)]
+    coords_px, w, h = layout.layout_words(words)
+    spans = []
+    for i, word in enumerate(words):
+        rec = dict(zip(
+            ["TLx","TLy","TRx","TRy","BRx","BRy","BLx","BLy"], coords_px[i].tolist()))
+        rec.update(in_pixels=True, text=word, label=None, confidence=0.9)
+        spans.append(rec)
+
+    schema = T.StructType([
+        T.StructField("spans", SPANS_ARRAY),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ])
+    df = spark.createDataFrame([(spans, w, h)], schema)
+    staged = (
+        df.withColumn("norm", normalize_spans_udf(F.col("spans"), F.col("w"), F.col("h")))
+        .withColumn("post", postprocess_spans_udf(F.col("norm"), F.col("w"), F.col("h")))
+        .withColumn("order_idx", order_spans_udf(F.col("post"), F.col("w"), F.col("h")))
+    )
+    row = staged.collect()[0]
+    texts = [row.post[i].text for i in row.order_idx]
+    # the date range split into three spans, everything else preserved
+    assert "01/01/2021" in texts and "-" in texts and "01/01/2022" in texts
+    assert len(texts) == len(words) + 2
+    # assemble via the pure JVM expression
+    assembled = staged.select(assemble_text_col(F.col("post")).alias("t")).collect()[0].t
+    assert "alpha" in assembled
