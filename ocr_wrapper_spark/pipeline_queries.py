@@ -201,3 +201,26 @@ def pipeline_tilt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["QUERIES", "ORACLES"]
+
+
+@register(
+    "pipeline_spans_integrity",
+    """
+    SELECT count(*) AS n_docs, 0 AS n_mismatch FROM documents
+    """,
+)
+def pipeline_spans_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-column integrity: re-assembling the ordered span texts with
+    the pure-JVM expression must reproduce extracted_text for every
+    document — i.e. the spans array carries the full ordered content,
+    not just the concatenated string."""
+    from .operators.extract import assemble_text_col
+
+    result = run_extraction(spark, _pages(spark, sf_dir))
+    checked = result.select(
+        (assemble_text_col(F.col("spans")) == F.col("extracted_text")).alias("ok")
+    )
+    return checked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("ok")).cast("int")).cast("int").alias("n_mismatch"),
+    )
