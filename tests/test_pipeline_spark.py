@@ -92,3 +92,27 @@ def test_metrics_and_resume(spark, pages, tmp_path):
         spark, pages, metrics_path=metrics_path, run_id="runX", resume=True
     )
     assert r.count() == 0
+
+
+def test_results_parquet_roundtrip(spark, pages, tmp_path):
+    """RESULT schema persists: write results, read back, spans reassemble
+    to the same byte-identical text."""
+    from ocr_wrapper_spark.operators.extract import assemble_text_col
+
+    out = str(tmp_path / "results")
+    run_extraction(spark, pages).write.parquet(out)
+    back = spark.read.parquet(out)
+    n_bad = back.filter(
+        assemble_text_col(F.col("spans")) != F.col("extracted_text")
+    ).count()
+    assert n_bad == 0
+    assert back.count() == pages.count()
+    # confidence values survived (0.9 html / 0.95 pdf)
+    confs = {
+        r.c
+        for r in back.select(F.explode("spans").alias("s"))
+        .select(F.round(F.col("s.confidence"), 2).alias("c"))
+        .distinct()
+        .collect()
+    }
+    assert confs <= {0.9, 0.95}
