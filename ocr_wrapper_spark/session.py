@@ -50,6 +50,14 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
+        # bytes cap makes the batch size adapt to the page size: thin
+        # synthetic pages run full 1024-row batches, 70KB+ real-web pages
+        # get cut to ~100 rows (measured 2.7x on fat pages; oversized
+        # batches stall the JVM<->worker pipeline and bloat task memory)
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
