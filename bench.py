@@ -69,14 +69,16 @@ def main() -> None:
     from ocr_wrapper_spark.plans.pipeline import run_extraction
     from ocr_wrapper_spark.sources.pages import materialize_pages
 
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
-    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    # synthetic pages compress ~6x denser than real web html: shrink the
+    # split size so the scan yields >= 1 partition per core (22 MB table)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "768k")
+    spark.conf.set("spark.sql.files.openCostInBytes", "256k")
     pages_path = materialize_pages(spark, sf_dir, replicate=8)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     run_extraction(spark, pages.limit(4096)).count()  # warm workers
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run_extraction(spark, pages).count()
         dt = time.perf_counter() - t0
