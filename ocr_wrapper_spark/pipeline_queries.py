@@ -224,3 +224,43 @@ def pipeline_spans_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum((~F.col("ok")).cast("int")).cast("int").alias("n_mismatch"),
     )
+
+
+@register(
+    "host_profile_grouped_map",
+    _host_oracle().replace(
+        "count(*) AS n_docs",
+        "count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars",
+    ).replace("FROM hosted GROUP BY host_idx", """FROM hosted JOIN documents USING (doc_id)
+    GROUP BY host_idx"""),
+)
+def host_profile_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) per-host profile: each host's pages
+    arrive as one pandas frame (numpy aggregation inside). The grouped-map
+    API is the shape for per-group kernels that need the whole group in
+    memory — here a simple profile, at scale e.g. per-host layout model
+    fitting. Skewed hosts are why the default path is salted built-in
+    aggs (pipeline_host_stats); this exposes the API with the same oracle
+    family."""
+    import pandas as pd
+
+    from .plans.partitioning import host_of
+
+    pages = _pages(spark, sf_dir).select(
+        host_of(F.col("url")).alias("host"), F.length("text").alias("n_chars")
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "host": [pdf["host"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "avg_chars": [round(float(np.mean(pdf["n_chars"].to_numpy(dtype="float64"))), 4)],
+            }
+        )
+
+    return pages.groupBy("host").applyInPandas(
+        profile, schema="host string, n_docs long, avg_chars double"
+    )
