@@ -84,8 +84,28 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(_media(spark, sf_dir), every_ms=1000)
 
 
-@register("media_features")  # rows-only: stubbed decoder output
+@register(
+    "media_features",
+    f"""
+    WITH m AS ({_META_SQL}),
+    hdr AS (
+      SELECT media_id,
+             'MM01 ' || kind || ' ' || width || ' ' || height || ' ' ||
+             sample_rate || ' ' || duration_ms || ' ' || n_frames AS header
+      FROM m)
+    SELECT media_id, CAST(16 AS BIGINT) AS dim,
+           ('0x' || left(md5(header || ':0'), 8))::UBIGINT / 4294967296.0 AS f0,
+           ('0x' || left(md5(header || ':15'), 8))::UBIGINT / 4294967296.0 AS f15
+    FROM hdr
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media payloads (mapInPandas seam);
+    the md5-of-header fake lets DuckDB recompute f0/f15 bit-for-bit."""
     feats = mm.extract_features(synthesize_media(spark, sf_dir))
-    return feats.select("media_id", F.size("features").alias("dim"),
-                        F.round(F.element_at("features", 1), 6).alias("f0"))
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("dim"),
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 16).alias("f15"),
+    )

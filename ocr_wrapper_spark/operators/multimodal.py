@@ -12,8 +12,9 @@ Operators:
 * ``resize_plan``         — aspect-preserving resize dims, exact semantics
                             of the reference's resize_image (utils.py:62-73)
 * ``sample_frames``       — deterministic every-k-th frame selection
-* ``extract_features``    — per-media embedding (blake2b-seeded fake,
-                            stable across runs/workers)
+* ``extract_features``    — per-media embedding (md5-of-header fake,
+                            stable across runs/workers and exactly
+                            reproducible by the DuckDB oracle)
 
 Media payload format (synthesized by sources/media.py):
     MM01 <kind> <width> <height> <sample_rate> <duration_ms> <n_frames>\n
@@ -22,7 +23,7 @@ Media payload format (synthesized by sources/media.py):
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import blake2b, md5
 
 import numpy as np
 import pandas as pd
@@ -138,19 +139,26 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def fake_feature_vector(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: dim-i feature is the
+    first 32 md5 bits of ``<header>:<i>`` scaled to [0,1). Exact in
+    float64 (32 < 53 mantissa bits), so the DuckDB oracle recomputes it
+    bit-for-bit: ('0x' || left(md5(header || ':' || i), 8))::UBIGINT / 2^32."""
+    header = payload.split(b"\n", 1)[0]
+    return [
+        int(md5(header + b":%d" % i).hexdigest()[:8], 16) / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Per-media feature vector via mapInPandas (Arrow batches): the fake
-    extractor hashes the decoded raster; a real model slots into the same
+    extractor hashes the payload header; a real model slots into the same
     batch signature (payload bytes in, float array out)."""
 
     def op(batches):
         for pdf in batches:
-            feats = []
-            for payload in pdf[payload_col]:
-                raster = _decode_image(payload)
-                h = blake2b(raster.tobytes(), digest_size=FEATURE_DIM * 4).digest()
-                vec = (np.frombuffer(h, dtype=np.uint32).astype(np.float64) / 2**32).round(6)
-                feats.append(vec.tolist())
+            feats = [fake_feature_vector(p) for p in pdf[payload_col]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return df.select("media_id", payload_col).mapInPandas(

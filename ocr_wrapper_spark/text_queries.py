@@ -429,6 +429,15 @@ def _host_top10_oracle() -> str:
     """
 
 
+# host_skew_topk (relational.py) uses approx_count_distinct(lang); Spark's
+# HLL++ sketch is EXACT below its sparse-mode threshold, and max distinct
+# langs per host is 5 here (verified at sf0.01/sf0.1), so the exact oracle
+# holds. At real cardinalities the approx column would be the unchecked one.
+_ORACLES["host_skew_topk"] = _host_top10_oracle().replace(
+    "AS n_langs", "AS approx_langs"
+)
+
+
 @register("host_top10_exact", _host_top10_oracle())
 def host_top10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 hosts by page count with exact distinct-language counts —

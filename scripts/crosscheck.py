@@ -85,6 +85,19 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif any(
+            # the driver's hasher is dtype-sensitive: an int64 on one side vs
+            # float64 on the other (e.g. DuckDB HUGEINT sum -> pandas float64)
+            # hashes differently even when %.6g formatting prints the same text
+            {sdf[c].dtype.kind, odf[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+            for c in sdf.columns
+        ):
+            drift = [
+                f"{c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}"
+                for c in sdf.columns
+                if {sdf[c].dtype.kind, odf[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+            ]
+            problems.append(f"dtype drift {'; '.join(drift)}")
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value hash mismatch")
             merged = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True).compare(
