@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,15 +79,47 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("minhash", minhash_udf(F.col(text_col)))
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """MinHash + LSH banding: candidate near-duplicate pairs (id_a < id_b).
+# Default cap on LSH bucket size before the candidate self-join. One
+# pathological band value (boilerplate-identical or near-empty docs) makes
+# the join output quadratic in that bucket's size; the standard LSH-dedup
+# practice is to drop (or sample) over-cap buckets — their members are
+# boilerplate clusters better handled by exact dedup on content hash.
+MAX_BUCKET = 256
 
-    Shape: signature UDF -> explode bands -> groupBy-free *equi-join* on
-    (band_id, band_hash) -> distinct pairs. At cluster scale the join key
-    is uniformly distributed (hash buckets), so no skew handling needed.
-    """
+
+def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows in over-populated buckets (count per key > max_bucket)
+    via a window count over the bucket key. A window (not a second
+    aggregate branch) matters twice over: the signature UDF upstream is
+    the expensive stage and a second branch would re-evaluate it, and the
+    window's shuffle is on the SAME key the candidate self-join uses, so
+    the exchange is reused."""
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def lsh_dropped_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Monitoring twin of lsh_candidate_pairs: the (band_id, band_hash)
+    buckets whose size exceeds the cap, with member counts — what a crawl
+    operator alerts on (dropped candidates are countable as n*(n-1)/2)."""
+    bands = _minhash_bands(df, id_col, text_col)
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def _minhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sig = with_minhash(df.select(id_col, text_col), text_col)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -96,6 +128,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("band_id", "band_rows"),
     ).select(id_col, "band_id", F.xxhash64(F.col("band_rows").cast("array<string>")).alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs (id_a < id_b).
+
+    Shape: signature UDF -> explode bands -> groupBy-free *equi-join* on
+    (band_id, band_hash) -> distinct pairs. At cluster scale the join key
+    is uniformly distributed (hash buckets); buckets larger than
+    ``max_bucket`` are dropped before the self-join so one degenerate band
+    value cannot fan out quadratically (the DuckDB oracle mirrors the cut).
+    """
+    bands = _cap_buckets(
+        _minhash_bands(df, id_col, text_col), ["band_id", "band_hash"], max_bucket
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -146,10 +197,18 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit chunks (any doc pair
     within Hamming distance 3 of 64 bits shares at least one of 4 exact
-    16-bit chunks — pigeonhole), verify with JVM bit_count."""
+    16-bit chunks — pigeonhole), verify with JVM bit_count. Chunk buckets
+    over ``max_bucket`` members are dropped before the self-join (same
+    degenerate-bucket guard as lsh_candidate_pairs, mirrored in the oracle)."""
     sh = with_simhash(df.select(id_col, text_col), text_col)
     chunks = sh.select(
         id_col,
@@ -158,6 +217,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.array(*[F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
         ).alias("chunk_id", "chunk"),
     )
+    chunks = _cap_buckets(chunks, ["chunk_id", "chunk"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -201,23 +201,47 @@ def _prefetched(batches, depth: int = 1):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def reader():
+        # timeout-based put + stop event so an abandoned consumer (task
+        # kill, downstream exception) releases this thread and the
+        # underlying Arrow stream instead of blocking in q.put forever
+        # in a reused daemon worker
         try:
             for b in batches:
-                q.put(b)
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as exc:  # propagate into the consumer
-            q.put(exc)
+            if not stop.is_set():
+                try:
+                    q.put(exc, timeout=0.5)
+                except queue.Full:
+                    pass
 
     threading.Thread(target=reader, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a reader waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_payload: bool,

@@ -14,6 +14,7 @@ hint it explicitly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -117,20 +118,51 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Above this corpus size the broadcast-matmul near-pairs path would
+# collect too much to the driver; the LSH candidate path takes over.
+BROADCAST_LIMIT = 200_000
+
+
 def cosine_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    strategy: str = "auto",
+    broadcast_limit: int = BROADCAST_LIMIT,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    threshold): one numpy matmul per Arrow batch against the broadcast
-    corpus matrix. The corpus fits comfortably in a broadcast (dim-64
-    float64 is 0.5 KB/row); at larger corpora the LSH bucketing in
-    cosine_topk_lsh becomes the candidate generator and this kernel the
-    within-bucket verifier."""
+    threshold).
+
+    strategy='broadcast': one numpy matmul per Arrow batch against the
+    broadcast corpus matrix — exact, O(n) driver memory, fine while the
+    corpus is small (dim-64 float64 is 0.5 KB/row).
+    strategy='lsh': random-hyperplane LSH buckets generate candidates in
+    an equi-join (corpus stays partitioned, nothing on the driver), then
+    the exact cosine verifies each candidate — the 100 TB path; recall
+    <1 for borderline pairs but ~1 for true near-dups (see
+    cosine_near_pairs_lsh).
+    strategy='auto': count the id column (cheap, column-pruned scan) and
+    pick: <= broadcast_limit -> broadcast, else lsh.
+    """
     import pandas as pd
+
+    if strategy not in ("auto", "broadcast", "lsh"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "lsh":
+        n = corpus.select(id_col).count()
+        if n > broadcast_limit:
+            if strategy == "broadcast":
+                raise ValueError(
+                    f"corpus has {n} rows > broadcast_limit {broadcast_limit}; "
+                    "use strategy='lsh' (collect+broadcast would exhaust driver memory)"
+                )
+            strategy = "lsh"
+        else:
+            strategy = "broadcast"
+    if strategy == "lsh":
+        return cosine_near_pairs_lsh(corpus, threshold, id_col, vec_col, round_digits)
 
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
@@ -169,6 +201,119 @@ def cosine_near_pairs(
 def _random_planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.RandomState(7)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+# near-pair LSH: 64 planes in 8 bands of 8 bits. For a true near-dup
+# (cosine >= 0.99) the per-band collision probability is
+# (1 - theta/pi)^8 ~ 0.69, so missing all 8 bands is ~1e-4; borderline
+# pairs at exactly the threshold have lower recall — the documented
+# approximation of the scale path.
+N_PAIR_PLANES = 64
+N_PAIR_BANDS = 8
+
+
+def _band_buckets_udf(planes: np.ndarray, n_bands: int):
+    """Arrow-batched band-bucket signature: one numpy matmul per batch
+    (not 16 x dim literal JVM expressions — no plan bloat at dim 768).
+    Returns array<long> of per-band bucket values."""
+    from pyspark.sql import types as T
+
+    per_band = planes.shape[0] // n_bands
+    weights = (np.int64(1) << np.arange(per_band, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(vecs.tolist(), dtype=np.float64)
+        B = (V @ planes.T >= 0).astype(np.int64)  # (n, n_planes)
+        buckets = np.stack(
+            [B[:, b * per_band : (b + 1) * per_band] @ weights for b in range(n_bands)],
+            axis=1,
+        )
+        return pd.Series([row.tolist() for row in buckets])
+
+    return udf
+
+
+def cosine_near_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    n_bands: int = N_PAIR_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs at corpus scale: hyperplane-LSH buckets
+    generate candidates in a distributed equi-join (nothing collected to
+    the driver), then an exact Arrow-batched cosine verifies each
+    candidate with the same numpy rounding as the broadcast path.
+
+    ``max_bucket`` optionally drops degenerate buckets (all-identical
+    embeddings) before the self-join, like lsh_candidate_pairs."""
+    import pandas as pd
+
+    head = corpus.select(vec_col).head()
+    if head is None:
+        return corpus.sparkSession.createDataFrame(
+            [], schema="id_a long, id_b long, cosine double"
+        )
+    dim = len(head[0])
+    rng = np.random.RandomState(11)
+    planes = rng.standard_normal((N_PAIR_PLANES, dim)).astype(np.float64)
+
+    sig = corpus.select(id_col, vec_col).withColumn(
+        "_buckets", _band_buckets_udf(planes, n_bands)(F.col(vec_col))
+    )
+    bands = sig.select(
+        id_col, vec_col, F.posexplode("_buckets").alias("band_id", "bucket")
+    )
+    if max_bucket is not None:
+        counts = bands.groupBy("band_id", "bucket").agg(F.count("*").alias("_bn"))
+        bands = bands.join(
+            F.broadcast(counts.filter(F.col("_bn") > max_bucket)),
+            ["band_id", "bucket"],
+            "left_anti",
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["_vb"].tolist(), dtype=np.float64)
+            cos = np.round(
+                (A * B).sum(axis=1)
+                / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)),
+                round_digits,
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
 
 
 def hyperplane_signature_col(vec_col, planes: np.ndarray):

@@ -491,9 +491,12 @@ def _minhash_oracle() -> str:
     bands AS (
       SELECT doc_id, CAST(t.b AS INT) AS band_id,
              sig[CAST(t.b AS INT) * {rows} + 1 : CAST(t.b AS INT) * {rows} + {rows}] AS band
-      FROM sig_arr, unnest(range(0, {dedup.N_BANDS})) AS t(b))
+      FROM sig_arr, unnest(range(0, {dedup.N_BANDS})) AS t(b)),
+    capped AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band_id, band) <= {dedup.MAX_BUCKET})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
     """
 
@@ -505,7 +508,7 @@ def _simhash_oracle() -> str:
     """SQL mirror of the SimHash near-pair path: md5 token hashes, +-1
     votes per bit, 63-bit packed value, 16-bit-chunk blocking, Hamming
     verify via bit_count(xor(...))."""
-    return """
+    return f"""
     WITH tok AS (
       SELECT doc_id, ('0x' || left(md5(t), 16))::UBIGINT AS x
       FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)),
@@ -521,7 +524,8 @@ def _simhash_oracle() -> str:
     chunks AS (
       SELECT doc_id, simhash, CAST(k AS INT) AS chunk_id,
              (simhash::UBIGINT >> (CAST(k AS INT) * 16)) & 65535 AS chunk
-      FROM sig CROSS JOIN unnest(range(0, 4)) AS r(k))
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS r(k)
+      QUALIFY count(*) OVER (PARTITION BY chunk_id, chunk) <= {dedup.MAX_BUCKET})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM chunks a JOIN chunks b

@@ -129,3 +129,74 @@ def test_connected_components_clusters(spark):
     assert keepers[99] == 99  # singleton keeps itself
     assert keepers[33] == 30
     assert keepers[2] == 1
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    """A corpus of boilerplate-identical docs puts every doc in one bucket
+    per band; the frequency cap must drop those buckets (no quadratic
+    candidate set) and the monitoring twin must report them."""
+    from ocr_wrapper_spark.operators.dedup import (
+        N_BANDS,
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        simhash_near_pairs,
+    )
+
+    n = 1200  # > MAX_BUCKET
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate page text").alias("text")
+    )
+    assert lsh_candidate_pairs(docs).count() == 0
+    dropped = lsh_dropped_buckets(docs).collect()
+    assert len(dropped) == N_BANDS
+    assert all(r.bucket_size == n for r in dropped)
+    assert simhash_near_pairs(docs).count() == 0
+    # under the cap the same corpus yields all pairs
+    small = docs.filter(F.col("doc_id") < 10)
+    assert lsh_candidate_pairs(small).count() == 10 * 9 // 2
+
+
+def test_cosine_near_pairs_strategies_match(spark):
+    """The LSH candidate path (no driver collect) must agree with the
+    broadcast-matmul path; recall for true near-dups (cosine >= 0.99) is
+    ~1 by construction of the 8-band signature."""
+    from ocr_wrapper_spark.operators.similarity import cosine_near_pairs
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # deterministic near-dup clones: vec_id+10000 copies of the first 15
+    # vectors with one component nudged (cosine ~0.999)
+    clones = base.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.element_at("embedding", 64) + F.lit(0.01)),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(clones)
+    bc = {(r.id_a, r.id_b): r.cosine
+          for r in cosine_near_pairs(corpus, threshold=0.95, strategy="broadcast").collect()}
+    ls = {(r.id_a, r.id_b): r.cosine
+          for r in cosine_near_pairs(corpus, threshold=0.95, strategy="lsh").collect()}
+    assert bc, "fixture should contain near-duplicate embeddings"
+    assert set(ls) <= set(bc)
+    # verified scores identical where both found the pair
+    assert all(abs(bc[k] - ls[k]) < 1e-9 for k in ls)
+    missed_high = {k for k, v in bc.items() if v >= 0.99} - set(ls)
+    assert not missed_high, f"LSH path missed high-confidence near-dups: {missed_high}"
+
+
+def test_cosine_near_pairs_auto_gate(spark):
+    """auto picks lsh above the broadcast limit and broadcast below; a
+    forced broadcast above the limit raises instead of collecting."""
+    import pytest as _pytest
+
+    from ocr_wrapper_spark.operators.similarity import cosine_near_pairs
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    small = cosine_near_pairs(corpus, threshold=0.999, strategy="auto", broadcast_limit=10_000)
+    big = cosine_near_pairs(corpus, threshold=0.999, strategy="auto", broadcast_limit=10)
+    assert {tuple(r) for r in small.collect()} >= set()
+    big.collect()  # must run the lsh path without error
+    with _pytest.raises(ValueError, match="broadcast_limit"):
+        cosine_near_pairs(corpus, strategy="broadcast", broadcast_limit=10)

@@ -1,0 +1,47 @@
+"""_prefetched reader-thread lifecycle: an abandoned consumer must release
+the daemon reader thread (reused Python workers leak otherwise)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+def test_prefetch_reader_released_on_abandon():
+    from ocr_wrapper_spark.operators.extract import _prefetched
+
+    produced = []
+
+    def slow_batches():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    gen = _prefetched(slow_batches(), depth=1)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-stream -> finally sets stop + drains
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "reader thread leaked"
+    assert len(produced) < 1000, "reader should stop early, not drain the source"
+
+
+def test_prefetch_passthrough_and_error_propagation():
+    from ocr_wrapper_spark.operators.extract import _prefetched
+
+    assert list(_prefetched(iter(range(50)))) == list(range(50))
+
+    def failing():
+        yield 1
+        raise RuntimeError("boom")
+
+    out = []
+    try:
+        for x in _prefetched(failing()):
+            out.append(x)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised and out == [1]
