@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import bbox_core as bc
-from . import clean, layout, order, pdf_extract
+from . import clean, json_extract, layout, order, pdf_extract
 from .html_extract import extract_main_text
 from .pdf_extract import RTL_LANGUAGES
 from .textops import flip_number_blocks, has_arabic_text
@@ -96,10 +96,23 @@ def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
     Multi-page documents (the reference's pdf2image yields one image per
     page) are ordered page by page; rotation is detected once across all
     pages (a scanned document rotates as a whole)."""
-    raw, words, confidences, width, height, doc_lang, page_ids = pdf_extract.parse_pdf_payload(payload)
+    return _extract_layout(pdf_extract.parse_pdf_payload(payload), lang, "pdf")
+
+
+def extract_json(payload: bytes, lang: str) -> ExtractResult:
+    """JSON-layout branch: third provider dialect (registry breadth —
+    reference autoselect.py:17-27 registers five providers, each with its
+    own response converter, e.g. aws.py:54-56). The converter lives in
+    kernels/json_extract.py; normalize/rotate/date-split/order are shared
+    verbatim with the PDF branch."""
+    return _extract_layout(json_extract.parse_json_payload(payload), lang, "json")
+
+
+def _extract_layout(parsed, lang: str, provider: str) -> ExtractResult:
+    raw, words, confidences, width, height, doc_lang, page_ids = parsed
     doc_lang = doc_lang or lang
     if raw.shape[0] == 0:
-        return _empty("pdf")
+        return _empty(provider)
     rotation = pdf_extract.detect_rotation(raw, doc_lang)
     coords = bc.canonicalize(raw, in_pixels=False, validate=False)
     if rotation:
@@ -132,7 +145,7 @@ def extract_pdf(payload: bytes, lang: str) -> ExtractResult:
         out_conf,
         rotation,
         tilt,
-        "pdf",
+        provider,
         width=width,
         height=height,
     )
@@ -222,6 +235,50 @@ def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
     try:
         if pdf_extract.is_pdf(payload):
             return extract_pdf(payload, lang)
+        if json_extract.is_json_layout(payload):
+            return extract_json(payload, lang)
         return extract_html(payload, lang)
     except Exception as exc:  # error row, not task failure (SURVEY.md §2.10 D2)
+        return _empty("error", f"{type(exc).__name__}: {exc}")
+
+
+def extract_with_aux(payload: bytes | None, lang: str | None) -> ExtractResult:
+    """Extraction with auxiliary checkbox spans (reference checkbox flow:
+    GoogleDocumentOcrCheckboxDetector produces ☑/☐ BBoxes from the page,
+    google_azure_ocr.py:176-193 suppresses overlapped words then merges
+    the aux spans in reading order — F6 + J4 in kernels/combine.py).
+
+    The detector input here is the HTML page itself (the image analogue);
+    PDF/JSON-layout documents pass through unchanged."""
+    from . import combine as cmb
+    from .checkbox_detect import CHECKBOX_CONFIDENCE, detect_checkboxes
+
+    base = extract_document(payload, lang)
+    if base.error is not None or base.provider != "html":
+        return base
+    try:
+        coords_aux, texts_aux, _ = detect_checkboxes(payload)
+        width = base.width or layout.PAGE_WIDTH
+        height = base.height or layout.PAGE_HEIGHT
+        if len(texts_aux) == 0:
+            merged, texts = base.coords, base.texts
+        else:
+            merged, texts = cmb.suppress_then_merge_aux(
+                base.coords, base.texts, coords_aux, texts_aux, width, height
+            )
+        glyphs = {"☑", "☐"}
+        confidences = [
+            CHECKBOX_CONFIDENCE if t in glyphs else HTML_CONFIDENCE for t in texts
+        ]
+        return ExtractResult(
+            merged,
+            texts,
+            confidences,
+            base.rotation,
+            base.tilt_angle,
+            "html+aux",
+            width=width,
+            height=height,
+        )
+    except Exception as exc:
         return _empty("error", f"{type(exc).__name__}: {exc}")

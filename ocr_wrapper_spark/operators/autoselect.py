@@ -17,7 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .extract import with_consensus_extraction, with_dual_extraction, with_extraction
+from .extract import (
+    with_aux_extraction,
+    with_consensus_extraction,
+    with_dual_extraction,
+    with_extraction,
+)
 
 ENV_EXTRACTOR = "SPARK_GRAFT_EXTRACTOR"
 ENV_OVERRIDE = "SPARK_GRAFT_EXTRACTOR_MAPPING"
@@ -33,6 +38,7 @@ name2extractor: dict[str, Callable[[DataFrame], DataFrame]] = {
     "single": with_extraction,
     "dual": with_dual_extraction,
     "consensus": with_consensus_extraction,
+    "aux": with_aux_extraction,  # checkbox-detector merge path
 }
 
 

@@ -124,7 +124,7 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
     path at 10^12 rows."""
     import pyarrow as pa
 
-    from ..kernels.extract_doc import extract_consensus, extract_dual
+    from ..kernels.extract_doc import extract_consensus, extract_dual, extract_with_aux
 
     payloads = batch.column(html_idx).to_pylist()
     langs = batch.column(lang_idx).to_pylist()
@@ -149,6 +149,8 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
             res = extract_dual(payloads[i], langs[i], texts_in[i])
         elif mode == "consensus":
             res = extract_consensus(payloads[i], langs[i])
+        elif mode == "aux":
+            res = extract_with_aux(payloads[i], langs[i])
         else:
             res = extract_document(payloads[i], langs[i])
         ms_col[i] = (time.perf_counter() - t0) * 1000.0
@@ -294,6 +296,14 @@ def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", tex
     return _map_in_arrow(df, html_col, lang_col, text_col, keep_payload, mode="dual")
 
 
+def with_aux_extraction(df, html_col: str = "html", lang_col: str = "lang",
+                        keep_payload: bool = False):
+    """Extraction + auxiliary checkbox spans (reference checkbox detector
+    flow: detect ☑/☐ elements, suppress overlapped words, merge in
+    reading order — kernels/checkbox_detect.py + combine.py F6/J4)."""
+    return _map_in_arrow(df, html_col, lang_col, None, keep_payload, mode="aux")
+
+
 # ---------------------------------------------------------------------------
 # stage-level UDFs (exposed for the combiner, tests, and API parity with the
 # reference's composable post-processing; same kernels, smaller scopes)
@@ -348,7 +358,12 @@ def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
     """
     import pandas as pd
 
-    from ..kernels.extract_doc import extract_consensus, extract_document, extract_dual
+    from ..kernels.extract_doc import (
+        extract_consensus,
+        extract_document,
+        extract_dual,
+        extract_with_aux,
+    )
     from ..sources.pages import build_page_rows
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -372,6 +387,8 @@ def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
                     res = extract_dual(payload, lang, text)
                 elif mode == "consensus":
                     res = extract_consensus(payload, lang)
+                elif mode == "aux":
+                    res = extract_with_aux(payload, lang)
                 else:
                     res = extract_document(payload, lang)
                 out["extracted_text"].append(res.extracted_text)

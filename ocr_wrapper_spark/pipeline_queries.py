@@ -39,7 +39,8 @@ _ROTATION_SQL = """
     SELECT doc_id,
            text AS extracted_text,
            CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
-           CASE WHEN doc_id % 5 = 3 THEN 'pdf' ELSE 'html' END           AS provider,
+           CASE WHEN doc_id % 5 = 3 THEN 'pdf'
+                WHEN doc_id % 5 = 1 THEN 'json' ELSE 'html' END          AS provider,
            {_ROTATION_SQL}                                               AS doc_rotation
     FROM documents
     """,
@@ -138,6 +139,39 @@ def spans_layoutlm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("doc_id") % 7 == 0)
     return sample.select(
         "doc_id", F.size(spans_to_layoutlm(F.col("spans"))).alias("n_spans")
+    )
+
+
+@register(
+    "pipeline_checkbox_extract",
+    # checkbox counts are closed-form in doc_id (sources/pages.py:
+    # doc_id % 6 inputs on html pages, checkbox i checked iff
+    # (doc_id + i) % 3 == 0); pdf/json dialects carry none
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 IN (1, 3) THEN 0
+                ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 = 0))
+           END AS n_checked,
+           CASE WHEN doc_id % 5 IN (1, 3) THEN 0
+                ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 <> 0))
+           END AS n_unchecked
+    FROM documents
+    """,
+)
+def pipeline_checkbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkbox-detector merge path (reference
+    google_document_ocr_checkbox_detector.py:54-124 +
+    google_azure_ocr.py:176-193): aux ☑/☐ spans detected from the page,
+    merged via suppress-then-merge; glyph counts per document verified
+    against the generator's closed form."""
+    from .operators.extract import extract_documents_fused
+
+    out = extract_documents_fused(spark, sf_dir, mode="aux")
+    toks = F.split(F.col("extracted_text"), " ")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x == "☑")).cast("long").alias("n_checked"),
+        F.size(F.filter(toks, lambda x: x == "☐")).cast("long").alias("n_unchecked"),
     )
 
 

@@ -11,8 +11,12 @@ no external data (FIXTURES.md §1).
   (kernels/pdf_extract.py format); a deterministic subset of those are
   rotated (90/180/270) or tilted (on the reading-order kernel's scan grid)
   to exercise the rotation / tilt paths;
+* another ~20% carry a JSON-layout payload (kernels/json_extract.py
+  dialect) — the third provider branch;
 * the remaining documents are wrapped in templated HTML with known
   boilerplate (link-dense nav/footer, short ads) around the main content,
+  plus a ``doc_id``-determined number of ``<input type=checkbox>``
+  elements (void, no text) feeding the checkbox-detector path —
   so the expected extracted text is the document text, byte for byte.
 """
 
@@ -30,7 +34,11 @@ from ..schema import PAGES_SCHEMA
 N_HOSTS = 40
 ZIPF_S = 1.1
 PDF_MOD = 5  # doc_id % 5 == 3 -> PDF payload
+JSON_REM = 1  # doc_id % 5 == 1 -> JSON-layout payload (third dialect)
 PDF_CONFIDENCE = 0.95
+JSON_CONFIDENCE = 0.97
+CHECKBOX_MOD = 6  # html pages carry doc_id % 6 checkbox inputs,
+CHECKED_MOD = 3  # checkbox i is checked iff (doc_id + i) % 3 == 0
 EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
 
 _zipf_cdf: np.ndarray | None = None
@@ -78,6 +86,14 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
     ad = _BOILER_ADS[rng % len(_BOILER_ADS)]
     foot = " ".join(f'<a href="/{w}">{w}</a>' for w in _BOILER_FOOT[: 3 + rng % 3])
     paras = "".join(f"<p>{' '.join(p)}</p>" for p in _paragraphs(text.split(" "))) if text else ""
+    # checkbox inputs are void elements (no text content), so the survey
+    # form never changes the extracted main text; counts are closed-form
+    # in doc_id so the DuckDB oracle recomputes them
+    boxes = "".join(
+        f'<input type="checkbox"{" checked" if (doc_id + i) % CHECKED_MOD == 0 else ""}/>'
+        for i in range(doc_id % CHECKBOX_MOD)
+    )
+    form = f'<form class="survey">{boxes}</form>' if boxes else ""
     html = (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>Doc {doc_id}</title>'
         f"<style>body{{margin:0}}</style>"
@@ -86,10 +102,37 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         f"<header><h1>Doc {doc_id}</h1></header>"
         f'<aside class="ad">{ad}</aside>'
         f'<main><div class="content">{paras}</div></main>'
+        f"{form}"
         f"<footer>{foot}</footer>"
         f"</body></html>"
     )
     return html.encode("utf-8")
+
+
+def build_json(doc_id: int, text: str, lang: str) -> bytes:
+    """JSON-layout payload (kernels/json_extract.py dialect): the same
+    deterministic word layout as the HTML branch, serialized as a
+    documentai-style span document. Upright (rotation/tilt stay 0)."""
+    import json
+
+    words = text.split(" ") if text else []
+    rtl = lang in {"ar", "he", "fa", "ur"}
+    coords_px, width, height = layout.layout_words(words, rtl=rtl)
+    scale = np.array([width, height] * 4, dtype=np.float64)
+    quads = coords_px / scale if words else coords_px
+    spans = [
+        {"t": w, "c": JSON_CONFIDENCE, "q": [float(v) for v in quads[i]]}
+        for i, w in enumerate(words)
+    ]
+    doc = {
+        "layout": {
+            "width": width,
+            "height": height,
+            "lang": lang,
+            "pages": [{"id": 0, "spans": spans}],
+        }
+    }
+    return json.dumps(doc, separators=(",", ":")).encode("utf-8")
 
 
 def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
@@ -153,17 +196,20 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     texts = pdf["text"].fillna("").tolist()
 
     is_pdf = (doc_ids % PDF_MOD) == 3
+    is_json = (doc_ids % PDF_MOD) == JSON_REM
+    exts = np.where(is_pdf, "pdf", np.where(is_json, "json", "html"))
     urls = [
-        f"https://host{int(h):02d}.example.com/{lang}/{did:010d}.{'pdf' if p else 'html'}"
-        for h, lang, did, p in zip(hosts, langs, doc_ids, is_pdf)
+        f"https://host{int(h):02d}.example.com/{lang}/{did:010d}.{ext}"
+        for h, lang, did, ext in zip(hosts, langs, doc_ids, exts)
     ]
     ts = EPOCH + (doc_ids % 365).astype("timedelta64[D]").astype("timedelta64[us]") + (
         (doc_ids * 7919) % 86400
     ).astype("timedelta64[s]").astype("timedelta64[us]")
 
+    builders = {"pdf": build_pdf, "json": build_json, "html": build_html}
     payloads = [
-        build_pdf(int(did), text, lang) if p else build_html(int(did), text, lang)
-        for did, text, lang, p in zip(doc_ids, texts, langs, is_pdf)
+        builders[ext](int(did), text, lang)
+        for did, text, lang, ext in zip(doc_ids, texts, langs, exts)
     ]
     return pd.DataFrame(
         {

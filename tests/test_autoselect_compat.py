@@ -74,3 +74,9 @@ def test_compat_round_trip(spark):
     ).collect()[0]
     assert out.confidences == [0.75, 0.5]
     assert [r.asDict() for r in out.roundtrip] == [r.asDict() for r in out.orig]
+
+
+def test_aux_mode_registered(monkeypatch):
+    assert asel.autoselect_extractor("aux") is asel.name2extractor["aux"]
+    monkeypatch.setenv(asel.ENV_OVERRIDE, "single=aux")
+    assert asel.autoselect_extractor("single") is asel.name2extractor["aux"]

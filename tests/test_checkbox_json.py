@@ -1,0 +1,86 @@
+"""Checkbox detector + JSON-layout dialect guarantees.
+
+The detector mirrors the reference checkbox flow
+(google_document_ocr_checkbox_detector.py:54-124 produces ☑/☐ spans,
+google_azure_ocr.py:176-193 suppress-then-merges them; the reference
+test test_google_azure_ocr.py:85-98 counts 8 checked / 24 unchecked).
+The JSON dialect is the third provider branch in the sniffer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_wrapper_spark.kernels.checkbox_detect import detect_checkboxes
+from ocr_wrapper_spark.kernels.extract_doc import (
+    extract_document,
+    extract_with_aux,
+)
+from ocr_wrapper_spark.sources.pages import build_html, build_json
+
+
+def test_detector_counts_mirror_reference_fixture():
+    """8 checked / 24 unchecked, like the reference's checkbox.png test."""
+    inputs = "".join(
+        f'<input type="checkbox"{" checked" if i % 4 == 0 else ""}>' for i in range(32)
+    )
+    html = f"<html><body><form>{inputs}</form></body></html>"
+    coords, texts, confs = detect_checkboxes(html)
+    assert texts.count("☑") == 8
+    assert texts.count("☐") == 24
+    assert len(confs) == 32 and coords.shape == (32, 8)
+
+
+def test_detector_attribute_dialects_and_dedup():
+    html = (
+        "<input type=checkbox checked>"      # unquoted
+        "<input TYPE='Checkbox' />"          # single-quote, case
+        '<input type="text">'                 # not a checkbox
+        '<input type="checkbox"\n checked="checked">'  # newline in attrs
+    )
+    _, texts, _ = detect_checkboxes(html)
+    assert texts == ["☑", "☐", "☑"]
+
+
+def test_aux_merge_full_pipeline():
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    text = text.strip()
+    html = build_html(10, text, "en")  # 10 % 6 = 4 boxes, checked at (10+i)%3==0
+    res = extract_with_aux(html, "en")
+    assert res.provider == "html+aux"
+    assert sum(t == "☑" for t in res.texts) == 1   # i=2 only
+    assert sum(t == "☐" for t in res.texts) == 3
+    # plain mode never sees the glyphs and keeps byte identity
+    plain = extract_document(html, "en")
+    assert plain.extracted_text == text
+
+
+def test_json_dialect_byte_identity_and_dispatch():
+    text = "one two three four five six seven eight nine ten " * 6
+    text = text.strip()
+    payload = build_json(6, text, "en")
+    assert payload.startswith(b'{"layout"')
+    res = extract_document(payload, "en")
+    assert res.provider == "json"
+    assert res.extracted_text == text
+    assert res.rotation == 0
+    assert res.confidences[0] == pytest.approx(0.97)
+
+
+def test_json_dialect_rtl_and_empty():
+    res = extract_document(build_json(11, "", "en"), "en")
+    assert res.provider == "json" and res.extracted_text == ""
+    text = "كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة"
+    res = extract_document(build_json(16, text, "ar"), "ar")
+    assert res.extracted_text == text
+
+
+def test_aux_mode_spark_operator(spark):
+    from ocr_wrapper_spark.operators.autoselect import autoselect_extractor
+    from ocr_wrapper_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    out = autoselect_extractor("aux")(pages).select("provider").distinct()
+    providers = {r.provider for r in out.collect()}
+    assert providers == {"html+aux", "pdf", "json"}

@@ -115,4 +115,4 @@ def test_results_parquet_roundtrip(spark, pages, tmp_path):
         .distinct()
         .collect()
     }
-    assert confs <= {0.9, 0.95}
+    assert confs <= {0.9, 0.95, 0.97}  # html / pdf / json dialect confidences
