@@ -268,9 +268,18 @@ def order_boxes(
         line_center_y = np.zeros(1, dtype=int)
     line_center_y = line_center_y - max_tilt_pixel + y_lo
 
-    # nearest line center per box (bbox_order.py:338-342)
-    line_distance = np.abs(tilted_y[:, np.newaxis] - line_center_y[np.newaxis, :])
-    box_line = line_distance.argmin(axis=1)
+    # nearest line center per box (bbox_order.py:338-342). line_center_y
+    # is ascending, so searchsorted + neighbor compare replaces the
+    # (n_boxes, n_lines) distance matrix — that matrix is O(n^2/words-
+    # per-line) and allocates 147 GiB on a 780k-word page; this is
+    # O(n log L) with O(n) memory. Equidistant ties resolve to the lower
+    # line index, exactly like argmin's first-minimum rule.
+    pos = np.searchsorted(line_center_y, tilted_y)
+    left = np.clip(pos - 1, 0, line_center_y.shape[0] - 1)
+    right = np.clip(pos, 0, line_center_y.shape[0] - 1)
+    dist_left = np.abs(tilted_y - line_center_y[left])
+    dist_right = np.abs(tilted_y - line_center_y[right])
+    box_line = np.where(dist_left <= dist_right, left, right)
 
     # compact away empty lines (bbox_order.py:343-358)
     used_lines = np.unique(box_line)

@@ -82,3 +82,69 @@ def test_iceberg_gate_detects_absence(spark):
     assert is_iceberg_available(spark) is False
     conf = iceberg_session_conf("/tmp/warehouse")
     assert conf["spark.sql.catalog.graft.type"] == "hadoop"
+
+
+def _page(url, payload, lang="en"):
+    return (url, TS, payload, "", lang)
+
+
+def test_real_web_hostile_battery(spark):
+    """Tag-soup, CDATA, broken entities, megabyte attributes, deep
+    nesting, null bytes, hostile JSON dialects — every row must come
+    back, failures only as error-column values, no worker OOM/crash."""
+    word_block = ("<p>" + "word " * 60 + "</p>")
+    rows = [
+        # tag soup: unclosed/interleaved tags around real-length content
+        _page("soup", ("<div><p>alpha <b>beta <i>gamma</b> " + "delta " * 20
+                       + "</div><td>epsilon").encode()),
+        # CDATA + processing instructions + conditional comments
+        _page("cdata", b"<?xml version='1.0'?><html><![CDATA[ <p>not real</p> ]]>"
+                       b"<!--[if IE]><p>ie only</p><![endif]--><p>" + b"real " * 40 + b"</p></html>"),
+        # broken entities and numeric overflow entities
+        _page("entities", ("<p>" + "fish &amp chips &#xZZ; &#999999999999; &unknown; " * 20 + "</p>").encode()),
+        # megabyte attribute on a single tag
+        _page("fatattr", ("<div data-junk=\"" + "A" * (1 << 20) + "\">" + word_block + "</div>").encode()),
+        # 4 MB single page: many paragraphs
+        _page("fat4mb", ("<html><body>" + word_block * (4_000_000 // len(word_block)) + "</body></html>").encode()),
+        # deep nesting (recursion bombs in parser-based extractors)
+        _page("deep", (("<div>" * 5000) + word_block + ("</div>" * 5000)).encode()),
+        # null bytes + invalid utf-8 interleaved with real content
+        _page("nulls", b"<p>" + b"ok \x00\xff\xfe " * 30 + b"</p>"),
+        # script that never closes (strip regex must not eat the page)
+        _page("unclosed_script", ("<script>var x='" + "y" * 1000 + "<p>hidden</p>" + word_block).encode()),
+        # attribute that looks like a block tag
+        _page("attr_tag", ("<div title=\"</div><p>fake</p>\">" + word_block + "</div>").encode()),
+        # hostile JSON dialect: truncated, wrong types, huge numbers
+        _page("json_trunc", b'{"layout": {"width": 100, "pages": [{"spans": [{"t": "a", "q": [0.1'),
+        _page("json_types", b'{"layout": {"width": "wide", "pages": "nope"}}'),
+        _page("json_span_junk", b'{"layout": {"width": 100, "height": 100, "pages": '
+                                b'[{"spans": [{"t": "ok", "c": 1e308, "q": [0,0,1,0,1,1,0,1]}, '
+                                b'{"t": null, "q": [1,2]}, {"q": [0,0,1,0,1,1,0,1]}]}]}}'),
+        # checkbox bomb: thousands of inputs (aux mode must stay linear)
+        _page("boxbomb", ("<form>" + '<input type="checkbox" checked>' * 5000 + "</form>" + word_block).encode()),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = {r.url: r for r in run_extraction(spark, df).collect()}
+    assert set(out) == {r[0] for r in rows}, "every input row must come back"
+    # structural failures only as error values; text pages extract something
+    assert out["fat4mb"].error is None and out["fat4mb"].n_spans > 10_000
+    assert out["fatattr"].error is None and out["fatattr"].n_spans == 60
+    assert out["deep"].error is None and out["deep"].n_spans == 60
+    assert out["soup"].error is None and out["soup"].n_spans > 0
+    assert out["json_trunc"].error is not None  # malformed JSON -> error row
+    assert out["json_types"].error is not None  # wrong-typed metadata -> error row
+    assert out["json_span_junk"].error is None and out["json_span_junk"].n_spans == 1
+    for r in out.values():
+        assert r.error is None or isinstance(r.error, str)
+
+
+def test_checkbox_bomb_aux_mode(spark):
+    """5000 checkbox inputs through the aux merge: linear, no crash."""
+    from ocr_wrapper_spark.operators.extract import with_aux_extraction
+
+    payload = ("<form>" + '<input type="checkbox">' * 5000 + "</form>"
+               + "<p>" + "word " * 40 + "</p>").encode()
+    df = spark.createDataFrame([_page("bomb", payload)], PAGES_SCHEMA)
+    row = with_aux_extraction(df).collect()[0]
+    assert row.error is None
+    assert sum(1 for s in row.spans if s.text == "☐") == 5000
