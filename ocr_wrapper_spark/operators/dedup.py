@@ -45,20 +45,59 @@ def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
 _PERM_A, _PERM_B = _perm_params()
 
 
+# Per-worker token-hash memo: web corpora have a Zipfian vocabulary, so
+# most tokens repeat across documents within a task; memoizing the md5
+# turns the dominant per-shingle Python hashing cost into a dict lookup.
+_TOKEN_MEMO: dict[str, int] = {}
+_TOKEN_MEMO_MAX = 2_000_000  # ~200 MB upper bound; cleared when full
+
+# Shingle hash = polynomial combination of the k token hashes mod 2^64
+# (native uint64 wraparound in numpy; mirrored with UHUGEINT arithmetic
+# in the DuckDB oracle). Coefficients are odd and < 2^61 so each
+# UHUGEINT product term stays < 2^125 (no 128-bit overflow in SQL).
+SHINGLE_P = np.array(
+    [0x1D8E4E27C47D124F, 0x09E3779B97F4A7C1, 0x05851F42D4C957F3], dtype=np.uint64
+)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    from hashlib import md5
+
+    memo = _TOKEN_MEMO
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            if len(memo) >= _TOKEN_MEMO_MAX:
+                memo.clear()
+            h = int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+            memo[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Stable 64-bit hashes of token k-shingles: first 8 bytes of md5,
-    big-endian — chosen because DuckDB reproduces it exactly
-    (('0x' || left(md5(s),16))::UBIGINT), making the whole MinHash+LSH
-    path oracle-checkable."""
+    """Stable 64-bit hashes of token k-shingles. Tokens are hashed once
+    (first 8 bytes of md5, big-endian — DuckDB reproduces it exactly as
+    ('0x' || left(md5(t),16))::UBIGINT) and combined per shingle with the
+    SHINGLE_P polynomial mod 2^64 — one vectorized numpy pass instead of
+    one Python md5 call per shingle. Documents shorter than k tokens fall
+    back to md5 of the whole text (one call)."""
     from hashlib import md5
 
     tokens = text.split(" ") if text else []
     if len(tokens) < k:
-        shingles = [" ".join(tokens)]
-    else:
-        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    raw = b"".join(md5(s.encode("utf-8")).digest()[:8] for s in shingles)
-    return np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+        joined = " ".join(tokens)
+        return np.array(
+            [int.from_bytes(md5(joined.encode("utf-8")).digest()[:8], "big")],
+            dtype=np.uint64,
+        )
+    th = _token_hashes(tokens)
+    out = th[: -(k - 1)] * SHINGLE_P[0]
+    for j in range(1, k):
+        end = len(th) - (k - 1) + j
+        out = out + th[j:end] * SHINGLE_P[j]
+    return out
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -175,17 +214,13 @@ _SIMHASH_BITS = 63  # 63 bits keep the packed value in signed-int64 range,
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     """63-bit SimHash over tokens: md5-based token hashes (the same
-    DuckDB-reproducible scheme as MinHash), +-1 bit votes, vectorized
-    (T x 63 bit matrix per doc)."""
-    from hashlib import md5
-
+    DuckDB-reproducible scheme as MinHash, memoized per worker), +-1 bit
+    votes, vectorized (T x 63 bit matrix per doc)."""
     shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.int64)
 
     def simhash(t: str) -> int:
-        tokens = t.split(" ")
-        raw = b"".join(md5(tok.encode("utf-8")).digest()[:8] for tok in tokens)
-        x = np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+        x = _token_hashes(t.split(" "))
         bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         return int((weights * (votes > 0)).sum())

@@ -461,27 +461,38 @@ def host_top10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    """Exact SQL mirror of the MinHash+LSH banding path: md5-based
-    shingle hashes, multiply-shift family via UHUGEINT mod-2^64
-    arithmetic, min per permutation, 8 bands x 8 rows, band-equality
-    candidate join."""
+    """Exact SQL mirror of the MinHash+LSH banding path: md5 token
+    hashes combined per shingle with the SHINGLE_P polynomial mod 2^64
+    (UHUGEINT arithmetic), multiply-shift family, min per permutation,
+    8 bands x 8 rows, band-equality candidate join."""
     perm_rows = ", ".join(
         f"({j}, {int(dedup._PERM_A[j])}::UBIGINT, {int(dedup._PERM_B[j])}::UBIGINT)"
         for j in range(dedup.N_PERM)
     )
     k = dedup.SHINGLE_K
     rows = dedup.ROWS_PER_BAND
+    m = 1 << 64
+    # polynomial combine, reduced mod 2^64 between terms so every
+    # intermediate stays < 2^125 (UHUGEINT-safe; numpy computes the same
+    # residues via native uint64 wraparound)
+    poly = f"{int(dedup.SHINGLE_P[0])}::UHUGEINT * th[i + 1]"
+    for j in range(1, k):
+        poly = f"({poly}) % {m} + {int(dedup.SHINGLE_P[j])}::UHUGEINT * th[i + {j + 1}]"
+    poly = f"(({poly}) % {m})::UBIGINT"
     return f"""
-    WITH shingled AS (
-      SELECT doc_id,
-             CASE WHEN len(str_split(text, ' ')) >= {k}
-               THEN list_transform(range(0, len(str_split(text, ' ')) - {k} + 1),
-                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {k}], ' '))
-               ELSE [text] END AS shingles
-      FROM documents),
+    WITH toks AS (
+      SELECT doc_id, text, str_split(text, ' ') AS tk FROM documents),
+    th_t AS (
+      SELECT doc_id, text, len(tk) AS n,
+             list_transform(tk, t -> ('0x' || left(md5(t), 16))::UBIGINT) AS th
+      FROM toks),
     sh AS (
-      SELECT doc_id, ('0x' || left(md5(shingle), 16))::UBIGINT AS x
-      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)),
+      SELECT doc_id, unnest(xs) AS x FROM (
+        SELECT doc_id,
+               CASE WHEN n >= {k}
+                 THEN list_transform(range(0, n - {k} + 1), i -> {poly})
+                 ELSE [('0x' || left(md5(text), 16))::UBIGINT] END AS xs
+        FROM th_t)),
     perms(j, a, b) AS (VALUES {perm_rows}),
     sigs AS (
       SELECT doc_id, j,
