@@ -70,10 +70,12 @@ def main() -> None:
     from ocr_wrapper_spark.sources.pages import materialize_pages
 
     # synthetic pages compress ~6x denser than real web html: shrink the
-    # split size so the scan yields >= 1 partition per core (22 MB table)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "768k")
+    # split size so the scan yields one task per written file. 256 small
+    # files -> 8 balanced task waves at 32 cores (64 fat files = 2 ragged
+    # waves and a straggler tail that reads as variance)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256k")
     spark.conf.set("spark.sql.files.openCostInBytes", "256k")
-    pages_path = materialize_pages(spark, sf_dir, replicate=8)
+    pages_path = materialize_pages(spark, sf_dir, replicate=8, partitions=256)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     run_extraction(spark, pages.limit(4096)).count()  # warm workers

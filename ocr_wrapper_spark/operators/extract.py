@@ -265,8 +265,12 @@ def _map_in_arrow(df, html_col: str, lang_col: str, text_col: str | None, keep_p
     out_names = [f.name for _, f in kept] + EXTRACT_STRUCT.fieldNames()
     kept_idx = [i for i, _ in kept]
 
+    import os
+
+    depth = int(os.environ.get("SPARK_GRAFT_PREFETCH_DEPTH", "1"))
+
     def op(batches):
-        for batch in _prefetched(batches):
+        for batch in _prefetched(batches, depth=depth):
             new_cols = _extract_batch_arrow(batch, html_idx, lang_idx, text_idx, mode)
             arrays = [batch.column(i) for i in kept_idx] + new_cols
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)

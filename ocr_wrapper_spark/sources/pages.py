@@ -270,9 +270,10 @@ def materialize_pages(
     import os
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{base_dir}/{sf_tag}_r{replicate}"
+    n_parts = partitions or 64
+    path = f"{base_dir}/{sf_tag}_r{replicate}_p{n_parts}"
     if not os.path.exists(path + "/_SUCCESS"):
-        synthesize_pages(spark, sf_dir, replicate=replicate, partitions=partitions or 64).write.mode(
+        synthesize_pages(spark, sf_dir, replicate=replicate, partitions=n_parts).write.mode(
             "overwrite"
         ).parquet(path)
     return path
