@@ -56,12 +56,16 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # full materialization
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # best-of-2: the first pass absorbs worker/JIT warmup and VM
+        # noise (documented ±50% between identical runs on this host)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()  # full materialization
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     # headline throughput: extraction over a MATERIALIZED pages table (the
     # north_rule input shape), 8x replicated so every core has work; warm

@@ -85,6 +85,28 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_raster_tilt",
+    # image payloads embed a raster rendered at a closed-form tilt
+    # (sources/media.py TILT_ANGLES[doc_id % 7]); the detector must
+    # recover it to the nearest degree from pixels alone
+    """
+    SELECT doc_id AS media_id,
+           CAST(([-8,-4,-2,0,2,4,8])[CAST(doc_id % 7 AS INT) + 1] AS BIGINT) AS tilt_deg
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_raster_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tilt correction (A7/C12 pixel path, reference
+    tilt_correction_numpy.py DetectTilt): decode embedded raster,
+    denoise, scatter-add projection gain scan; detected angle rounded to
+    the degree must equal the generator's closed form."""
+    media = synthesize_media(spark, sf_dir)
+    images = media.filter(F.col("media_id") % 3 == 0)
+    tilt = mm.detect_raster_tilt(images)
+    return tilt.select("media_id", F.round("tilt_deg", 0).cast("long").alias("tilt_deg"))
+
+
+@register(
     "media_features",
     f"""
     WITH m AS ({_META_SQL}),

@@ -63,10 +63,16 @@ def parse_media_header(payload: bytes | None) -> dict | None:
 
 
 def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """Decode seam. Real path needs an image codec (PIL) — not in this
-    container; the fake path derives a deterministic tiny raster from the
-    payload hash so downstream shapes are real."""
-    meta = parse_media_header(payload)
+    """Decode seam. Image payloads from sources/media.py embed a real
+    uint8 grayscale raster in the body — decoded for real here (a codec
+    like PIL slots into the same signature for compressed formats). For
+    non-image payloads the fake path derives a deterministic tiny raster
+    from the payload hash so downstream shapes stay real."""
+    from ..sources.media import RASTER_H, RASTER_W
+
+    body = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
+    if len(body) == RASTER_W * RASTER_H:
+        return np.frombuffer(body, dtype=np.uint8).reshape(RASTER_H, RASTER_W)
     if not fake:
         try:
             import PIL  # noqa: F401
@@ -149,6 +155,37 @@ def fake_feature_vector(payload: bytes) -> list[float]:
         int(md5(header + b":%d" % i).hexdigest()[:8], 16) / 2**32
         for i in range(FEATURE_DIM)
     ]
+
+
+def detect_raster_tilt(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pixel-space tilt detection over image payloads (reference
+    tilt_correction_numpy.py:109-320 via kernels/raster_tilt.py): decode
+    the embedded raster, optional denoise, scatter-add gain scan. Runs
+    as mapInPandas batches; identical rasters within a batch are detected
+    once (md5 memo — the same role as the content-hash cache table)."""
+    from hashlib import md5 as _md5
+
+    from ..kernels.raster_tilt import denoise_raster, find_tilt_angle
+
+    def op(batches):
+        memo: dict[bytes, float] = {}
+        for pdf in batches:
+            angles = []
+            for payload in pdf[payload_col]:
+                key = _md5(payload).digest()
+                a = memo.get(key)
+                if a is None:
+                    raster = _decode_image(payload).astype(np.float64) / 255.0
+                    a = find_tilt_angle(denoise_raster(raster))
+                    memo[key] = a
+                angles.append(a)
+            out = pd.DataFrame({"media_id": pdf["media_id"]})
+            out["tilt_deg"] = np.asarray(angles)
+            yield out
+
+    return df.select("media_id", payload_col).mapInPandas(
+        op, schema="media_id long, tilt_deg double"
+    )
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

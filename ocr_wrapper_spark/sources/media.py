@@ -28,11 +28,39 @@ def media_attrs(doc_id: int) -> tuple[str, int, int, int, int, int]:
     return kind, width, height, sample_rate, duration_ms, n_frames
 
 
+# image payloads embed a real raster (uint8 grayscale, RASTER_W x
+# RASTER_H) rendered with a closed-form tilt angle, so the raster tilt
+# kernel has actual pixels to decode and the oracle can recompute the
+# expected angle from doc_id
+TILT_ANGLES = [-8, -4, -2, 0, 2, 4, 8]
+RASTER_W, RASTER_H = 160, 120
+
+_RASTER_CACHE: dict[int, bytes] = {}
+
+
+def image_tilt_for_doc(doc_id: int) -> int:
+    return TILT_ANGLES[doc_id % len(TILT_ANGLES)]
+
+
+def _raster_bytes(angle: int) -> bytes:
+    body = _RASTER_CACHE.get(angle)
+    if body is None:
+        from ..kernels.raster_tilt import render_text_raster
+
+        r = render_text_raster(angle, width=RASTER_W, height=RASTER_H)
+        body = (r * 255).astype(np.uint8).tobytes()
+        _RASTER_CACHE[angle] = body
+    return body
+
+
 def build_media_payload(doc_id: int) -> bytes:
     kind, w, h, sr, dur, nf = media_attrs(doc_id)
     header = f"MM01 {kind} {w} {h} {sr} {dur} {nf}\n".encode("ascii")
     assert header[:4] == MEDIA_MAGIC
-    body = (np.arange(64, dtype=np.uint64) * np.uint64(doc_id * 2 + 1)).tobytes()
+    if kind == "image":
+        body = _raster_bytes(image_tilt_for_doc(doc_id))
+    else:
+        body = (np.arange(64, dtype=np.uint64) * np.uint64(doc_id * 2 + 1)).tobytes()
     return header + body
 
 

@@ -27,17 +27,27 @@ def test_parse_rejects_non_media():
     assert mm.parse_media_header(None) is None
 
 
-def test_fake_decode_deterministic():
-    p = build_media_payload(3)
+def test_image_payload_decodes_real_raster():
+    from ocr_wrapper_spark.sources.media import RASTER_H, RASTER_W
+
+    p = build_media_payload(3)  # doc_id % 3 == 0 -> image with embedded raster
+    a = mm._decode_image(p)
+    assert a.shape == (RASTER_H, RASTER_W)
+    assert (a == mm._decode_image(p)).all()
+    assert a.max() == 255 and a.min() == 0  # dark strokes on white
+
+
+def test_fake_decode_deterministic_for_non_image():
+    p = build_media_payload(1)  # audio: no raster body -> deterministic fake
     a = mm._decode_image(p)
     b = mm._decode_image(p)
     assert (a == b).all()
     assert a.shape == (8, 8)
 
 
-def test_real_decode_seam_raises():
+def test_real_codec_seam_raises_for_non_image():
     with pytest.raises(NotImplementedError):
-        mm._decode_image(build_media_payload(3), fake=False)
+        mm._decode_image(build_media_payload(1), fake=False)
 
 
 def test_resize_dims_reference_semantics(spark):
