@@ -198,6 +198,98 @@ def cosine_near_pairs(
     )
 
 
+# IVF coarse quantizer: the first N_CENTROIDS corpus vectors act as the
+# (deterministic) centroid seeds — k-means init without Lloyd rounds, so
+# the DuckDB oracle can recompute every assignment exactly. At real
+# scale the seeds would be refined by distributed Lloyd iterations; the
+# query-side structure (assign -> probe top clusters -> in-cluster
+# rerank) is identical either way and is what this operator exercises.
+N_CENTROIDS = 16
+N_PROBE = 4  # random embeddings scatter true neighbors across clusters;
+# probing 4/16 lists reads 25% of the corpus for ~0.7 recall here
+_CODE_OFFSET = 2_000_000  # shift rounded-cosine codes positive before packing
+
+
+def _cluster_code_matrix(Vn: np.ndarray, Cn: np.ndarray, n_centroids: int) -> np.ndarray:
+    """Packed (rounded-cosine, centroid-id) codes: sortable ints whose
+    descending order is (cosine desc, cid asc) — the arithmetic argmax
+    trick the DuckDB oracle mirrors (greatest() takes no structs)."""
+    S = np.round(Vn @ Cn.T, 6)
+    codes = (
+        np.rint(S * 1e6 + _CODE_OFFSET).astype(np.int64) * n_centroids
+        + (n_centroids - 1 - np.arange(n_centroids, dtype=np.int64))
+    )
+    return codes
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their best coarse centroid once (the inverted lists);
+    each query probes its ``n_probe`` closest centroids and reranks
+    exactly inside those lists only. The candidate set meets in an
+    equi-join on cluster id — corpus stays partitioned, nothing large on
+    the driver (centroids are n_centroids x dim)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    seeds = sorted(
+        corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    C = np.asarray([r[1] for r in seeds], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def top_clusters_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def udf(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.asarray(vecs.tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = _cluster_code_matrix(Vn, Cn, n_centroids)
+            order = np.argsort(-codes, axis=1, kind="stable")[:, :n_top]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return udf
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(top_clusters_udf(1)(F.col(vec_col)), 1).alias("cluster"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(top_clusters_udf(n_probe)(F.col(vec_col))).alias("cluster"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster").select(
+        query_id_col,
+        id_col,
+        F.col(vec_col).alias("_cvec"),
+        "_qvec",
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(
+            _dot(F.col("_cvec"), F.col("_qvec")) / (_norm(F.col("_cvec")) * _norm(F.col("_qvec"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _random_planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.RandomState(7)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -186,6 +186,58 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(e, queries, k=TOPK, round_digits=4)
 
 
+def _ivf_oracle() -> str:
+    """Exact SQL mirror of the IVF path: seeded centroids (vec_id <
+    N_CENTROIDS), packed (rounded-cosine, cid) argmax codes, top-n_probe
+    probing, in-cluster exact rerank."""
+    nc = similarity.N_CENTROIDS
+    npr = similarity.N_PROBE
+    off = similarity._CODE_OFFSET
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {nc}),
+    enc AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6)
+                  * 1000000 + {off} AS BIGINT) * {nc} + ({nc} - 1 - c.cid) AS code
+      FROM embeddings e CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, embedding, CAST({nc} - 1 - (max(code) % {nc}) AS INT) AS cluster
+      FROM enc GROUP BY vec_id, embedding),
+    probes AS (
+      SELECT vec_id AS query_id, CAST({nc} - 1 - (code % {nc}) AS INT) AS cluster
+      FROM (SELECT vec_id, code,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY code DESC) AS rn
+            FROM enc WHERE vec_id % 100 = 0)
+      WHERE rn <= {npr}),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.embedding AS cvec, q.embedding AS qvec
+      FROM probes p
+      JOIN assigned a ON a.cluster = p.cluster
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_cosine_similarity(cvec::DOUBLE[], qvec::DOUBLE[]), 4) AS cosine
+      FROM cand),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+@register("ann_topk_ivf", _ivf_oracle())
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: seeded coarse quantizer,
+    inverted lists met in a cluster-id equi-join, exact in-list rerank
+    (the k-means-bucketed scale path next to the hyperplane-LSH one)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_cosine(e, queries, k=TOPK)
+
+
 @register("ann_topk_lsh")  # rows-only: approximate path
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")

@@ -200,3 +200,23 @@ def test_cosine_near_pairs_auto_gate(spark):
     big.collect()  # must run the lsh path without error
     with _pytest.raises(ValueError, match="broadcast_limit"):
         cosine_near_pairs(corpus, strategy="broadcast", broadcast_limit=10)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 16 seeded centroids and 2 probes should recover most of
+    the exact top-5 (approximate by design; recall here is deterministic
+    given the fixed seeds/data)."""
+    from ocr_wrapper_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk_cosine
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk_bruteforce(e, queries, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ivf_topk_cosine(e, queries, k=5).collect()}
+    assert len(ivf) == len(exact)
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query answers itself (the query vector is in the corpus and
+    # always lands in a probed cluster)
+    assert all((q, q) in ivf for q, _ in ivf)
