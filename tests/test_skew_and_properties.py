@@ -76,3 +76,50 @@ def test_canonicalize_idempotent(case):
     twice = bc.canonicalize(once, in_pixels=False, validate=False)
     assert np.array_equal(once, twice)
     assert bc.check_canonical(once).all()
+
+
+def test_aqe_skew_join_runtime_split(spark):
+    """AQE must split the monster key's partition at runtime
+    (skewJoin enabled in session.py): one key owns ~97% of the fact
+    side, thresholds lowered so the test-size skew qualifies. The final
+    adaptive plan marks the sort-merge join with skew=true."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 290_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 48), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 20_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution (count()
+        # would wrap it in a new one whose adaptive plan never runs)
+        assert len(joined.collect()) == 290_000  # only key 0 matches the dim
+    except AssertionError:
+        raise
+    finally:
+        pass  # conf restored below after plan check
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
