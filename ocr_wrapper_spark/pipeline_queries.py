@@ -143,6 +143,44 @@ def spans_layoutlm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_streaming_extract",
+    """
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans
+    FROM documents
+    """,
+)
+def pipeline_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming extraction: the SAME fused operator over a
+    file-source readStream of the materialized pages table, drained with
+    an availableNow trigger into a memory sink. Byte identity must hold
+    stream-side too (north_rule: the job is restartable/incremental —
+    new WARC files arrive, the stream picks them up)."""
+    import uuid
+
+    from .operators.extract import with_extraction
+    from .schema import PAGES_SCHEMA
+    from .sources.pages import materialize_pages
+
+    pages_path = materialize_pages(spark, sf_dir)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_path)
+    out = with_extraction(stream).select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_spans",
+    )
+    name = f"stream_extract_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "pipeline_checkbox_extract",
     # checkbox counts are closed-form in doc_id (sources/pages.py:
     # doc_id % 6 inputs on html pages, checkbox i checked iff

@@ -64,3 +64,12 @@ def test_rotated_raster_detects_near_ninety():
     img = rotate_raster(render_text_raster(2), 90)
     detected = find_tilt_angle(img)
     assert min(abs(detected - 88), abs(detected + 88)) < 0.5
+
+
+@pytest.mark.parametrize("angle", [round(a, 2) for a in np.linspace(-10, 10, 15)])
+def test_fifteen_angle_sweep_reference_style(angle):
+    """Mirrors the reference's detect-after-synthetic-rotate sweep
+    (tests/test_tilt_correction.py:38-44: 15 angles, ±0.1-ish); our
+    renderer quantizes strokes to pixels so the tolerance is 0.15."""
+    detected = find_tilt_angle(render_text_raster(float(angle), width=320, height=240))
+    assert abs(detected - angle) < 0.15
