@@ -87,3 +87,40 @@ def test_lsh_candidate_join_is_equi_join(spark):
     plan = _plan(lsh_candidate_pairs(d))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_broadcasts_nations_and_pushes_type_filter(spark):
+    from ocr_wrapper_spark.relational import QUERIES
+
+    plan = _formatted(QUERIES["q7_volume_shipping"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation lookups
+    plan9 = _formatted(QUERIES["q9_product_type_profit"](spark, SF))
+    # p_type filter must reach the part scan, not sit above the join
+    assert "EqualTo(p_type,ECONOMY)" in plan9 or "p_type" in plan9.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q13_left_join_preserves_customers(spark):
+    from ocr_wrapper_spark.relational import QUERIES
+
+    df = QUERIES["q13_customer_distribution"](spark, SF)
+    total_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    dist = {r.c_count: r.custdist for r in df.collect()}
+    assert sum(dist.values()) == total_customers  # no customer lost by the outer join
+
+
+def test_q16_distinct_agg_is_two_phase(spark):
+    from ocr_wrapper_spark.relational import QUERIES
+
+    plan = _plan(QUERIES["q16_supplier_relation"](spark, SF))
+    # countDistinct plans as expand + two HashAggregate phases
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_candidates_meet_in_equi_join(spark):
+    from ocr_wrapper_spark.operators.similarity import ivf_topk_cosine
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(ivf_topk_cosine(e, q, k=3))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan
