@@ -181,6 +181,42 @@ def pipeline_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation under Structured
+    Streaming (late data tolerated 1 h), drained with availableNow into
+    a complete-mode memory sink — must equal the batch hourly rollup."""
+    import os
+    import uuid
+
+    from .streaming.stream import streaming_event_window_counts
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    events_dir = f"/tmp/spark_graft_events/{sf_tag}"
+    if not os.path.exists(events_dir + "/_SUCCESS"):
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(events_dir)
+    agg = streaming_event_window_counts(spark, events_dir)
+    name = f"stream_windows_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "pipeline_checkbox_extract",
     # checkbox counts are closed-form in doc_id (sources/pages.py:
     # doc_id % 6 inputs on html pages, checkbox i checked iff
