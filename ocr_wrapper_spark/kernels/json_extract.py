@@ -51,7 +51,7 @@ def parse_json_payload(payload: bytes):
             t = span.get("t")
             if q is None or t is None or len(q) != 8:
                 continue
-            quads.append([float(v) for v in q])
+            quads.append(q)  # numeric conversion batched below (C loop)
             words.append(str(t))
             confs.append(float(span.get("c") or 0.0))
             pages.append(pid)

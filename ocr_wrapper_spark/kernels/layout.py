@@ -45,18 +45,36 @@ def layout_words(
     usable = page_width - 2 * MARGIN
     xs0 = np.empty(n, dtype=np.float64)
     ys0 = np.empty(n, dtype=np.float64)
-    widths = np.array([max(1, len(w)) * CHAR_W for w in words], dtype=np.float64)
+    lens = np.fromiter(map(len, words), count=n, dtype=np.int64)
+    widths = np.maximum(1, lens) * CHAR_W
 
-    x_cursor = 0.0
-    line = 0
-    for i, w in enumerate(words):
-        wpx = widths[i]
-        if x_cursor > 0.0 and x_cursor + wpx > usable:
-            line += 1
-            x_cursor = 0.0
-        xs0[i] = x_cursor
-        ys0[i] = line
-        x_cursor += wpx + CHAR_W  # one char of tracking = the space
+    # greedy line wrap, vectorized per LINE instead of per word: within a
+    # line the cursor positions are the exclusive prefix sums of
+    # (width + CHAR_W tracking); the break is the first word whose
+    # start + width exceeds `usable`. np.cumsum accumulates sequentially
+    # (same op order as the old per-word loop), and the break test uses
+    # the identical expression (prev_cursor + width), so the geometry is
+    # bit-for-bit unchanged. ~10x fewer Python iterations (lines, not
+    # words) — layout runs per document in the extraction hot path.
+    ext = widths + CHAR_W
+    start = 0
+    line = -1
+    while start < n:
+        line += 1
+        c = np.cumsum(ext[start:])
+        # exclusive prefix sums via shift (NOT c - ext: subtraction would
+        # reassociate the float ops; the shift reproduces the old loop's
+        # partial sums bit-for-bit)
+        cursors = np.empty_like(c)
+        cursors[0] = 0.0
+        cursors[1:] = c[:-1]
+        fits = cursors + widths[start:] <= usable
+        fits[0] = True  # the first word of a line is always placed
+        bad = np.nonzero(~fits)[0]
+        k = int(bad[0]) if bad.size else n - start
+        xs0[start : start + k] = cursors[:k]
+        ys0[start : start + k] = line
+        start += k
 
     height = max(PAGE_HEIGHT, int(MARGIN * 2 + (line + 1) * LINE_H))
 

@@ -61,7 +61,7 @@ def parse_pdf_payload(payload: bytes):
             page = int(line.split(" ", 1)[1])
         elif line.startswith("S "):
             parts = line.split(" ", 10)
-            quads.append([float(v) for v in parts[1:9]])
+            quads.append(parts[1:9])  # str->float batched below (numpy C parser)
             confs.append(float(parts[9]))
             words.append(parts[10] if len(parts) > 10 else "")
             pages.append(page)
