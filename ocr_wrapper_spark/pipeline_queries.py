@@ -217,6 +217,50 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_dedup",
+    # every page appears twice in the stream input; keyed first-seen
+    # state must emit each content hash exactly once with n=2
+    """
+    SELECT doc_id, CAST(2 AS INT) AS n_occurrences FROM documents
+    """,
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen dedup keyed on content hash over a stream containing every
+    page twice — one emitted row per hash, occurrence count from keyed
+    state. Drained with availableNow into a memory sink."""
+    import os
+    import uuid
+
+    from .schema import PAGES_SCHEMA
+    from .sources.pages import materialize_pages
+    from .streaming.dedup_stream import stream_dedup_first_seen
+
+    base = materialize_pages(spark, sf_dir)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    ddir = f"/tmp/spark_graft_stream_dedup/{sf_tag}"
+    if not os.path.exists(ddir + "/_SUCCESS"):
+        pages = spark.read.parquet(base)
+        pages.write.mode("overwrite").parquet(ddir)
+        pages.write.mode("append").parquet(ddir)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(ddir)
+    out = stream_dedup_first_seen(stream)
+    name = f"stream_dedup_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "n_occurrences",
+    )
+
+
+@register(
     "pipeline_checkbox_extract",
     # checkbox counts are closed-form in doc_id (sources/pages.py:
     # doc_id % 6 inputs on html pages, checkbox i checked iff
