@@ -37,6 +37,41 @@ _STEP_Y = 0.03
 _MARGIN = 0.02
 
 
+_RE_IMG = re.compile(r"<img\b[^>]*>", re.IGNORECASE | re.DOTALL)
+_RE_DATA_CODE = re.compile(r"""\bdata-code\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
+CODE_CONFIDENCE = 1.0  # reference QR/barcode spans carry confidence 1.0 (C11)
+
+_CODE_GRID_Y0 = 0.6  # own grid band — never collides with checkbox boxes
+
+
+def detect_codes(html_bytes: bytes | str):
+    """QR/barcode spans from the page (C11 analogue): the reference
+    decodes QR/barcodes into ``TYPE[[DATA]]`` spans with confidence 1.0
+    merged via the aux path (tests/test_google_azure_ocr.py:65-82,
+    expected text e.g. CODE39[[WIKIPEDIA]]). For web pages the carrier is
+    an ``<img data-code="TYPE[[DATA]]">`` element; boxes are synthesized
+    on a grid band below the checkbox band."""
+    raw = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, (bytes, bytearray))
+        else html_bytes
+    )
+    texts: list[str] = []
+    for m in _RE_IMG.finditer(raw):
+        code = _RE_DATA_CODE.search(m.group(0))
+        if code and code.group(1):
+            texts.append(code.group(1))
+    n = len(texts)
+    coords = np.empty((n, 8), dtype=np.float64)
+    for i in range(n):
+        col, row = i % _GRID_COLS, i // _GRID_COLS
+        x0 = _MARGIN + col * _STEP_X
+        y0 = _CODE_GRID_Y0 + row * _STEP_Y
+        x1, y1 = x0 + _BOX_W, y0 + _BOX_H
+        coords[i] = (x0, y0, x1, y0, x1, y1, x0, y1)
+    return coords, texts, [CODE_CONFIDENCE] * n
+
+
 def detect_checkboxes(html_bytes: bytes | str):
     """HTML page -> (coords (n,8) normalized, texts, confidences).
 

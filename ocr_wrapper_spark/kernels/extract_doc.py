@@ -251,13 +251,21 @@ def extract_with_aux(payload: bytes | None, lang: str | None) -> ExtractResult:
     The detector input here is the HTML page itself (the image analogue);
     PDF/JSON-layout documents pass through unchanged."""
     from . import combine as cmb
-    from .checkbox_detect import CHECKBOX_CONFIDENCE, detect_checkboxes
+    from .checkbox_detect import (
+        CHECKBOX_CONFIDENCE,
+        CODE_CONFIDENCE,
+        detect_checkboxes,
+        detect_codes,
+    )
 
     base = extract_document(payload, lang)
     if base.error is not None or base.provider != "html":
         return base
     try:
-        coords_aux, texts_aux, _ = detect_checkboxes(payload)
+        coords_cb, texts_cb, _ = detect_checkboxes(payload)
+        coords_qr, texts_qr, _ = detect_codes(payload)
+        coords_aux = np.vstack([coords_cb, coords_qr])
+        texts_aux = texts_cb + texts_qr
         width = base.width or layout.PAGE_WIDTH
         height = base.height or layout.PAGE_HEIGHT
         if len(texts_aux) == 0:
@@ -267,8 +275,12 @@ def extract_with_aux(payload: bytes | None, lang: str | None) -> ExtractResult:
                 base.coords, base.texts, coords_aux, texts_aux, width, height
             )
         glyphs = {"☑", "☐"}
+        code_texts = set(texts_qr)
         confidences = [
-            CHECKBOX_CONFIDENCE if t in glyphs else HTML_CONFIDENCE for t in texts
+            CHECKBOX_CONFIDENCE
+            if t in glyphs
+            else (CODE_CONFIDENCE if t in code_texts else HTML_CONFIDENCE)
+            for t in texts
         ]
         return ExtractResult(
             merged,

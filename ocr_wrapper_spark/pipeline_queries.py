@@ -293,6 +293,33 @@ def pipeline_checkbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_qr_extract",
+    # QR carriers: html pages (doc_id % 5 not in (1,3)) with doc_id % 4 == 2
+    # embed one code; the aux detector must decode it to TYPE[[DATA]]
+    """
+    SELECT doc_id, 'QRCODE[[DOC' || doc_id || ']]' AS qr_text
+    FROM documents
+    WHERE doc_id % 4 = 2 AND doc_id % 5 NOT IN (1, 3)
+    """,
+)
+def pipeline_qr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QR/barcode span decoding through the aux merge (reference C11:
+    TYPE[[DATA]] spans at confidence 1.0, test_google_azure_ocr.py:65-82).
+    The decoded span must appear in the assembled text with the exact
+    generator payload."""
+    from .operators.extract import extract_documents_fused
+
+    out = extract_documents_fused(spark, sf_dir, mode="aux")
+    toks = F.split(F.col("extracted_text"), " ")
+    codes = F.filter(toks, lambda x: x.rlike(r"^[A-Z0-9]+\[\[.*\]\]$"))
+    return (
+        out.withColumn("_codes", codes)
+        .filter(F.size("_codes") > 0)
+        .select("doc_id", F.element_at("_codes", 1).alias("qr_text"))
+    )
+
+
 def _host_cdf_sql() -> str:
     cdf = pages_src._host_cdf()
     lits = ", ".join(f"{v!r}" for v in cdf.tolist())

@@ -39,6 +39,7 @@ PDF_CONFIDENCE = 0.95
 JSON_CONFIDENCE = 0.97
 CHECKBOX_MOD = 6  # html pages carry doc_id % 6 checkbox inputs,
 CHECKED_MOD = 3  # checkbox i is checked iff (doc_id + i) % 3 == 0
+QR_MOD, QR_REM = 4, 2  # html pages with doc_id % 4 == 2 carry one QR code
 EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
 
 _zipf_cdf: np.ndarray | None = None
@@ -94,6 +95,13 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         for i in range(doc_id % CHECKBOX_MOD)
     )
     form = f'<form class="survey">{boxes}</form>' if boxes else ""
+    # QR/barcode carrier (void element, no text): doc_id % 4 == 2 pages
+    # embed one code the aux detector decodes into a TYPE[[DATA]] span
+    qr = (
+        f'<img class="qr" data-code="QRCODE[[DOC{doc_id}]]" src="/qr/{doc_id}.png"/>'
+        if doc_id % QR_MOD == QR_REM
+        else ""
+    )
     html = (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>Doc {doc_id}</title>'
         f"<style>body{{margin:0}}</style>"
@@ -102,7 +110,7 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         f"<header><h1>Doc {doc_id}</h1></header>"
         f'<aside class="ad">{ad}</aside>'
         f'<main><div class="content">{paras}</div></main>'
-        f"{form}"
+        f"{form}{qr}"
         f"<footer>{foot}</footer>"
         f"</body></html>"
     )

@@ -84,3 +84,31 @@ def test_aux_mode_spark_operator(spark):
     out = autoselect_extractor("aux")(pages).select("provider").distinct()
     providers = {r.provider for r in out.collect()}
     assert providers == {"html+aux", "pdf", "json"}
+
+
+def test_code_detector_reference_payload():
+    """CODE39[[WIKIPEDIA]]-style spans at confidence 1.0 (reference
+    test_google_azure_ocr.py:75-82)."""
+    from ocr_wrapper_spark.kernels.checkbox_detect import detect_codes
+
+    html = ('<img data-code="CODE39[[WIKIPEDIA]]" src="/b.png">'
+            "<img src='/plain.png'>"
+            '<img class="qr" data-code="QRCODE[[HELLO]]"/>')
+    coords, texts, confs = detect_codes(html)
+    assert texts == ["CODE39[[WIKIPEDIA]]", "QRCODE[[HELLO]]"]
+    assert confs == [1.0, 1.0]
+    assert coords.shape == (2, 8)
+
+
+def test_aux_mode_decodes_generator_qr():
+    from ocr_wrapper_spark.sources.pages import build_html
+
+    text = "alpha beta gamma delta epsilon zeta " * 10
+    text = text.strip()
+    html = build_html(22, text, "en")  # 22 % 4 == 2 -> QR carrier
+    res = extract_with_aux(html, "en")
+    assert "QRCODE[[DOC22]]" in res.texts
+    i = res.texts.index("QRCODE[[DOC22]]")
+    assert res.confidences[i] == 1.0
+    # plain mode never sees the code and keeps byte identity
+    assert extract_document(html, "en").extracted_text == text
