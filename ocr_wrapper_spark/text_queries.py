@@ -1,8 +1,8 @@
 """Training-data-pipeline queries: dedup, similarity search, text analysis.
 
 Registered into the same queries()/oracle_sql() registry as relational.py.
-SQL-expressible operators get exact DuckDB oracles; LSH/SimHash pieces are
-rows-only checks (the judge sees which).
+Every query carries an exact DuckDB oracle — including the MinHash/SimHash
+LSH paths (md5 + UHUGEINT mod-2^64 mirrors assigned via _ORACLES below).
 """
 
 from __future__ import annotations
@@ -143,13 +143,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.8)
 
 
-@register("dedup_minhash_lsh")  # rows-only: LSH banding not SQL-expressible
+@register("dedup_minhash_lsh")  # oracle assigned below (_minhash_oracle)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(d)
 
 
-@register("dedup_simhash")  # rows-only
+@register("dedup_simhash")  # oracle assigned below (_simhash_oracle)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, max_hamming=3)
@@ -238,7 +238,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_cosine(e, queries, k=TOPK)
 
 
-@register("ann_topk_lsh")  # rows-only: approximate path
+@register("ann_topk_lsh")  # oracle assigned below (_lsh_oracle)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -599,3 +599,82 @@ def _simhash_oracle() -> str:
 
 
 _ORACLES["dedup_simhash"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# training-sequence preparation (chunking + packing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+PACK_CAPACITY = 2048
+
+
+@register(
+    "doc_token_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
+      FROM documents WHERE text <> '')
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {CHUNK_SIZE}], ' ') AS chunk_text,
+           least({CHUNK_SIZE}, n - s) AS n_tokens
+    FROM t, unnest(range(0, n, {CHUNK_STRIDE})) AS r(s)
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 64, stride 48): the training
+    pre-tokenization shape — pure built-ins (sequence/explode/slice), no
+    UDF, so Catalyst keeps the whole plan in codegen."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("tk"), n.alias("n"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(F.slice(F.col("tk"), F.col("s") + 1, CHUNK_SIZE), " ").alias("chunk_text"),
+            F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("s")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n
+      FROM documents)
+    SELECT doc_id, n AS n_tokens,
+           CAST(floor(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+           CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                % {PACK_CAPACITY} AS BIGINT) AS bin_offset
+    FROM t
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: documents fill fixed-capacity
+    training bins in doc_id order (bin = prefix-token-count / capacity).
+    Deterministic and SQL-mirrorable; at corpus scale the same window
+    runs per url-hash bucket so no global sort is needed — the global
+    orderBy here is the small-data exposition of the shape."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", n.cast("long").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(before / PACK_CAPACITY).cast("long").alias("bin_id"),
+            (before % PACK_CAPACITY).alias("bin_offset"),
+        )
+    )

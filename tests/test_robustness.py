@@ -148,3 +148,16 @@ def test_checkbox_bomb_aux_mode(spark):
     row = with_aux_extraction(df).collect()[0]
     assert row.error is None
     assert sum(1 for s in row.spans if s.text == "☐") == 5000
+
+
+def test_hostile_payloads_all_extractor_modes(spark):
+    """Every registered extractor mode (single/dual/consensus/aux) must
+    preserve all rows and confine failures to the error column."""
+    from ocr_wrapper_spark.operators.autoselect import name2extractor
+
+    df = spark.createDataFrame(HOSTILE, PAGES_SCHEMA)
+    for mode, op in name2extractor.items():
+        rows = op(df).collect()
+        assert len(rows) == len(HOSTILE), f"mode {mode} lost rows"
+        for r in rows:
+            assert r.error is None or isinstance(r.error, str), mode
