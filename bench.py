@@ -30,8 +30,11 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_token_stats",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_cosine",
+    "ann_topk_ivf",
     "doc_lang_id",
+    "doc_token_chunks",
     "asof_purchase_last_click",
     "corpus_curation",
 ]
