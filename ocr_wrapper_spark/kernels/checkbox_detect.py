@@ -35,13 +35,19 @@ _BOX_H = 0.015
 _STEP_X = 0.048
 _STEP_Y = 0.03
 _MARGIN = 0.02
+# aux grids sit BELOW the page (normalized y > 1.0): word boxes are
+# normalized by a page height that grows with document length, so any
+# in-page fixed band would eventually collide with (and suppress) real
+# words on long documents; below-page boxes never overlap content and
+# merge after it in reading order
+_CHECKBOX_GRID_Y0 = 1.0 + _MARGIN
 
 
 _RE_IMG = re.compile(r"<img\b[^>]*>", re.IGNORECASE | re.DOTALL)
 _RE_DATA_CODE = re.compile(r"""\bdata-code\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 CODE_CONFIDENCE = 1.0  # reference QR/barcode spans carry confidence 1.0 (C11)
 
-_CODE_GRID_Y0 = 0.6  # own grid band — never collides with checkbox boxes
+_CODE_GRID_Y0 = 1.6  # own below-page band — never collides with checkbox boxes
 
 
 def detect_codes(html_bytes: bytes | str):
@@ -94,7 +100,7 @@ def detect_checkboxes(html_bytes: bytes | str):
     for i in range(n):
         col, row = i % _GRID_COLS, i // _GRID_COLS
         x0 = _MARGIN + col * _STEP_X
-        y0 = _MARGIN + row * _STEP_Y
+        y0 = _CHECKBOX_GRID_Y0 + row * _STEP_Y
         x1, y1 = x0 + _BOX_W, y0 + _BOX_H
         coords[i] = (x0, y0, x1, y0, x1, y1, x0, y1)
 

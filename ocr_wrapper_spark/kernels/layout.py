@@ -57,21 +57,30 @@ def layout_words(
     # bit-for-bit unchanged. ~10x fewer Python iterations (lines, not
     # words) — layout runs per document in the extraction hot path.
     ext = widths + CHAR_W
+    # every word consumes >= 2*CHAR_W px (1-char word + tracking), so no
+    # line holds more than usable/(2*CHAR_W) words — bounding the cumsum
+    # window keeps the wrap O(n) instead of O(n * lines) (a 780k-word
+    # page was 67 s with unbounded slices, 1.5 s bounded)
+    max_per_line = int(usable // (2 * CHAR_W)) + 2
     start = 0
     line = -1
     while start < n:
         line += 1
-        c = np.cumsum(ext[start:])
+        c = np.cumsum(ext[start : start + max_per_line])
         # exclusive prefix sums via shift (NOT c - ext: subtraction would
         # reassociate the float ops; the shift reproduces the old loop's
         # partial sums bit-for-bit)
         cursors = np.empty_like(c)
         cursors[0] = 0.0
         cursors[1:] = c[:-1]
-        fits = cursors + widths[start:] <= usable
+        end = start + len(c)
+        fits = cursors + widths[start:end] <= usable
         fits[0] = True  # the first word of a line is always placed
         bad = np.nonzero(~fits)[0]
-        k = int(bad[0]) if bad.size else n - start
+        # when the whole window fits, the break can only be beyond the
+        # window, which the per-word capacity bound rules out unless the
+        # window already reaches n
+        k = int(bad[0]) if bad.size else end - start
         xs0[start : start + k] = cursors[:k]
         ys0[start : start + k] = line
         start += k

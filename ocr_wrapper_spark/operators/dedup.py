@@ -49,7 +49,10 @@ _PERM_A, _PERM_B = _perm_params()
 # most tokens repeat across documents within a task; memoizing the md5
 # turns the dominant per-shingle Python hashing cost into a dict lookup.
 _TOKEN_MEMO: dict[str, int] = {}
-_TOKEN_MEMO_MAX = 2_000_000  # ~200 MB upper bound; cleared when full
+# per Python WORKER process (local[32] runs 32 of them): 500k entries is
+# ~60-80 MB each, ~2 GB fleet-wide worst case; the Zipf head that drives
+# the hit rate fits comfortably. Cleared (not evicted) when full.
+_TOKEN_MEMO_MAX = 500_000
 
 # Shingle hash = polynomial combination of the k token hashes mod 2^64
 # (native uint64 wraparound in numpy; mirrored with UHUGEINT arithmetic

@@ -222,11 +222,15 @@ def _prefetched(batches, depth: int = 1):
                     return
             q.put(_END)
         except BaseException as exc:  # propagate into the consumer
-            if not stop.is_set():
+            # retry until delivered or the consumer is gone — dropping
+            # the exception would leave the consumer blocked in q.get()
+            # forever (no _END ever arrives)
+            while not stop.is_set():
                 try:
                     q.put(exc, timeout=0.5)
+                    break
                 except queue.Full:
-                    pass
+                    continue
 
     threading.Thread(target=reader, daemon=True).start()
     try:

@@ -243,7 +243,15 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = spark.read.parquet(base)
         pages.write.mode("overwrite").parquet(ddir)
         pages.write.mode("append").parquet(ddir)
-    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(ddir)
+    # force a single micro-batch: _dedup_fn emits first-seen rows with
+    # the count observed SO FAR, so the n=2 oracle requires both copies
+    # of a page to arrive together (availableNow otherwise honors source
+    # batch limits and could split the directory)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(ddir)
+    )
     out = stream_dedup_first_seen(stream)
     name = f"stream_dedup_{uuid.uuid4().hex[:10]}"
     q = (

@@ -1075,7 +1075,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
       FROM customer
       WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
-        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
                          WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
@@ -1087,12 +1087,15 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance, selected country codes (nationkey digit; no phone column),
     and no urgent orders (anti-join for NOT EXISTS; plain "no orders" is
     empty in this data — every customer ordered). The scalar average
-    broadcasts."""
+    broadcasts, rounded to 6dp on both engines so float summation order
+    cannot flip the comparison (same convention as q15/q17)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     codes = [1, 3, 5, 7, 9]
     pool = c.filter((F.col("c_nationkey") % 10).isin(codes))
-    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_avg")
+    )
     return (
         pool.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))

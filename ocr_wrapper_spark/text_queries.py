@@ -367,7 +367,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_near_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(e, threshold=0.4)
+    # explicit broadcast: the oracle is the exact all-pairs join, so the
+    # auto gate's LSH fallback (recall < 1) must never kick in here — a
+    # too-large corpus should RAISE, not silently diverge from the oracle
+    return cosine_near_pairs(e, threshold=0.4, strategy="broadcast")
 
 
 @register(

@@ -45,3 +45,26 @@ def test_prefetch_passthrough_and_error_propagation():
     except RuntimeError:
         raised = True
     assert raised and out == [1]
+
+
+def test_prefetch_error_propagates_even_when_queue_stays_full():
+    """The reader must not drop an upstream exception because the queue
+    was full at that moment (slow consumer): it retries until delivered,
+    otherwise the consumer would block in q.get() forever."""
+    from ocr_wrapper_spark.operators.extract import _prefetched
+
+    def failing():
+        yield 1
+        yield 2
+        raise RuntimeError("late boom")
+
+    gen = _prefetched(failing(), depth=1)
+    assert next(gen) == 1
+    time.sleep(1.2)  # > the reader's 0.5 s put timeout while queue is full
+    assert next(gen) == 2
+    try:
+        next(gen)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised, "exception was dropped instead of propagated"
