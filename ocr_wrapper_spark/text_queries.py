@@ -681,3 +681,77 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (before % PACK_CAPACITY).alias("bin_offset"),
         )
     )
+
+
+EVAL_MOD, EVAL_REM = 50, 7  # doc_id % 50 == 7 -> held-out eval slice
+DECON_K = 5  # shingle width for contamination detection
+
+
+@register(
+    "corpus_decontamination",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents WHERE text <> ''),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(tk) - {DECON_K - 1}, 0)),
+               i -> array_to_string(tk[i + 1 : i + {DECON_K}], ' ')))) AS s
+      FROM docs)
+    SELECT doc_id, count(*) AS n_shared
+    FROM sh
+    WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+      AND s IN (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM})
+    GROUP BY doc_id
+    """,
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any token
+    5-gram with the held-out eval slice, with the count of distinct
+    shared shingles. The eval shingle set is small by construction, so
+    the contamination check is a broadcast semi-join — at 100 TB the
+    eval side stays the broadcast side and the corpus never shuffles."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= DECON_K,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - DECON_K),
+                lambda i: F.array_join(F.slice(toks, i + 1, DECON_K), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    exploded = d.select("doc_id", F.explode(shingles).alias("s"))
+    eval_sh = (
+        exploded.filter(F.col("doc_id") % EVAL_MOD == EVAL_REM).select("s").distinct()
+    )
+    return (
+        exploded.filter(F.col("doc_id") % EVAL_MOD != EVAL_REM)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "doc_train_split",
+    # same Knuth multiplicative hash the host assignment uses — a
+    # deterministic, engine-portable split function
+    """
+    SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM (SELECT CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by multiplicative hash of
+    doc_id (0.8/0.1/0.1): stable across runs and cluster sizes, no
+    shuffle beyond the count rollup."""
+    d = _t(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * 2654435761) % 4294967296).cast("double") / 4294967296.0
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
+    )
+    return d.select(split).groupBy("split").agg(F.count("*").alias("n_docs"))
