@@ -76,9 +76,15 @@ def quality_score_cols(text_col: Column) -> list[Column]:
     ]
 
 
+# GPT-2-style pre-tokenizer (ASCII subset so Java regex and DuckDB RE2
+# agree byte-for-byte): optional-space-led letter runs, digit runs, and
+# other-symbol runs — the standard BPE pre-split shape
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count_cols(text_col: Column) -> list[Column]:
-    """Whitespace tokens + a BPE-ish subword estimate: alpha runs count
-    ceil(len/6) pieces, digit/punct runs one piece per char class run."""
+    """Whitespace tokens + two BPE-ish estimates: the ~4-chars-per-token
+    heuristic and a GPT-2-style pre-tokenizer regex match count."""
     toks = F.when(text_col == "", 0).otherwise(F.size(F.split(text_col, " ")))
     # subword estimate: ceil(chars_without_spaces / 4) — the standard
     # ~4-chars-per-token heuristic, exactly reproducible in SQL
@@ -86,6 +92,9 @@ def token_count_cols(text_col: Column) -> list[Column]:
     return [
         toks.alias("ws_tokens"),
         F.ceil(ink / 4).cast("long").alias("est_bpe_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpe_pretokens"),
     ]
 
 
