@@ -186,7 +186,7 @@ def pipeline_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

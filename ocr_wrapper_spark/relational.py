@@ -6,8 +6,11 @@ names and rounding are aligned on both sides so the driver's
 order-insensitive value-hash comparison passes.
 
 Conventions:
-* aggregates rounded (money 2dp, ratios 4dp) to absorb float summation
-  order differences between engines;
+* money/value SUMS use integer-cents aggregation (money_sum /
+  money_sum_sql): round each row to cents, sum exactly in int64 —
+  order-independent, so no float summation order can flip a rounding
+  boundary (round(sum(..),2) measurably did at sf0.1: 3 of 11k q3
+  groups). Ratios/averages still round (4-6dp) before any comparison;
 * timestamps never returned raw — cast to date or epoch seconds;
 * every computed column aliased identically in Spark and SQL.
 """
@@ -33,6 +36,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+
+def money_sum(expr, alias: str, cents: int = 100):
+    """Order-independent money aggregation: round each row to integer
+    cents, sum exactly in int64, scale back. round(sum(double), 2)
+    differs between engines when float summation ORDER pushes the sum
+    across a half-cent boundary (measured: 3 of 11k q3 groups at sf0.1);
+    per-row rounding makes the aggregation associative — any ordering,
+    any partitioning, same result. SQL mirror: money_sum_sql. int64
+    holds 9.2e16 cents per group (~9e14 dollars), far above any group."""
+    return (F.sum(F.round(expr * cents, 0).cast("long")) / float(cents)).alias(alias)
+
+
+def money_sum_sql(expr: str, alias: str, cents: int = 100) -> str:
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {cents}) AS BIGINT)) AS DOUBLE)"
+        f" / {cents} AS {alias}"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -47,9 +69,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
            round(avg(l_quantity), 4)                                       AS avg_qty,
            round(avg(l_extendedprice), 4)                                  AS avg_price,
            round(avg(l_discount), 4)                                       AS avg_disc,
@@ -66,11 +88,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -82,7 +104,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -99,7 +121,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
@@ -109,7 +131,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
            coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            count(*)                          AS n_orders,
-           round(sum(o_totalprice), 2)       AS total_price
+           CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -118,7 +140,7 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_orders"), money_sum(F.col("o_totalprice"), "total_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
@@ -132,9 +154,9 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_events_by_type",
     """
     SELECT user_id % 100 AS user_bucket,
-           round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click_value,
-           round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view_value,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+           CAST(sum(CAST(round((CASE WHEN event_type = 'click' THEN value ELSE 0 END) * 100) AS BIGINT)) AS DOUBLE) / 100 AS click_value,
+           CAST(sum(CAST(round((CASE WHEN event_type = 'view' THEN value ELSE 0 END) * 100) AS BIGINT)) AS DOUBLE) / 100 AS view_value,
+           CAST(sum(CAST(round((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100) AS BIGINT)) AS DOUBLE) / 100 AS purchase_value
     FROM events GROUP BY user_id % 100
     """,
 )
@@ -144,11 +166,9 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("user_bucket", F.col("user_id") % 100)
         .groupBy("user_bucket")
         .agg(
-            F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0)), 2).alias("click_value"),
-            F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0)), 2).alias("view_value"),
-            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)), 2).alias(
-                "purchase_value"
-            ),
+            money_sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0), "click_value"),
+            money_sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0), "view_value"),
+            money_sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0), "purchase_value"),
         )
     )
 
@@ -159,7 +179,7 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
            count(*)                    AS n_events,
-           round(sum(value), 2)        AS total_value
+           CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -171,7 +191,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type",
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum(F.col("value"), "total_value"))
     )
 
 
@@ -184,7 +204,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey AS l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -205,7 +225,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
@@ -214,7 +234,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -239,7 +259,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
 
@@ -525,7 +545,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
            n.n_name AS n_name
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -545,7 +565,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -585,9 +605,9 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%%'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT round(100.00 * sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%%'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100) AS BIGINT))
+                 / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
@@ -605,7 +625,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0)) / F.sum(rev), 4
+                100.0
+                * F.sum(F.round(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0) * 100, 0).cast("long"))
+                / F.sum(F.round(rev * 100, 0).cast("long")),
+                4,
             ).alias("promo_revenue")
         )
     )
@@ -639,7 +662,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
@@ -656,7 +679,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
@@ -725,13 +748,14 @@ def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand, count(*) AS n_above_avg
     FROM part
-    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 6) FROM part)
     GROUP BY p_brand
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    avg_price = p.agg(F.avg("p_retailprice")).collect()[0][0]
+    # rounded to 6dp on both engines (round-before-compare convention)
+    avg_price = round(p.agg(F.avg("p_retailprice")).collect()[0][0], 6)
     return (
         p.filter(F.col("p_retailprice") > avg_price)
         .groupBy("p_brand")
@@ -864,7 +888,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(CAST(round((volume) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -905,14 +929,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
 
 @register(
     "q9_product_type_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(sum(CAST(round((amount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
@@ -944,7 +968,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year")
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_profit"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
     )
 
 
@@ -1006,7 +1030,7 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
       SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_cut
       FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pa.l_partkey = lineitem.l_partkey
@@ -1025,7 +1049,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cut.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1034,7 +1058,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1057,7 +1081,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
     )
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     return (
@@ -1070,7 +1094,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_sales_opportunity",
     """
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
     FROM (
       SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
       FROM customer
@@ -1101,5 +1125,5 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("_avg"))
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
-        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), money_sum(F.col("c_acctbal"), "totacctbal"))
     )

@@ -76,11 +76,16 @@ def streaming_event_window_counts(spark: SparkSession, events_dir: str) -> DataF
     return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # integer-cents sum: order-independent across micro-batches
+            # and engines (see relational.money_sum)
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
+            "total_value",
         )
     )
