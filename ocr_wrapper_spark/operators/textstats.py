@@ -78,8 +78,9 @@ def quality_score_cols(text_col: Column) -> list[Column]:
 
 # GPT-2-style pre-tokenizer (ASCII subset so Java regex and DuckDB RE2
 # agree byte-for-byte): optional-space-led letter runs, digit runs, and
-# other-symbol runs — the standard BPE pre-split shape
-BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# other-symbol runs — the standard BPE pre-split shape. The whitespace
+# class is explicit because Java's \s includes \x0B while RE2's does not.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+"
 
 
 def token_count_cols(text_col: Column) -> list[Column]:

@@ -43,16 +43,11 @@ def money_sum(expr, alias: str, cents: int = 100):
     differs between engines when float summation ORDER pushes the sum
     across a half-cent boundary (measured: 3 of 11k q3 groups at sf0.1);
     per-row rounding makes the aggregation associative — any ordering,
-    any partitioning, same result. SQL mirror: money_sum_sql. int64
-    holds 9.2e16 cents per group (~9e14 dollars), far above any group."""
+    any partitioning, same result. SQL mirror (inlined in each oracle):
+    CAST(sum(CAST(round((expr) * cents) AS BIGINT)) AS DOUBLE) / cents.
+    round-to-INTEGER is the only cross-engine-safe rounding; int64 holds
+    9.2e16 cents per group (~9e14 dollars), far above any group."""
     return (F.sum(F.round(expr * cents, 0).cast("long")) / float(cents)).alias(alias)
-
-
-def money_sum_sql(expr: str, alias: str, cents: int = 100) -> str:
-    return (
-        f"CAST(sum(CAST(round(({expr}) * {cents}) AS BIGINT)) AS DOUBLE)"
-        f" / {cents} AS {alias}"
-    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -605,9 +600,10 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100.00 * sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%%'
+    SELECT CAST(round(100.00 * sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%%'
                                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100) AS BIGINT))
-                 / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)), 4) AS promo_revenue
+                 / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) * 10000)
+            AS BIGINT) / 10000.0 AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
@@ -624,11 +620,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.round(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0) * 100, 0).cast("long"))
-                / F.sum(F.round(rev * 100, 0).cast("long")),
-                4,
+            (
+                F.round(
+                    100.0
+                    * F.sum(F.round(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0) * 100, 0).cast("long"))
+                    / F.sum(F.round(rev * 100, 0).cast("long"))
+                    * 10000,
+                    0,
+                ).cast("long")
+                / 10000.0
             ).alias("promo_revenue")
         )
     )
@@ -748,16 +748,19 @@ def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand, count(*) AS n_above_avg
     FROM part
-    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 6) FROM part)
+    WHERE CAST(round(p_retailprice * 1000000) AS BIGINT) >
+          (SELECT CAST(round(avg(p_retailprice) * 1000000) AS BIGINT) FROM part)
     GROUP BY p_brand
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    # rounded to 6dp on both engines (round-before-compare convention)
-    avg_price = round(p.agg(F.avg("p_retailprice")).collect()[0][0], 6)
+    # integer-micros threshold: round-to-INTEGER is the only rounding
+    # that is identical across engines (decimal-place rounding of the
+    # same double can differ at shortest-repr boundaries)
+    avg_micros = int(p.agg(F.round(F.avg("p_retailprice") * 1_000_000, 0)).collect()[0][0])
     return (
-        p.filter(F.col("p_retailprice") > avg_price)
+        p.filter(F.round(F.col("p_retailprice") * 1_000_000, 0).cast("long") > avg_micros)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_above_avg"))
     )
@@ -1030,7 +1033,7 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
       SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_cut
       FROM lineitem GROUP BY l_partkey)
-    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly
+    SELECT CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 7.0) AS BIGINT) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pa.l_partkey = lineitem.l_partkey
@@ -1049,7 +1052,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cut.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"))
+        .agg((F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 7.0, 0).cast("long") / 100.0).alias("avg_yearly"))
     )
 
 

@@ -88,7 +88,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS ws_tokens,
            CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)   AS est_bpe_tokens,
-           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+'))
                 AS BIGINT) AS bpe_pretokens
     FROM documents
     """,

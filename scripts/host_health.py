@@ -41,8 +41,8 @@ def work(args):
 
 def main() -> None:
     nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    total = 12800
-    per = total // nproc
+    per = max(1, 12800 // nproc)
+    total = per * nproc  # measured work == reported work (no remainder)
     chunks = [(i * per, (i + 1) * per) for i in range(nproc)]
     with mp.Pool(nproc) as p:
         p.map(work, chunks)  # warm imports
