@@ -47,7 +47,19 @@ _RE_IMG = re.compile(r"<img\b[^>]*>", re.IGNORECASE | re.DOTALL)
 _RE_DATA_CODE = re.compile(r"""\bdata-code\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 CODE_CONFIDENCE = 1.0  # reference QR/barcode spans carry confidence 1.0 (C11)
 
-_CODE_GRID_Y0 = 1.6  # own below-page band — never collides with checkbox boxes
+_CODE_GRID_Y0 = 1.6  # below-page band floor; see _code_band_y0 for the
+# dynamic offset — the checkbox grid grows downward 0.03/row, so beyond
+# ~387 checkboxes (20 cols x ~19 rows) a FIXED 1.6 band would interleave
+# code boxes into the checkbox run in reading order
+
+
+def _code_band_y0(raw: str) -> float:
+    """Start of the code band: past the last checkbox row (plus margin),
+    never below the 1.6 floor — keeps codes AFTER checkboxes in reading
+    order at any checkbox count."""
+    n_boxes = sum(1 for m in _RE_INPUT.finditer(raw) if _RE_TYPE_CHECKBOX.search(m.group(0)))
+    rows = (n_boxes + _GRID_COLS - 1) // _GRID_COLS
+    return max(_CODE_GRID_Y0, _CHECKBOX_GRID_Y0 + rows * _STEP_Y + _MARGIN)
 
 
 def detect_codes(html_bytes: bytes | str):
@@ -68,11 +80,12 @@ def detect_codes(html_bytes: bytes | str):
         if code and code.group(1):
             texts.append(code.group(1))
     n = len(texts)
+    band_y0 = _code_band_y0(raw)
     coords = np.empty((n, 8), dtype=np.float64)
     for i in range(n):
         col, row = i % _GRID_COLS, i // _GRID_COLS
         x0 = _MARGIN + col * _STEP_X
-        y0 = _CODE_GRID_Y0 + row * _STEP_Y
+        y0 = band_y0 + row * _STEP_Y
         x1, y1 = x0 + _BOX_W, y0 + _BOX_H
         coords[i] = (x0, y0, x1, y0, x1, y1, x0, y1)
     return coords, texts, [CODE_CONFIDENCE] * n

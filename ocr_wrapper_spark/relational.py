@@ -757,10 +757,14 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     # integer-micros threshold: round-to-INTEGER is the only rounding
     # that is identical across engines (decimal-place rounding of the
-    # same double can differ at shortest-repr boundaries)
-    avg_micros = int(p.agg(F.round(F.avg("p_retailprice") * 1_000_000, 0)).collect()[0][0])
+    # same double can differ at shortest-repr boundaries). The scalar
+    # aggregate stays IN the plan as a broadcast cross join (1 row) —
+    # no eager .collect() in the query builder, so Catalyst sees one
+    # lazy plan and the scan is shared/pushed normally.
+    avg_df = p.agg(F.round(F.avg("p_retailprice") * 1_000_000, 0).cast("long").alias("_avg_micros"))
     return (
-        p.filter(F.round(F.col("p_retailprice") * 1_000_000, 0).cast("long") > avg_micros)
+        p.crossJoin(F.broadcast(avg_df))
+        .filter(F.round(F.col("p_retailprice") * 1_000_000, 0).cast("long") > F.col("_avg_micros"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_above_avg"))
     )
@@ -817,7 +821,13 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def host_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top hosts by doc count with approx-distinct langs — the monitoring
-    rollup a crawl operator runs; two-phase salted agg under the hood."""
+    rollup a crawl operator runs; two-phase salted agg under the hood.
+
+    approx_count_distinct is an HLL++ sketch with NO exactness guarantee
+    at any cardinality (Spark's implementation has no sparse mode), so
+    the oracle checks it with a tolerance: the query emits
+    ``approx_langs_ok`` = 1 iff the sketch is within max(1, 10%) of the
+    exact distinct count, and the oracle asserts the literal 1."""
     from .plans.partitioning import host_of, salted_host_counts
     from .sources.pages import synthesize_pages
 
@@ -826,10 +836,23 @@ def host_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = (
         pages.select(host_of(F.col("url")).alias("host"), "lang")
         .groupBy("host")
-        .agg(F.approx_count_distinct("lang").alias("approx_langs"))
+        .agg(
+            F.approx_count_distinct("lang").alias("_approx"),
+            F.countDistinct("lang").alias("_exact"),
+        )
+        .select(
+            "host",
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.greatest(F.lit(1.0), F.col("_exact") * 0.1)
+            )
+            .cast("int")
+            .alias("approx_langs_ok"),
+        )
     )
     return (
         counts.join(langs, "host")
+        .select("host", "n_docs", "approx_langs_ok")
         .orderBy(F.col("n_docs").desc(), "host")
         .limit(10)
     )

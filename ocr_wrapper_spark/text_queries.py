@@ -117,6 +117,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+NGRAM_MAX_DF = 30  # stop-shingle cut: drop shingles in > this many docs
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -127,8 +130,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> array_to_string((str_split(text, ' '))[i + 1 : i + {dedup.SHINGLE_K}], ' '))
                ELSE [text] END) AS shingles
       FROM documents),
-    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
-    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    keep AS (SELECT shingle FROM exploded_all GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}),
+    exploded AS (SELECT e.doc_id, e.shingle FROM exploded_all e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM exploded GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -141,8 +146,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs WITH the stop-shingle cut
+    (max_df): at web scale a boilerplate shingle appearing in millions
+    of docs makes the shingle self-join O(n^2); dropping shingles with
+    document frequency > NGRAM_MAX_DF bounds fanout per shingle while
+    keeping Jaccard over the discriminative set. Mirrored in the oracle
+    (`keep` CTE)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8, max_df=NGRAM_MAX_DF)
 
 
 @register("dedup_minhash_lsh")  # oracle assigned below (_minhash_oracle)
@@ -487,11 +498,11 @@ def _host_top10_oracle() -> str:
 
 
 # host_skew_topk (relational.py) uses approx_count_distinct(lang); Spark's
-# HLL++ sketch is EXACT below its sparse-mode threshold, and max distinct
-# langs per host is 5 here (verified at sf0.01/sf0.1), so the exact oracle
-# holds. At real cardinalities the approx column would be the unchecked one.
+# HLL++ has no sparse mode, so the sketch is never GUARANTEED exact — the
+# query therefore emits a tolerance flag (approx within max(1, 10%) of the
+# exact count) and the oracle asserts the literal 1, not sketch == exact.
 _ORACLES["host_skew_topk"] = _host_top10_oracle().replace(
-    "AS n_langs", "AS approx_langs"
+    "count(DISTINCT lang) AS n_langs", "1 AS approx_langs_ok"
 )
 
 

@@ -111,15 +111,13 @@ def test_aqe_skew_join_runtime_split(spark):
         # collect() executes THIS DataFrame's QueryExecution (count()
         # would wrap it in a new one whose adaptive plan never runs)
         assert len(joined.collect()) == 290_000  # only key 0 matches the dim
-    except AssertionError:
-        raise
+        plan = joined._jdf.queryExecution().executedPlan().toString()
     finally:
-        pass  # conf restored below after plan check
-
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    for k, v in saved.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+        # restore unconditionally — a leak of autoBroadcastJoinThreshold=-1
+        # would cascade failures into later plan-asserting tests
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
