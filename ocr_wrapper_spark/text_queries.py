@@ -168,6 +168,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(d, max_hamming=3)
 
 
+# Monitoring threshold for the dropped-bucket query: deliberately far
+# below the production MAX_BUCKET cap so the query returns real rows at
+# test scale (max bucket size at sf0.01 is 3) — the operator's point is
+# visibility, not the cut itself.
+LSH_MONITOR_BUCKET = 1
+
+
+@register("lsh_dropped_buckets")  # oracle assigned below (_dropped_buckets_oracle)
+def lsh_dropped_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring twin of dedup_minhash_lsh: which (band_id, bucket)
+    groups exceed the cap and how many docs sit in them — what a crawl
+    operator alerts on (each dropped bucket forfeits n*(n-1)/2 candidate
+    pairs). band_hash is engine-specific (xxhash64) so the registered
+    projection is (band_id, bucket_size); the oracle groups by the band
+    vector itself, which is equality-equivalent."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.lsh_dropped_buckets(d, max_bucket=LSH_MONITOR_BUCKET)
+        .select("band_id", "bucket_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -528,11 +550,11 @@ def host_top10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    """Exact SQL mirror of the MinHash+LSH banding path: md5 token
-    hashes combined per shingle with the SHINGLE_P polynomial mod 2^64
-    (UHUGEINT arithmetic), multiply-shift family, min per permutation,
-    8 bands x 8 rows, band-equality candidate join."""
+def _bands_cte_sql() -> str:
+    """Shared WITH-prefix ending in the `bands` CTE: exact SQL mirror of
+    the MinHash banding path — md5 token hashes combined per shingle with
+    the SHINGLE_P polynomial mod 2^64 (UHUGEINT arithmetic),
+    multiply-shift family, min per permutation, 8 bands x 8 rows."""
     perm_rows = ", ".join(
         f"({j}, {int(dedup._PERM_A[j])}::UBIGINT, {int(dedup._PERM_B[j])}::UBIGINT)"
         for j in range(dedup.N_PERM)
@@ -570,7 +592,15 @@ def _minhash_oracle() -> str:
     bands AS (
       SELECT doc_id, CAST(t.b AS INT) AS band_id,
              sig[CAST(t.b AS INT) * {rows} + 1 : CAST(t.b AS INT) * {rows} + {rows}] AS band
-      FROM sig_arr, unnest(range(0, {dedup.N_BANDS})) AS t(b)),
+      FROM sig_arr, unnest(range(0, {dedup.N_BANDS})) AS t(b))
+    """
+
+
+def _minhash_oracle() -> str:
+    """Band-equality candidate join over the shared bands CTE, with the
+    over-cap buckets dropped first (mirrors MAX_BUCKET)."""
+    return f"""
+    {_bands_cte_sql()},
     capped AS (
       SELECT * FROM bands
       QUALIFY count(*) OVER (PARTITION BY band_id, band) <= {dedup.MAX_BUCKET})
@@ -580,7 +610,19 @@ def _minhash_oracle() -> str:
     """
 
 
+def _dropped_buckets_oracle() -> str:
+    """Over-threshold buckets per band; groups by the band vector itself
+    (equality-equivalent to Spark's xxhash64 of the vector)."""
+    return f"""
+    {_bands_cte_sql()}
+    SELECT band_id, count(*) AS bucket_size
+    FROM bands GROUP BY band_id, band
+    HAVING count(*) > {LSH_MONITOR_BUCKET}
+    """
+
+
 _ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+_ORACLES["lsh_dropped_buckets"] = _dropped_buckets_oracle()
 
 
 def _simhash_oracle() -> str:
