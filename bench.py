@@ -47,6 +47,23 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from ocr_wrapper_spark.session import get_spark
 
+    # Host-health probe BEFORE the session: shared-VM neighbor load can
+    # degrade per-doc time ~3x for hours; the probe result is embedded in
+    # the output JSON so a number recorded in a sick window is visibly an
+    # artifact (BENCH_r02's 2.2x "regression" was exactly this).
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import host_health
+
+    host_probe = host_health.probe()
+    print(f"# host probe: {host_probe}", file=sys.stderr)
+    if not host_probe["healthy"]:
+        print(
+            "# WARNING: degraded host window "
+            f"({host_probe['per_doc_ms']} ms/doc vs {host_health.HEALTHY_PER_DOC_MS_32P} healthy)"
+            " — numbers below understate real throughput",
+            file=sys.stderr,
+        )
+
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = entrymod.queries()
 
@@ -108,6 +125,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "n_docs": n_pages,
                 "headline_wall_sec": total,
+                "host_probe": host_probe,
             }
         )
     )

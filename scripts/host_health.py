@@ -39,9 +39,18 @@ def work(args):
     return hi - lo
 
 
-def main() -> None:
-    nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    per = max(1, 12800 // nproc)
+# Healthy-window reference at 32 procs (measured 2026-08-16 over many
+# clean windows); a probe above HEALTHY_PER_DOC_MS_32P * SICK_FACTOR is
+# a degraded shared-VM window — numbers recorded there are artifacts.
+HEALTHY_PER_DOC_MS_32P = 6.8
+SICK_FACTOR = 1.5
+
+
+def probe(nproc: int = 32, docs: int = 12800) -> dict:
+    """Pure-multiprocessing extraction probe (no Spark): returns
+    {nproc, docs_per_sec, per_doc_ms, healthy} — importable by bench
+    runners so every recorded number carries window-health evidence."""
+    per = max(1, docs // nproc)
     total = per * nproc  # measured work == reported work (no remainder)
     chunks = [(i * per, (i + 1) * per) for i in range(nproc)]
     with mp.Pool(nproc) as p:
@@ -52,15 +61,18 @@ def main() -> None:
             p.map(work, chunks)
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-    print(
-        json.dumps(
-            {
-                "nproc": nproc,
-                "docs_per_sec": round(total / best),
-                "per_doc_ms": round(best * nproc / total * 1000, 2),
-            }
-        )
-    )
+    per_doc_ms = round(best * nproc / total * 1000, 2)
+    return {
+        "nproc": nproc,
+        "docs_per_sec": round(total / best),
+        "per_doc_ms": per_doc_ms,
+        "healthy": per_doc_ms <= HEALTHY_PER_DOC_MS_32P * SICK_FACTOR,
+    }
+
+
+def main() -> None:
+    nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    print(json.dumps(probe(nproc)))
 
 
 if __name__ == "__main__":
