@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .operators import multimodal as mm
 from .relational import register
-from .sources.media import synthesize_media
+from .sources.media import synthesize_media, synthesize_scans
 
 _KIND_SQL = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
 _META_SQL = f"""
@@ -104,6 +104,50 @@ def media_raster_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = media.filter(F.col("media_id") % 3 == 0)
     tilt = mm.detect_raster_tilt(images)
     return tilt.select("media_id", F.round("tilt_deg", 0).cast("long").alias("tilt_deg"))
+
+
+# barcode pixel width is data-dependent: one bar per bit (wide=2 modules
+# for 1, narrow=1 for 0), so width = (103 + popcount(bits)) modules * 2px
+# where bits = 8-bit digit-count prefix (10 -> popcount 2) + 4-bit BCD per
+# digit of the zero-padded doc_id. The oracle recomputing it from doc_id
+# digit popcounts is exactly what proves the decoder measured real pixels.
+_BC_POPCOUNT = " + ".join(
+    f"bit_count(doc_id // {10**k} % 10)" for k in range(10)
+)
+
+_QR_DECODE_ORACLE = f"""
+    WITH qr AS (
+      SELECT doc_id AS scan_id, 'QRCODE' AS code_type,
+             printf('DOC-%06d-%02d', doc_id, doc_id * 2654435761 % 97) AS code_data,
+             CAST(10 + doc_id * 13 % 280 AS INT) AS px_x0,
+             CAST(120 + doc_id * 7 % 40 AS INT) AS px_y0,
+             60 AS w
+      FROM documents WHERE doc_id % 2 = 0),
+    bc AS (
+      SELECT doc_id AS scan_id, 'CODE128' AS code_type,
+             lpad(CAST(doc_id AS VARCHAR), 10, '0') AS code_data,
+             CAST(10 + doc_id * 13 % 40 AS INT) AS px_x0,
+             CAST(120 + doc_id * 7 % 40 AS INT) AS px_y0,
+             206 + 2 * (2 + {_BC_POPCOUNT}) AS w
+      FROM documents WHERE doc_id % 2 = 1),
+    u AS (SELECT * FROM qr UNION ALL SELECT * FROM bc)
+    SELECT scan_id, code_type, code_data,
+           code_type || '[[' || code_data || ']]' AS code_span,
+           px_x0, px_y0,
+           CAST(px_x0 + w AS INT) AS px_x1,
+           CAST(px_y0 + 36 AS INT) AS px_y1
+    FROM u
+"""
+
+
+@register("media_qr_decode", _QR_DECODE_ORACLE)
+def media_qr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-domain QR/barcode decode (reference qr_barcodes.py:55-76
+    detect_qr_barcodes): each scan page embeds one real code symbol at a
+    doc_id-derived position; the decoder binarizes, locates and decodes
+    it from pixels alone (kernels/raster_codes.py) and emits the
+    reference's TYPE[[DATA]] span text with the symbol's pixel box."""
+    return mm.detect_raster_codes(synthesize_scans(spark, sf_dir))
 
 
 @register(

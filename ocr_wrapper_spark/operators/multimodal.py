@@ -73,6 +73,12 @@ def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
     body = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
     if len(body) == RASTER_W * RASTER_H:
         return np.frombuffer(body, dtype=np.uint8).reshape(RASTER_H, RASTER_W)
+    # scan pages (sources/media.py synthesize_scans) carry true raster
+    # dims in the header; media-table image headers carry the synthetic
+    # display dims instead, hence the fixed-size check above goes first
+    meta = parse_media_header(payload)
+    if meta and meta["kind"] == "image" and len(body) == meta["width"] * meta["height"]:
+        return np.frombuffer(body, dtype=np.uint8).reshape(meta["height"], meta["width"])
     if not fake:
         try:
             import PIL  # noqa: F401
@@ -185,6 +191,41 @@ def detect_raster_tilt(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
     return df.select("media_id", payload_col).mapInPandas(
         op, schema="media_id long, tilt_deg double"
+    )
+
+
+def detect_raster_codes(df: DataFrame, id_col: str = "scan_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Pixel-space QR/barcode detection over image payloads (reference
+    qr_barcodes.py:55-76 via kernels/raster_codes.py): decode the raster,
+    binarize, locate + decode the symbol, emit one row per code with
+    TYPE[[DATA]] span text and the pixel box corners. mapInPandas keeps
+    the payload column out of the operator's output (JVM would re-encode
+    it) and lets one page yield zero or many code rows."""
+    from ..kernels.raster_codes import code_span_text, decode_codes
+
+    def op(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "code_type", "code_data", "code_span",
+                     "px_x0", "px_y0", "px_x1", "px_y1")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raster = _decode_image(payload).astype(np.float32) / 255.0
+                for ctype, data, x0, y0, x1, y1 in decode_codes(raster):
+                    rows[id_col].append(mid)
+                    rows["code_type"].append(ctype)
+                    rows["code_data"].append(data)
+                    rows["code_span"].append(code_span_text(ctype, data))
+                    rows["px_x0"].append(x0)
+                    rows["px_y0"].append(y0)
+                    rows["px_x1"].append(x1)
+                    rows["px_y1"].append(y1)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op,
+        schema=f"{id_col} long, code_type string, code_data string, "
+        "code_span string, px_x0 int, px_y0 int, px_x1 int, px_y1 int",
     )
 
 

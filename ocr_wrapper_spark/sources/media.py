@@ -64,6 +64,70 @@ def build_media_payload(doc_id: int) -> bytes:
     return header + body
 
 
+# ---------------------------------------------------------------------------
+# scan pages: text dashes + one machine-readable code symbol per page.
+# Everything the decoder must recover (type, data, pixel box) is a
+# closed-form function of doc_id so the DuckDB oracle can recompute it —
+# but the decoder itself sees only pixels (kernels/raster_codes.py).
+# ---------------------------------------------------------------------------
+
+SCAN_W, SCAN_H = 360, 200
+SCAN_TEXT_H = 110  # top band: tilt-0 text dashes (distractor content)
+SCAN_CODE_Y0 = 120  # code band floor
+QR_CHECK_MOD = 97
+QR_CHECK_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def scan_code_attrs(doc_id: int) -> tuple[str, str, int, int]:
+    """(code_type, data, x0, y0) for the code on doc_id's scan page.
+    QR symbol is 60x36 px (16 data cols, 13-byte payload, 3 px modules);
+    barcode width varies with the bit pattern (2 px modules, 36 px tall)."""
+    y0 = SCAN_CODE_Y0 + (doc_id * 7) % 40
+    if doc_id % 2 == 0:
+        data = f"DOC-{doc_id:06d}-{doc_id * QR_CHECK_MULT % QR_CHECK_MOD:02d}"
+        return "QRCODE", data, 10 + (doc_id * 13) % 280, y0
+    return "CODE128", f"{doc_id:010d}", 10 + (doc_id * 13) % 40, y0
+
+
+def build_scan_raster(doc_id: int) -> np.ndarray:
+    from ..kernels.raster_codes import render_barcode, render_qr
+    from ..kernels.raster_tilt import render_text_raster
+
+    img = np.zeros((SCAN_H, SCAN_W), dtype=np.float32)
+    img[:SCAN_TEXT_H] = render_text_raster(0.0, width=SCAN_W, height=SCAN_TEXT_H)
+    kind, data, x0, y0 = scan_code_attrs(doc_id)
+    if kind == "QRCODE":
+        render_qr(img, data, x0, y0)
+    else:
+        render_barcode(img, data, x0, y0)
+    return img
+
+
+def build_scan_payload(doc_id: int) -> bytes:
+    header = f"MM01 image {SCAN_W} {SCAN_H} 0 0 1\n".encode("ascii")
+    body = (build_scan_raster(doc_id) * 255).astype(np.uint8).tobytes()
+    return header + body
+
+
+def synthesize_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan page per document: (scan_id, payload) with a real raster
+    embedding one code symbol at a doc_id-derived position."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "scan_id": ids,
+                    "payload": [build_scan_payload(int(i)) for i in ids],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema="scan_id long, payload binary")
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
