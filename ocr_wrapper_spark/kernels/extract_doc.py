@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import bbox_core as bc
-from . import clean, json_extract, layout, order, pdf_extract
+from . import clean, hocr_extract, json_extract, layout, order, pdf_extract
 from .html_extract import extract_main_text
 from .pdf_extract import RTL_LANGUAGES
 from .textops import flip_number_blocks, has_arabic_text
@@ -106,6 +106,14 @@ def extract_json(payload: bytes, lang: str) -> ExtractResult:
     kernels/json_extract.py; normalize/rotate/date-split/order are shared
     verbatim with the PDF branch."""
     return _extract_layout(json_extract.parse_json_payload(payload), lang, "json")
+
+
+def extract_hocr(payload: bytes, lang: str) -> ExtractResult:
+    """hOCR branch: fourth provider dialect (public tesseract-style
+    XHTML microformat; converter in kernels/hocr_extract.py). Integer
+    pixel word boxes, x_wconf percent confidences; normalize / rotate /
+    date-split / order shared verbatim with the PDF/JSON branches."""
+    return _extract_layout(hocr_extract.parse_hocr_payload(payload), lang, "hocr")
 
 
 def _extract_layout(parsed, lang: str, provider: str) -> ExtractResult:
@@ -237,6 +245,8 @@ def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
             return extract_pdf(payload, lang)
         if json_extract.is_json_layout(payload):
             return extract_json(payload, lang)
+        if hocr_extract.is_hocr(payload):
+            return extract_hocr(payload, lang)
         return extract_html(payload, lang)
     except Exception as exc:  # error row, not task failure (SURVEY.md §2.10 D2)
         return _empty("error", f"{type(exc).__name__}: {exc}")

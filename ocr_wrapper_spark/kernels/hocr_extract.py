@@ -1,0 +1,74 @@
+"""hOCR payload dialect — the fourth provider branch.
+
+Mirrors the breadth of the reference's provider registry
+(autoselect.py:17-27 registers five providers; each converter turns a
+provider-specific response shape into the common BBox+text+confidence
+list, e.g. easy_ocr.py / paddleocr.py). The fourth response dialect is
+the public hOCR microformat (tesseract-style XHTML):
+
+    <div class='ocr_page' ... title='image "p"; bbox 0 0 W H; ppageno 0'>
+      <span class='ocrx_word' id='w_1_1'
+            title='bbox X0 Y0 X1 Y1; x_wconf 96'>word</span>
+
+The converter returns the exact tuple shape of
+``pdf_extract.parse_pdf_payload`` / ``json_extract.parse_json_payload``
+so the downstream normalize -> rotate -> date-split -> order pipeline
+is shared verbatim across all four dialects.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+HOCR_MAGIC = b"<?xml"
+_HOCR_MARK = b"class='ocr_page'"
+
+_RE_PAGE = re.compile(r"class='ocr_page'[^>]*title='[^']*bbox 0 0 (\d+) (\d+)")
+_RE_LANG = re.compile(r"<html[^>]*\blang=\"([^\"]*)\"")
+_RE_WORD = re.compile(
+    r"<span class='ocrx_word'[^>]*"
+    r"title='bbox (\d+) (\d+) (\d+) (\d+); x_wconf (\d+)'[^>]*>([^<]*)</span>"
+)
+
+
+def is_hocr(payload: bytes) -> bool:
+    return payload[: len(HOCR_MAGIC)] == HOCR_MAGIC and _HOCR_MARK in payload[:1024]
+
+
+def parse_hocr_payload(payload: bytes):
+    """hOCR document -> (raw_quads (n,8), texts, confidences, page_width,
+    page_height, lang, page_ids). Words without a parsable title are
+    simply not matched (the F3 non-WORD-block filter analogue).
+
+    hOCR bboxes are axis-aligned integers, so the flow-orientation
+    corner the order kernel votes on (A3) is not in the format; like
+    real hOCR consumers, writing direction comes from the document
+    language — for RTL languages the quad corners are emitted with the
+    start-of-word corner on the RIGHT edge (matching what the PDF/JSON
+    converters produce natively)."""
+    from .pdf_extract import RTL_LANGUAGES
+
+    doc = payload.decode("utf-8", errors="replace")
+    pm = _RE_PAGE.search(doc)
+    width, height = (int(pm.group(1)), int(pm.group(2))) if pm else (1224, 1584)
+    lm = _RE_LANG.search(doc)
+    lang = lm.group(1) if lm else ""
+    rtl = lang in RTL_LANGUAGES
+    quads: list[tuple[float, ...]] = []
+    words: list[str] = []
+    confs: list[float] = []
+    for m in _RE_WORD.finditer(doc):
+        x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+        if rtl:
+            quads.append((x1 / width, y0 / height, x0 / width, y0 / height,
+                          x0 / width, y1 / height, x1 / width, y1 / height))
+        else:
+            quads.append((x0 / width, y0 / height, x1 / width, y0 / height,
+                          x1 / width, y1 / height, x0 / width, y1 / height))
+        confs.append(int(m.group(5)) / 100.0)
+        words.append(m.group(6))
+    coords = np.asarray(quads, dtype=np.float64).reshape(-1, 8)
+    return (coords, words, confs, width, height, lang,
+            np.zeros(len(words), dtype=np.int64))

@@ -40,7 +40,8 @@ _ROTATION_SQL = """
            text AS extracted_text,
            CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
            CASE WHEN doc_id % 5 = 3 THEN 'pdf'
-                WHEN doc_id % 5 = 1 THEN 'json' ELSE 'html' END          AS provider,
+                WHEN doc_id % 5 = 1 THEN 'json'
+                WHEN doc_id % 5 = 4 THEN 'hocr' ELSE 'html' END          AS provider,
            {_ROTATION_SQL}                                               AS doc_rotation
     FROM documents
     """,
@@ -272,13 +273,13 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_checkbox_extract",
     # checkbox counts are closed-form in doc_id (sources/pages.py:
     # doc_id % 6 inputs on html pages, checkbox i checked iff
-    # (doc_id + i) % 3 == 0); pdf/json dialects carry none
+    # (doc_id + i) % 3 == 0); pdf/json/hocr dialects carry none
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 5 IN (1, 3) THEN 0
+           CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 0
                 ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 = 0))
            END AS n_checked,
-           CASE WHEN doc_id % 5 IN (1, 3) THEN 0
+           CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 0
                 ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 <> 0))
            END AS n_unchecked
     FROM documents
@@ -303,12 +304,12 @@ def pipeline_checkbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_qr_extract",
-    # QR carriers: html pages (doc_id % 5 not in (1,3)) with doc_id % 4 == 2
+    # QR carriers: html pages (doc_id % 5 not in (1,3,4)) with doc_id % 4 == 2
     # embed one code; the aux detector must decode it to TYPE[[DATA]]
     """
     SELECT doc_id, 'QRCODE[[DOC' || doc_id || ']]' AS qr_text
     FROM documents
-    WHERE doc_id % 4 = 2 AND doc_id % 5 NOT IN (1, 3)
+    WHERE doc_id % 4 = 2 AND doc_id % 5 NOT IN (1, 3, 4)
     """,
 )
 def pipeline_qr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,18 +40,31 @@ def iceberg_session_conf(warehouse: str) -> dict[str, str]:
     }
 
 
-def append_or_merge(spark: SparkSession, df, table: str, key: str) -> str:
+MERGE_SOURCE_VIEW = "_incoming"
+
+
+def merge_statement(table: str, key: str, source_view: str = MERGE_SOURCE_VIEW) -> str:
+    """The cache-upsert MERGE (reference ocr_wrapper.py:335-342 shelve
+    set-if-absent semantics): insert rows whose key is not cached yet.
+    Kept as a pure function so tests can validate it through Spark's SQL
+    parser even when no Iceberg jar is on the classpath (the parser
+    accepts MERGE INTO catalog-independently)."""
+    return (
+        f"MERGE INTO {ICEBERG_CATALOG}.{table} t "
+        f"USING {source_view} s ON t.{key} = s.{key} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def append_or_merge(spark: SparkSession, df, table: str, key: str,
+                    sql_runner=None) -> str:
     """Write path selector: Iceberg MERGE when available, snapshot-append
-    parquet otherwise. Returns the mechanism used (for metrics/logs)."""
+    parquet otherwise. Returns the mechanism used (for metrics/logs).
+    ``sql_runner`` (default ``spark.sql``) is the execution seam — tests
+    exercise the MERGE branch through it without the runtime jar."""
     if is_iceberg_available(spark):
-        df.createOrReplaceTempView("_incoming")
-        spark.sql(
-            f"""
-            MERGE INTO {ICEBERG_CATALOG}.{table} t
-            USING _incoming s ON t.{key} = s.{key}
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        df.createOrReplaceTempView(MERGE_SOURCE_VIEW)
+        (sql_runner or spark.sql)(merge_statement(table, key))
         return "iceberg-merge"
     from . import cache as cache_tbl
 

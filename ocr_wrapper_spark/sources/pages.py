@@ -35,6 +35,8 @@ N_HOSTS = 40
 ZIPF_S = 1.1
 PDF_MOD = 5  # doc_id % 5 == 3 -> PDF payload
 JSON_REM = 1  # doc_id % 5 == 1 -> JSON-layout payload (third dialect)
+HOCR_REM = 4  # doc_id % 5 == 4 -> hOCR payload (fourth dialect)
+HOCR_WCONF = 96  # hOCR x_wconf percent -> confidence 0.96
 PDF_CONFIDENCE = 0.95
 JSON_CONFIDENCE = 0.97
 CHECKBOX_MOD = 6  # html pages carry doc_id % 6 checkbox inputs,
@@ -143,6 +145,42 @@ def build_json(doc_id: int, text: str, lang: str) -> bytes:
     return json.dumps(doc, separators=(",", ":")).encode("utf-8")
 
 
+def build_hocr(doc_id: int, text: str, lang: str) -> bytes:
+    """hOCR payload (kernels/hocr_extract.py dialect, fourth provider
+    branch): the same deterministic word layout serialized as the public
+    tesseract-style XHTML microformat. Word boxes are integer pixel
+    bboxes (floor/ceil of the float layout), as real hOCR emits."""
+    words = text.split(" ") if text else []
+    rtl = lang in {"ar", "he", "fa", "ur"}
+    coords_px, width, height = layout.layout_words(words, rtl=rtl)
+    xs = coords_px[:, 0::2]
+    ys = coords_px[:, 1::2]
+    x0 = np.floor(xs.min(axis=1)).astype(np.int64) if words else np.zeros(0, np.int64)
+    x1 = np.ceil(xs.max(axis=1)).astype(np.int64) if words else np.zeros(0, np.int64)
+    y0 = np.floor(ys.min(axis=1)).astype(np.int64) if words else np.zeros(0, np.int64)
+    y1 = np.ceil(ys.max(axis=1)).astype(np.int64) if words else np.zeros(0, np.int64)
+    spans = "".join(
+        f"<span class='ocrx_word' id='word_1_{i + 1}' "
+        f"title='bbox {x0[i]} {y0[i]} {x1[i]} {y1[i]}; "
+        f"x_wconf {HOCR_WCONF}'>{w}</span>\n   "
+        for i, w in enumerate(words)
+    )
+    doc = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+        "<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Transitional//EN\" "
+        "\"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd\">\n"
+        f"<html xmlns=\"http://www.w3.org/1999/xhtml\" lang=\"{lang}\">\n"
+        " <head><title></title>\n"
+        "  <meta name='ocr-system' content='graft-hocr 1.0'/>\n"
+        "  <meta name='ocr-capabilities' content='ocr_page ocrx_word'/>\n"
+        " </head>\n <body>\n"
+        f"  <div class='ocr_page' id='page_1' "
+        f"title='image \"doc_{doc_id}.png\"; bbox 0 0 {width} {height}; ppageno 0'>\n"
+        f"   {spans}</div>\n </body>\n</html>\n"
+    )
+    return doc.encode("utf-8")
+
+
 def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
     """Synthetic PDF-like payload (kernels/pdf_extract.py format) with a
     deterministic rotation or on-grid tilt variant."""
@@ -205,7 +243,10 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
 
     is_pdf = (doc_ids % PDF_MOD) == 3
     is_json = (doc_ids % PDF_MOD) == JSON_REM
-    exts = np.where(is_pdf, "pdf", np.where(is_json, "json", "html"))
+    is_hocr = (doc_ids % PDF_MOD) == HOCR_REM
+    exts = np.where(
+        is_pdf, "pdf", np.where(is_json, "json", np.where(is_hocr, "hocr", "html"))
+    )
     urls = [
         f"https://host{int(h):02d}.example.com/{lang}/{did:010d}.{ext}"
         for h, lang, did, ext in zip(hosts, langs, doc_ids, exts)
@@ -214,7 +255,7 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         (doc_ids * 7919) % 86400
     ).astype("timedelta64[s]").astype("timedelta64[us]")
 
-    builders = {"pdf": build_pdf, "json": build_json, "html": build_html}
+    builders = {"pdf": build_pdf, "json": build_json, "hocr": build_hocr, "html": build_html}
     payloads = [
         builders[ext](int(did), text, lang)
         for did, text, lang, ext in zip(doc_ids, texts, langs, exts)

@@ -83,7 +83,7 @@ def test_aux_mode_spark_operator(spark):
     pages = synthesize_pages(spark, "/root/testdata/sf0.001")
     out = autoselect_extractor("aux")(pages).select("provider").distinct()
     providers = {r.provider for r in out.collect()}
-    assert providers == {"html+aux", "pdf", "json"}
+    assert providers == {"html+aux", "pdf", "json", "hocr"}
 
 
 def test_code_detector_reference_payload():
@@ -112,3 +112,32 @@ def test_aux_mode_decodes_generator_qr():
     assert res.confidences[i] == 1.0
     # plain mode never sees the code and keeps byte identity
     assert extract_document(html, "en").extracted_text == text
+
+
+def test_hocr_dialect_byte_identity_and_dispatch():
+    from ocr_wrapper_spark.kernels.hocr_extract import is_hocr
+    from ocr_wrapper_spark.sources.pages import build_hocr
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    payload = build_hocr(9, text, "en")
+    assert payload.startswith(b"<?xml") and is_hocr(payload)
+    res = extract_document(payload, "en")
+    assert res.provider == "hocr"
+    assert res.extracted_text == text
+    assert res.rotation == 0
+    assert res.confidences[0] == pytest.approx(0.96)  # x_wconf 96
+
+
+def test_hocr_dialect_rtl_empty_and_malformed():
+    from ocr_wrapper_spark.sources.pages import build_hocr
+
+    res = extract_document(build_hocr(14, "", "en"), "en")
+    assert res.provider == "hocr" and res.extracted_text == ""
+    text = "كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة"
+    res = extract_document(build_hocr(19, text, "ar"), "ar")
+    assert res.extracted_text == text
+    # words without a parsable title are dropped, not fatal (F3 analogue)
+    mangled = build_hocr(24, "keep drop keep2", "en").decode()
+    mangled = mangled.replace("x_wconf 96'>drop", "BROKEN'>drop")
+    res = extract_document(mangled.encode(), "en")
+    assert res.error is None and res.extracted_text == "keep keep2"

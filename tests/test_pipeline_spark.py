@@ -107,7 +107,7 @@ def test_results_parquet_roundtrip(spark, pages, tmp_path):
     ).count()
     assert n_bad == 0
     assert back.count() == pages.count()
-    # confidence values survived (0.9 html / 0.95 pdf)
+    # confidence values survived (0.9 html / 0.95 pdf / 0.97 json / 0.96 hocr)
     confs = {
         r.c
         for r in back.select(F.explode("spans").alias("s"))
@@ -115,4 +115,4 @@ def test_results_parquet_roundtrip(spark, pages, tmp_path):
         .distinct()
         .collect()
     }
-    assert confs <= {0.9, 0.95, 0.97}  # html / pdf / json dialect confidences
+    assert confs <= {0.9, 0.95, 0.97, 0.96}  # html / pdf / json / hocr dialect confidences

@@ -84,6 +84,31 @@ def test_iceberg_gate_detects_absence(spark):
     assert conf["spark.sql.catalog.graft.type"] == "hadoop"
 
 
+def test_iceberg_merge_branch_executes_parseable_statement(spark, monkeypatch):
+    """Exercise the MERGE branch itself (not just the absence gate): with
+    availability forced on and the execution seam recording, the branch
+    must register the source view and emit a statement Spark's own SQL
+    parser accepts as MergeIntoTable — the strongest check possible
+    without the runtime jar on the classpath."""
+    from ocr_wrapper_spark.sources import iceberg as ice
+
+    monkeypatch.setattr(ice, "is_iceberg_available", lambda _s: True)
+    ran: list[str] = []
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "content_hash int, response string")
+    used = ice.append_or_merge(spark, df, "cache", "content_hash", sql_runner=ran.append)
+    assert used == "iceberg-merge"
+    assert len(ran) == 1
+
+    # the registered view is what MERGE reads
+    view = spark.table(ice.MERGE_SOURCE_VIEW)
+    assert view.count() == 2
+
+    # Spark's real parser (catalog-independent) must produce a merge plan
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(ran[0])
+    assert "MergeIntoTable" in plan.getClass().getSimpleName() or "MergeIntoTable" in plan.toString()
+    assert "WHEN NOT MATCHED THEN INSERT" in ran[0]
+
+
 def _page(url, payload, lang="en"):
     return (url, TS, payload, "", lang)
 
