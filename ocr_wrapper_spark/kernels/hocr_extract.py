@@ -53,6 +53,8 @@ def parse_hocr_payload(payload: bytes):
     doc = payload.decode("utf-8", errors="replace")
     pm = _RE_PAGE.search(doc)
     width, height = (int(pm.group(1)), int(pm.group(2))) if pm else (1224, 1584)
+    # hostile/degenerate page box: never divide by zero downstream
+    width, height = (width if width > 0 else 1224), (height if height > 0 else 1584)
     lm = _RE_LANG.search(doc)
     lang = lm.group(1) if lm else ""
     rtl = lang in RTL_LANGUAGES
@@ -67,8 +69,12 @@ def parse_hocr_payload(payload: bytes):
         else:
             quads.append((x0 / width, y0 / height, x1 / width, y0 / height,
                           x1 / width, y1 / height, x0 / width, y1 / height))
-        confs.append(int(m.group(5)) / 100.0)
+        confs.append(min(int(m.group(5)), 100) / 100.0)  # wconf is 0..100
         words.append(m.group(6))
     coords = np.asarray(quads, dtype=np.float64).reshape(-1, 8)
+    # clamp-on-import (same policy as the labelstudio C15 importer):
+    # hostile integer boxes far outside the page must not blow up the
+    # downstream scatter-add kernels
+    np.clip(coords, 0.0, 1.0, out=coords)
     return (coords, words, confs, width, height, lang,
             np.zeros(len(words), dtype=np.int64))

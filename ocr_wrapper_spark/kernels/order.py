@@ -246,6 +246,14 @@ def order_boxes(
     # Row-major flattening keeps the in-bin summation order identical to
     # np.add.at, so bit-reproducibility is preserved.
     idx2d = base[None, :] + (tilt_fraction[:, None] * x_factor[None, :]).astype(int)
+    # pages narrower than the reference's 200px floor make |x_center|
+    # exceed half_width (ref bbox_order.py:147-149 floors full_width but
+    # not half_width), so the tilt shift can leave [0, y_range). The
+    # reference's np.add.at silently WRAPS those negative indices into
+    # the other end of the histogram; clipping to the edge bins instead
+    # is a no-op for every in-range page (byte-identity preserved) and
+    # keeps hostile tiny-page boxes from corrupting/crashing the scan.
+    np.clip(idx2d, 0, y_range - 1, out=idx2d)
     idx2d += (np.arange(NB_TILT) * y_range)[:, None]
     all_gains = np.bincount(
         idx2d.ravel(), weights=np.tile(parabolae, NB_TILT), minlength=NB_TILT * y_range

@@ -147,6 +147,24 @@ def test_real_web_hostile_battery(spark):
                                 b'{"t": null, "q": [1,2]}, {"q": [0,0,1,0,1,1,0,1]}]}]}}'),
         # checkbox bomb: thousands of inputs (aux mode must stay linear)
         _page("boxbomb", ("<form>" + '<input type="checkbox" checked>' * 5000 + "</form>" + word_block).encode()),
+        # hostile hOCR dialect: zero-dim page box, truncated span,
+        # out-of-range wconf, absurd bbox numbers
+        _page("hocr_zero_page", (
+            "<?xml version=\"1.0\"?><html lang=\"en\"><body>"
+            "<div class='ocr_page' id='p1' title='image \"x\"; bbox 0 0 0 0; ppageno 0'>"
+            "<span class='ocrx_word' id='w1' title='bbox 10 10 50 20; x_wconf 96'>alpha</span>"
+            "<span class='ocrx_word' id='w2' title='bbox 60 10 90 20; x_wconf 999'>beta</span>"
+            "</div></body></html>").encode()),
+        _page("hocr_trunc", (
+            "<?xml version=\"1.0\"?><html><body>"
+            "<div class='ocr_page' title='bbox 0 0 1000 1000'>"
+            "<span class='ocrx_word' title='bbox 10 10 50 20; x_wconf 90'>kept</span>"
+            "<span class='ocrx_word' title='bbox 60 10").encode()),
+        _page("hocr_huge_bbox", (
+            "<?xml version=\"1.0\"?><html><body>"
+            "<div class='ocr_page' title='bbox 0 0 100 100'>"
+            "<span class='ocrx_word' title='bbox 99999999 0 100000000 10; x_wconf 1'>far</span>"
+            "</div></body></html>").encode()),
     ]
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     out = {r.url: r for r in run_extraction(spark, df).collect()}
@@ -159,6 +177,9 @@ def test_real_web_hostile_battery(spark):
     assert out["json_trunc"].error is not None  # malformed JSON -> error row
     assert out["json_types"].error is not None  # wrong-typed metadata -> error row
     assert out["json_span_junk"].error is None and out["json_span_junk"].n_spans == 1
+    assert out["hocr_zero_page"].error is None and out["hocr_zero_page"].n_spans == 2
+    assert out["hocr_trunc"].error is None and out["hocr_trunc"].n_spans == 1
+    assert out["hocr_huge_bbox"].error is None and out["hocr_huge_bbox"].n_spans == 1
     for r in out.values():
         assert r.error is None or isinstance(r.error, str)
 
