@@ -53,16 +53,21 @@ _CODE_GRID_Y0 = 1.6  # below-page band floor; see _code_band_y0 for the
 # code boxes into the checkbox run in reading order
 
 
-def _code_band_y0(raw: str) -> float:
+def _code_band_y0(raw: str, n_checkboxes: int | None = None) -> float:
     """Start of the code band: past the last checkbox row (plus margin),
     never below the 1.6 floor — keeps codes AFTER checkboxes in reading
-    order at any checkbox count."""
-    n_boxes = sum(1 for m in _RE_INPUT.finditer(raw) if _RE_TYPE_CHECKBOX.search(m.group(0)))
-    rows = (n_boxes + _GRID_COLS - 1) // _GRID_COLS
+    order at any checkbox count. Pass ``n_checkboxes`` when the caller
+    already ran detect_checkboxes to avoid a second full-page input scan
+    (the aux hot path does)."""
+    if n_checkboxes is None:
+        n_checkboxes = sum(
+            1 for m in _RE_INPUT.finditer(raw) if _RE_TYPE_CHECKBOX.search(m.group(0))
+        )
+    rows = (n_checkboxes + _GRID_COLS - 1) // _GRID_COLS
     return max(_CODE_GRID_Y0, _CHECKBOX_GRID_Y0 + rows * _STEP_Y + _MARGIN)
 
 
-def detect_codes(html_bytes: bytes | str):
+def detect_codes(html_bytes: bytes | str, n_checkboxes: int | None = None):
     """QR/barcode spans from the page (C11 analogue): the reference
     decodes QR/barcodes into ``TYPE[[DATA]]`` spans with confidence 1.0
     merged via the aux path (tests/test_google_azure_ocr.py:65-82,
@@ -80,7 +85,7 @@ def detect_codes(html_bytes: bytes | str):
         if code and code.group(1):
             texts.append(code.group(1))
     n = len(texts)
-    band_y0 = _code_band_y0(raw)
+    band_y0 = _code_band_y0(raw, n_checkboxes)
     coords = np.empty((n, 8), dtype=np.float64)
     for i in range(n):
         col, row = i % _GRID_COLS, i // _GRID_COLS

@@ -273,7 +273,7 @@ def extract_with_aux(payload: bytes | None, lang: str | None) -> ExtractResult:
         return base
     try:
         coords_cb, texts_cb, _ = detect_checkboxes(payload)
-        coords_qr, texts_qr, _ = detect_codes(payload)
+        coords_qr, texts_qr, _ = detect_codes(payload, n_checkboxes=len(texts_cb))
         coords_aux = np.vstack([coords_cb, coords_qr])
         texts_aux = texts_cb + texts_qr
         width = base.width or layout.PAGE_WIDTH

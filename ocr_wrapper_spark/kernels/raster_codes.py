@@ -241,11 +241,15 @@ def decode_codes(image: np.ndarray) -> list[tuple[str, str, int, int, int, int]]
     qr_barcodes.py:62-63 point(x < 128 -> 0))."""
     b = np.asarray(image, dtype=np.float32) >= 0.5
     out = []
-    qr = _decode_qr(b)
+    # rasters smaller than the detection windows cannot carry a symbol
+    # (and sliding_window_view rejects over-size windows): zero codes
+    if b.ndim != 2:
+        return out
+    qr = _decode_qr(b) if b.shape[1] >= _QR_MIN_RUN and b.shape[0] >= 3 else None
     if qr is not None:
         out.append(qr)
         return out
-    bc = _decode_barcode(b)
+    bc = _decode_barcode(b) if b.shape[0] >= _BC_MIN_RUN and b.shape[1] >= 3 else None
     if bc is not None:
         out.append(bc)
     return out

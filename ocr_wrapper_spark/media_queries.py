@@ -118,24 +118,28 @@ _BC_POPCOUNT = " + ".join(
 _QR_DECODE_ORACLE = f"""
     WITH qr AS (
       SELECT doc_id AS scan_id, 'QRCODE' AS code_type,
-             printf('DOC-%06d-%02d', doc_id, doc_id * 2654435761 % 97) AS code_data,
+             -- fixed-length payload: id mod 10^6 + checksum of the FULL id,
+             -- so the 60x36 symbol fits the page at any doc_id
+             printf('DOC-%06d-%02d', doc_id % 1000000, doc_id * 2654435761 % 97) AS code_data,
              CAST(10 + doc_id * 13 % 280 AS INT) AS px_x0,
              CAST(120 + doc_id * 7 % 40 AS INT) AS px_y0,
-             60 AS w
+             60 AS w,
+             36 AS h
       FROM documents WHERE doc_id % 2 = 0),
     bc AS (
       SELECT doc_id AS scan_id, 'CODE128' AS code_type,
-             lpad(CAST(doc_id AS VARCHAR), 10, '0') AS code_data,
+             lpad(CAST(doc_id % 10000000000 AS VARCHAR), 10, '0') AS code_data,
              CAST(10 + doc_id * 13 % 40 AS INT) AS px_x0,
              CAST(120 + doc_id * 7 % 40 AS INT) AS px_y0,
-             206 + 2 * (2 + {_BC_POPCOUNT}) AS w
+             206 + 2 * (2 + {_BC_POPCOUNT}) AS w,
+             36 AS h
       FROM documents WHERE doc_id % 2 = 1),
     u AS (SELECT * FROM qr UNION ALL SELECT * FROM bc)
     SELECT scan_id, code_type, code_data,
            code_type || '[[' || code_data || ']]' AS code_span,
            px_x0, px_y0,
            CAST(px_x0 + w AS INT) AS px_x1,
-           CAST(px_y0 + 36 AS INT) AS px_y1
+           CAST(px_y0 + h AS INT) AS px_y1
     FROM u
 """
 

@@ -49,17 +49,22 @@ FEATURE_DIM = 16
 
 
 def parse_media_header(payload: bytes | None) -> dict | None:
+    """None for non-MM01 or malformed headers (truncated / non-numeric
+    fields) — a hostile payload must degrade, never kill the task."""
     if not payload or payload[:4] != MEDIA_MAGIC:
         return None
     header = payload.split(b"\n", 1)[0].decode("ascii", errors="replace").split(" ")
-    return {
-        "kind": header[1],
-        "width": int(header[2]),
-        "height": int(header[3]),
-        "sample_rate": int(header[4]),
-        "duration_ms": int(header[5]),
-        "n_frames": int(header[6]),
-    }
+    try:
+        return {
+            "kind": header[1],
+            "width": int(header[2]),
+            "height": int(header[3]),
+            "sample_rate": int(header[4]),
+            "duration_ms": int(header[5]),
+            "n_frames": int(header[6]),
+        }
+    except (IndexError, ValueError):
+        return None
 
 
 def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:

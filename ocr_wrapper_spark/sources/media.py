@@ -80,13 +80,16 @@ QR_CHECK_MULT = 2654435761  # Knuth multiplicative hash constant
 
 def scan_code_attrs(doc_id: int) -> tuple[str, str, int, int]:
     """(code_type, data, x0, y0) for the code on doc_id's scan page.
-    QR symbol is 60x36 px (16 data cols, 13-byte payload, 3 px modules);
-    barcode width varies with the bit pattern (2 px modules, 36 px tall)."""
+    Payloads are FIXED LENGTH so the symbol fits the 200px page at any
+    doc_id: QR carries doc_id mod 10^6 plus a checksum of the full id
+    (60x36 px: 16 data cols, 13-byte payload, 3px modules); the barcode
+    carries doc_id mod 10^10 (36px tall, data-dependent width, 2px
+    modules)."""
     y0 = SCAN_CODE_Y0 + (doc_id * 7) % 40
     if doc_id % 2 == 0:
-        data = f"DOC-{doc_id:06d}-{doc_id * QR_CHECK_MULT % QR_CHECK_MOD:02d}"
+        data = f"DOC-{doc_id % 1_000_000:06d}-{doc_id * QR_CHECK_MULT % QR_CHECK_MOD:02d}"
         return "QRCODE", data, 10 + (doc_id * 13) % 280, y0
-    return "CODE128", f"{doc_id:010d}", 10 + (doc_id * 13) % 40, y0
+    return "CODE128", f"{doc_id % 10_000_000_000:010d}", 10 + (doc_id * 13) % 40, y0
 
 
 def build_scan_raster(doc_id: int) -> np.ndarray:

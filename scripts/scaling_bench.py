@@ -148,10 +148,12 @@ class _BackgroundLoad:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    force = "--force" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    repeats = int(args[1]) if len(args) > 1 else 1
+    replicate = int(args[2]) if len(args) > 2 else 32
 
     # materialize once, 256 files: one row group per ~600 KB file gives
     # 8 balanced waves at 32 cores (64 fat files = 2 ragged waves and a
@@ -225,7 +227,10 @@ def main() -> None:
             f.write(line + "\n")
         with open(hist_path) as f:
             hist = [json.loads(ln) for ln in f if ln.strip()]
-        eff_hist = sorted(h["scaling_efficiency_equalized"] for h in hist)
+        eff_hist = sorted(
+            h["scaling_efficiency_equalized"] for h in hist
+            if isinstance(h, dict) and "scaling_efficiency_equalized" in h
+        ) or [out["scaling_efficiency_equalized"]]
         median_eq = eff_hist[len(eff_hist) // 2] if len(eff_hist) % 2 else round(
             (eff_hist[len(eff_hist) // 2 - 1] + eff_hist[len(eff_hist) // 2]) / 2, 3)
         out["history_runs"] = len(hist)
@@ -242,7 +247,6 @@ def main() -> None:
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-        force = "--force" in sys.argv
         if (not force and prev is not None
                 and prev.get("hardware_control_efficiency", 0) > out["hardware_control_efficiency"]):
             print(
