@@ -156,6 +156,39 @@ def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
     assert lsh_candidate_pairs(small).count() == 10 * 9 // 2
 
 
+def test_ngram_max_df_bounds_hot_shingle_fanout(spark):
+    """A boilerplate shingle shared by every doc would make the shingle
+    self-join quadratic; with max_df the hot shingle is cut from both
+    the intersection and the set sizes, so only genuinely-similar pairs
+    survive — and the per-shingle join fanout stays bounded."""
+    from ocr_wrapper_spark.operators.dedup import SHINGLE_K, ngram_jaccard_pairs
+
+    boiler = " ".join(f"w{i}" for i in range(SHINGLE_K))  # one shared shingle
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(" ", F.lit("u"), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    # every doc shares the boiler shingle -> uncapped join emits a row
+    # per doc pair at least once: O(n^2) = 79800 intersection rows
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=10)
+    rows = capped.collect()
+    # the only shared shingle is over the cap, so no pair survives
+    assert rows == []
+    # two real near-dups that share DISCRIMINATIVE shingles still pair up
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs2 = docs.union(
+        spark.createDataFrame(
+            [(9001, dup_text), (9002, dup_text)], "doc_id long, text string"
+        )
+    )
+    pairs = ngram_jaccard_pairs(docs2, threshold=0.8, max_df=10).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(9001, 9002, 1.0)]
+
+
 def test_cosine_near_pairs_strategies_match(spark):
     """The LSH candidate path (no driver collect) must agree with the
     broadcast-matmul path; recall for true near-dups (cosine >= 0.99) is
