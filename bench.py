@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "doc_token_chunks",
     "asof_purchase_last_click",
     "corpus_curation",
+    "media_qr_decode",
 ]
 
 
