@@ -44,6 +44,7 @@ _VERIFY_PRIORITY = [
     # new this round (never in any snapshot)
     "media_qr_decode",
     "lsh_dropped_buckets",
+    "pipeline_consensus3_extract",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

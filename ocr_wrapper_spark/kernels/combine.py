@@ -165,29 +165,57 @@ def aggregate_samples(
     """2-sample consensus (aggregate_multiple_responses.py:158-190):
     best-confidence response enriched with singleton boxes from the pooled
     cross-response grouping whose overlap vs the best response < 0.5."""
-    n1, n2 = coords_1.shape[0], coords_2.shape[0]
-    pooled = np.vstack([coords_1, coords_2]) if n1 + n2 else bc.empty_boxes()
-    response_ids = np.array([0] * n1 + [1] * n2, dtype=np.int64)
+    return aggregate_samples_n(
+        [(coords_1, texts_1, conf_1), (coords_2, texts_2, conf_2)]
+    )
+
+
+def aggregate_samples_n(
+    samples: list[tuple[np.ndarray, list[str], list[float]]],
+):
+    """n-way consensus aggregation.
+
+    Strict generalization of the reference's 2-sample algorithm
+    (aggregate_multiple_responses.py:158-190; the reference raises
+    NotImplementedError for n>2 at aggregate_multiple_responses.py:188 —
+    we extend it): pool every sample's boxes with response ids, group
+    cross-response overlaps, pick the response with the highest mean
+    confidence (first wins ties, like _get_highest_confidence_response),
+    then enrich it with singleton boxes from *other* responses whose
+    max overlap vs the best response stays below 0.5. For n == 2 this is
+    byte-identical to the previous 2-sample implementation.
+    """
+    if len(samples) == 0:
+        return bc.empty_boxes(), [], []
+    if len(samples) == 1:
+        coords, texts, conf = samples[0]
+        return coords.copy(), list(texts), list(conf)
+
+    counts = [c.shape[0] for c, _, _ in samples]
+    total = sum(counts)
+    pooled = (
+        np.vstack([c for c, _, _ in samples]) if total else bc.empty_boxes()
+    )
+    response_ids = np.repeat(
+        np.arange(len(samples), dtype=np.int64), np.asarray(counts, dtype=np.int64)
+    )
 
     groups = group_overlapping(pooled, CONSENSUS_GROUP_THRESHOLD, response_ids)
 
-    best_is_1 = overall_confidence(conf_1) >= overall_confidence(conf_2)
-    if best_is_1:
-        best_coords, best_texts, best_conf = coords_1, list(texts_1), list(conf_1)
-    else:
-        best_coords, best_texts, best_conf = coords_2, list(texts_2), list(conf_2)
-    best_coords = best_coords.copy()
+    means = [overall_confidence(conf) for _, _, conf in samples]
+    best_id = int(np.argmax(means))  # np.argmax: first index wins ties
+    best_coords = samples[best_id][0].copy()
+    best_texts = list(samples[best_id][1])
+    best_conf = list(samples[best_id][2])
 
-    pooled_texts = list(texts_1) + list(texts_2)
-    pooled_conf = list(conf_1) + list(conf_2)
+    pooled_texts = [t for _, texts, _ in samples for t in texts]
+    pooled_conf = [c for _, _, conf in samples for c in conf]
     for g in groups:
         if len(g) != 1:
             continue
         cand = g[0]
         # skip candidates already members of the best response
-        if best_is_1 and cand < n1:
-            continue
-        if not best_is_1 and cand >= n1:
+        if response_ids[cand] == best_id:
             continue
         overlaps = bc.intersection_area_ratio_matrix(pooled[cand : cand + 1], best_coords)
         highest = overlaps.max() if overlaps.size else 0.0

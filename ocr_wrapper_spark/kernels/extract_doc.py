@@ -215,18 +215,23 @@ def extract_consensus(payload: bytes | None, lang: str | None, n_samples: int = 
     Page extraction is deterministic (no provider noise), so samples are
     identical and consensus must return the base response unchanged — the
     grouping/enrichment machinery still runs end to end.
+
+    n_samples > 2 is supported via the n-way generalization in
+    ``combine.aggregate_samples_n`` (the reference raises
+    NotImplementedError there, aggregate_multiple_responses.py:188).
     """
     from . import combine as cmb
 
-    if n_samples != 2:
-        raise NotImplementedError("Aggregating more than 2 responses is not yet implemented")
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
     s1 = extract_document(payload, lang)
     if s1.error is not None:
         return s1
-    s2 = extract_document(payload, lang)
-    coords, texts, conf = cmb.aggregate_samples(
-        s1.coords, s1.texts, s1.confidences, s2.coords, s2.texts, s2.confidences
-    )
+    samples = [(s1.coords, s1.texts, s1.confidences)]
+    for _ in range(n_samples - 1):
+        s = extract_document(payload, lang)
+        samples.append((s.coords, s.texts, s.confidences))
+    coords, texts, conf = cmb.aggregate_samples_n(samples)
     return ExtractResult(
         coords, texts, conf, s1.rotation, s1.tilt_angle, "consensus",
         width=s1.width, height=s1.height,

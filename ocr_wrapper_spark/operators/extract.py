@@ -147,8 +147,8 @@ def _extract_batch_arrow(batch, html_idx: int, lang_idx: int, text_idx: int | No
         t0 = time.perf_counter()
         if mode == "dual":
             res = extract_dual(payloads[i], langs[i], texts_in[i])
-        elif mode == "consensus":
-            res = extract_consensus(payloads[i], langs[i])
+        elif mode.startswith("consensus"):
+            res = extract_consensus(payloads[i], langs[i], _consensus_n(mode))
         elif mode == "aux":
             res = extract_with_aux(payloads[i], langs[i])
         else:
@@ -290,10 +290,18 @@ def with_extraction(df, html_col: str = "html", lang_col: str = "lang", keep_pay
     return _map_in_arrow(df, html_col, lang_col, None, keep_payload)
 
 
+def _consensus_n(mode: str) -> int:
+    """'consensus' -> 2 (reference ocr_samples default); 'consensus3' -> 3."""
+    suffix = mode[len("consensus"):]
+    return int(suffix) if suffix else 2
+
+
 def with_consensus_extraction(df, html_col: str = "html", lang_col: str = "lang",
-                              keep_payload: bool = False):
-    """Multi-sample consensus extraction (2 samples, reference D5 flow)."""
-    return _map_in_arrow(df, html_col, lang_col, None, keep_payload, mode="consensus")
+                              keep_payload: bool = False, n_samples: int = 2):
+    """Multi-sample consensus extraction (reference D5 flow; default 2
+    samples like ocr_samples=2, n-way supported via aggregate_samples_n)."""
+    mode = "consensus" if n_samples == 2 else f"consensus{n_samples}"
+    return _map_in_arrow(df, html_col, lang_col, None, keep_payload, mode=mode)
 
 
 def with_dual_extraction(df, html_col: str = "html", lang_col: str = "lang", text_col: str = "text",
@@ -393,8 +401,8 @@ def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
             for payload, lang, text in zip(pages["html"], pages["lang"], pages["text"]):
                 if mode == "dual":
                     res = extract_dual(payload, lang, text)
-                elif mode == "consensus":
-                    res = extract_consensus(payload, lang)
+                elif mode.startswith("consensus"):
+                    res = extract_consensus(payload, lang, _consensus_n(mode))
                 elif mode == "aux":
                     res = extract_with_aux(payload, lang)
                 else:

@@ -117,6 +117,27 @@ def pipeline_consensus_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_consensus3_extract",
+    """
+    SELECT doc_id, text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans
+    FROM documents
+    """,
+)
+def pipeline_consensus3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sample n-way consensus (extends the reference, which raises
+    NotImplementedError for n>2 at aggregate_multiple_responses.py:188):
+    three samples pooled with response ids, cross-response grouped,
+    best-mean-confidence base enriched with non-overlapping singletons
+    (combine.aggregate_samples_n). Deterministic extraction keeps the
+    result byte-identical to the document text, which the oracle checks."""
+    from .operators.extract import extract_documents_fused
+
+    out = extract_documents_fused(spark, sf_dir, mode="consensus3")
+    return out.select("doc_id", "extracted_text", "n_spans")
+
+
+@register(
     "spans_layoutlm_export",
     f"""
     WITH toks AS (

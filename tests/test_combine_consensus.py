@@ -139,3 +139,56 @@ def test_extract_dual_disjoint_secondary_tail():
     text_page = " ".join(WORDS)
     res = extract_dual(build_html(3, text_page, "en"), "en", text_page)
     assert res.extracted_text == text_page  # identical geometry -> no dupes
+
+
+def test_aggregate_samples_n_three_way_best_and_enrichment():
+    """n=3 consensus: best-mean-confidence response wins; unique singletons
+    from the other two responses are merged in; overlapping extras are not."""
+    coords, w, h = _spans(WORDS[:12])
+    s1 = (coords, WORDS[:12], [0.7] * 12)
+    # sample 2: highest confidence -> becomes the base response
+    s2 = (coords.copy(), [t.upper() for t in WORDS[:12]], [0.9] * 12)
+    # sample 3: low confidence, one unique far-away box and one duplicate
+    extra = bc.from_xywh(0.8, 0.9, 0.05, 0.01)
+    c3 = np.vstack([coords, extra, coords[0:1]])
+    t3 = WORDS[:12] + ["unique3", "dup3"]
+    s3 = (c3, t3, [0.4] * 14)
+    mc, mt, mconf = combine.aggregate_samples_n([s1, s2, s3])
+    assert mt[:12] == [t.upper() for t in WORDS[:12]]  # sample 2 is base
+    assert "unique3" in mt
+    assert "dup3" not in mt
+    assert mc.shape[0] == len(mt) == len(mconf) == 13
+
+
+def test_aggregate_samples_n_matches_two_sample_path():
+    """For n == 2 the n-way kernel is byte-identical to aggregate_samples."""
+    coords, w, h = _spans(WORDS[:12])
+    extra = bc.from_xywh(0.8, 0.9, 0.05, 0.01)
+    c2 = np.vstack([coords, extra])
+    t2 = WORDS[:12] + ["unique"]
+    a = combine.aggregate_samples(coords, WORDS[:12], [0.9] * 12, c2, t2, [0.5] * 13)
+    b = combine.aggregate_samples_n(
+        [(coords, WORDS[:12], [0.9] * 12), (c2, t2, [0.5] * 13)]
+    )
+    assert np.array_equal(a[0], b[0]) and a[1] == b[1] and a[2] == b[2]
+
+
+def test_aggregate_samples_n_single_and_empty():
+    coords, w, h = _spans(WORDS[:3])
+    mc, mt, mconf = combine.aggregate_samples_n([(coords, WORDS[:3], [0.5] * 3)])
+    assert mt == WORDS[:3] and mc.shape[0] == 3
+    mc0, mt0, mconf0 = combine.aggregate_samples_n([])
+    assert mt0 == [] and mconf0 == [] and mc0.shape[0] == 0
+
+
+def test_extract_consensus_three_samples_matches_base():
+    """Deterministic extraction -> 3 identical samples -> consensus equals
+    the base extraction (same invariant the 2-sample query relies on)."""
+    from ocr_wrapper_spark.kernels import extract_doc as ed
+
+    payload = build_html(7, " ".join(WORDS), "en")
+    base = ed.extract_document(payload, "en")
+    cons = ed.extract_consensus(payload, "en", n_samples=3)
+    assert cons.error is None
+    assert cons.texts == base.texts
+    assert np.array_equal(cons.coords, base.coords)
