@@ -45,6 +45,7 @@ _VERIFY_PRIORITY = [
     "media_qr_decode",
     "lsh_dropped_buckets",
     "pipeline_consensus3_extract",
+    "ann_topk_ivf_lloyd",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

@@ -222,6 +222,81 @@ def _cluster_code_matrix(Vn: np.ndarray, Cn: np.ndarray, n_centroids: int) -> np
     return codes
 
 
+MEAN_ROUND = 6  # Lloyd centroid means rounded at 1e-6 so the float64
+# accumulation-order noise (~1e-15, Spark partition order vs DuckDB scan
+# order) can never reach the value the oracle recomputes
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    C: np.ndarray,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd iteration(s) over the coarse centroids.
+
+    Each iteration: assign every corpus vector to its best centroid
+    (same packed-code argmax the query path uses), accumulate per-cluster
+    (sum, count) partials inside each partition via mapInPandas (<=
+    n_centroids rows per partition — the shuffle is numPartitions x
+    n_centroids rows, never the corpus), element-wise-sum the partials in
+    Spark (posexplode -> groupBy(cluster, pos)), and take the mean
+    rounded at 1e-6. Only the n_centroids x dim result reaches the
+    driver. Empty clusters keep their previous centroid.
+
+    The rounding makes the refined centroids engine- and
+    partitioning-deterministic: float32 inputs summed in float64 differ
+    across orders by ~1e-15, eight orders below the rounding grain.
+    """
+    import pandas as pd
+
+    n_centroids, dim = C.shape
+    for _ in range(n_iter):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        def partials(batches):
+            sums = np.zeros((n_centroids, dim), dtype=np.float64)
+            counts = np.zeros(n_centroids, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                codes = _cluster_code_matrix(Vn, Cn, n_centroids)
+                best = np.argmax(codes, axis=1)
+                np.add.at(sums, best, V)
+                np.add.at(counts, best, 1)
+            hit = np.nonzero(counts)[0]
+            if hit.size:
+                yield pd.DataFrame(
+                    {
+                        "cluster": hit.astype("int32"),
+                        "cnt": counts[hit],
+                        "vsum": [sums[c].tolist() for c in hit],
+                    }
+                )
+
+        parts = corpus.select(vec_col).mapInPandas(
+            partials, schema="cluster int, cnt long, vsum array<double>"
+        )
+        summed = (
+            parts.select("cluster", "cnt", F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )  # n_centroids x dim rows — tiny at any corpus scale
+        C_new = C.copy()
+        counts_total = np.zeros(n_centroids, dtype=np.int64)
+        sums_total = np.zeros((n_centroids, dim), dtype=np.float64)
+        for r in summed:
+            sums_total[r["cluster"], r["pos"]] = r["s"]
+            counts_total[r["cluster"]] = r["n"]
+        hit = counts_total > 0
+        C_new[hit] = np.round(sums_total[hit] / counts_total[hit, None], MEAN_ROUND)
+        C = C_new
+    return C
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,13 +307,18 @@ def ivf_topk_cosine(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int = 4,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their best coarse centroid once (the inverted lists);
     each query probes its ``n_probe`` closest centroids and reranks
     exactly inside those lists only. The candidate set meets in an
     equi-join on cluster id — corpus stays partitioned, nothing large on
-    the driver (centroids are n_centroids x dim)."""
+    the driver (centroids are n_centroids x dim).
+
+    ``lloyd_iters`` > 0 refines the seeded centroids with distributed
+    k-means iterations (lloyd_refine) before building the lists —
+    tighter clusters, better recall per probed list at real scale."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -247,6 +327,8 @@ def ivf_topk_cosine(
         key=lambda r: r[0],
     )
     C = np.asarray([r[1] for r in seeds], dtype=np.float64)
+    if lloyd_iters:
+        C = lloyd_refine(corpus, C, n_iter=lloyd_iters, vec_col=vec_col)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def top_clusters_udf(n_top: int):

@@ -221,15 +221,48 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(e, queries, k=TOPK, round_digits=4)
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(lloyd: bool = False) -> str:
     """Exact SQL mirror of the IVF path: seeded centroids (vec_id <
     N_CENTROIDS), packed (rounded-cosine, cid) argmax codes, top-n_probe
-    probing, in-cluster exact rerank."""
+    probing, in-cluster exact rerank.
+
+    lloyd=True prepends one k-means iteration: assign every vector to
+    its seeded centroid with the same argmax codes, then recompute each
+    centroid as the element-wise mean rounded at 1e-6
+    (similarity.MEAN_ROUND — the grain that makes float64
+    accumulation-order noise engine-invisible); empty clusters keep
+    their seed. The refined centroids feed the identical
+    assign/probe/rerank tail."""
     nc = similarity.N_CENTROIDS
     npr = similarity.N_PROBE
     off = similarity._CODE_OFFSET
+    seed_cte = f"""
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < {nc})"""
+    lloyd_cte = f"""
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < {nc}),
+    enc0 AS (
+      SELECT e.vec_id, e.embedding, c0.cid,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c0.cvec), 6)
+                  * 1000000 + {off} AS BIGINT) * {nc} + ({nc} - 1 - c0.cid) AS code
+      FROM embeddings e CROSS JOIN c0),
+    assigned0 AS (
+      SELECT vec_id, embedding, CAST({nc} - 1 - (max(code) % {nc}) AS INT) AS cluster
+      FROM enc0 GROUP BY vec_id, embedding),
+    exploded0 AS (
+      SELECT cluster, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM assigned0),
+    cmeans0 AS (
+      SELECT cluster, i, round(avg(v), {similarity.MEAN_ROUND}) AS m
+      FROM exploded0 GROUP BY cluster, i),
+    newc0 AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS cvec FROM cmeans0 GROUP BY cluster),
+    c AS (
+      SELECT c0.cid, coalesce(n.cvec, c0.cvec) AS cvec
+      FROM c0 LEFT JOIN newc0 n ON n.cid = c0.cid)"""
+    head = lloyd_cte if lloyd else seed_cte
     return f"""
-    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {nc}),
+    WITH {head},
     enc AS (
       SELECT e.vec_id, e.embedding, c.cid,
              CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6)
@@ -271,6 +304,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk_cosine(e, queries, k=TOPK)
+
+
+@register("ann_topk_ivf_lloyd", _ivf_oracle(lloyd=True))
+def ann_topk_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one distributed Lloyd refinement round (ROADMAP item:
+    k-means refinement via tree-aggregated partial sums): per-partition
+    (cluster, sum, count) partials, a numPartitions x n_centroids-row
+    shuffle, means rounded at 1e-6 so the DuckDB oracle recomputes the
+    refined centroids exactly. Same equi-join probe/rerank tail as
+    ann_topk_ivf."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_cosine(e, queries, k=TOPK, lloyd_iters=1)
 
 
 @register("ann_topk_lsh")  # oracle assigned below (_lsh_oracle)

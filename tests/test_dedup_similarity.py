@@ -253,3 +253,55 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every query answers itself (the query vector is in the corpus and
     # always lands in a probed cluster)
     assert all((q, q) in ivf for q, _ in ivf)
+
+
+def test_lloyd_refine_moves_centroids_to_cluster_means(spark):
+    """Three well-separated blobs, three seeds (one per blob): a Lloyd
+    iteration must land each centroid on its blob's 1e-6-rounded mean."""
+    import numpy as np
+    from ocr_wrapper_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.vstack([c + rng.standard_normal((20, 4)) * 0.1 for c in centers])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seeds = first vector of each blob (vec_id 0, 20, 40)
+    C = np.asarray(pts[[0, 20, 40]], dtype=np.float32).astype(np.float64)
+    refined = sim.lloyd_refine(df, C, n_iter=1)
+    V32 = pts.astype(np.float32).astype(np.float64)
+    expected = np.vstack(
+        [np.round(V32[b * 20 : (b + 1) * 20].mean(axis=0), sim.MEAN_ROUND) for b in range(3)]
+    )
+    assert np.allclose(refined, expected, atol=1e-9)
+
+
+def test_lloyd_refine_partitioning_invariant(spark):
+    """The 1e-6 mean rounding makes the refined centroids identical
+    regardless of how the corpus is partitioned (local[8] vs local[32]
+    determinism — the scaling-evidence invariant)."""
+    import numpy as np
+    from ocr_wrapper_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    pts = rng.standard_normal((120, 8))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C = np.asarray(pts[:4], dtype=np.float32).astype(np.float64)
+    a = sim.lloyd_refine(df.repartition(2), C, n_iter=2)
+    b = sim.lloyd_refine(df.repartition(13), C, n_iter=2)
+    assert np.array_equal(a, b)
+
+
+def test_lloyd_refine_empty_cluster_keeps_seed(spark):
+    """A seed far from every point attracts nothing and must survive
+    the iteration unchanged (the oracle's LEFT JOIN coalesce branch)."""
+    import numpy as np
+    from ocr_wrapper_spark.operators import similarity as sim
+
+    pts = np.array([[1.0, 0.0], [0.9, 0.1], [1.0, 0.1]])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C = np.array([[1.0, 0.0], [-1.0, 0.0]])  # second seed opposite the data
+    refined = sim.lloyd_refine(df, C, n_iter=1)
+    assert np.array_equal(refined[1], C[1])
