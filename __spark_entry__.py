@@ -46,6 +46,8 @@ _VERIFY_PRIORITY = [
     "lsh_dropped_buckets",
     "pipeline_consensus3_extract",
     "ann_topk_ivf_lloyd",
+    "doc_repetition_filter",
+    "doc_pii_redaction",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

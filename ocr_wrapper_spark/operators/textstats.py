@@ -107,6 +107,86 @@ def fingerprint_col(text_col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def with_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.9,
+    max_top_bigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public
+    literature): duplicate-word fraction, top-unigram coverage, and
+    top-bigram coverage, plus the keep/cut decision at the given
+    thresholds.
+
+    The n-gram modes are computed relationally — explode n-grams,
+    count per (doc, gram), max per doc — so both shuffles are keyed by
+    doc_id and combine map-side; nothing is quadratic in document length
+    and nothing leaves the executors. Empty and one-word documents skip
+    the explode entirely (no degenerate sequence()).
+    """
+    toks = F.split(F.col(text_col), " ")
+    words = F.when(F.col(text_col) == "", F.expr("array()").cast("array<string>")).otherwise(toks)
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("_w"),
+    )
+    unigrams = base.filter(F.col("n_words") >= 1).select(
+        id_col, F.explode("_w").alias("gram")
+    )
+    bigrams = base.filter(F.col("n_words") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(0, size(_w) - 2), i -> concat(_w[i], ' ', _w[i+1]))")
+        ).alias("gram"),
+    )
+
+    def top_count(grams: DataFrame, out: str) -> DataFrame:
+        return (
+            grams.groupBy(id_col, "gram")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias(out))
+        )
+
+    stats = (
+        base.drop("_w")
+        .join(top_count(unigrams, "_top1"), id_col, "left")
+        .join(top_count(bigrams, "_top2"), id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(1 - F.col("n_distinct").cast("double") / F.col("n_words"), 6),
+            )
+            .otherwise(0.0)
+            .alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("_top1"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("_top2"), F.lit(0)).cast("double") * 2
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.coalesce(F.col("_top2"), F.lit(0)).alias("_top2c"),
+        )
+    )
+    # the bigram cut requires the top bigram to actually repeat — a short
+    # all-distinct doc has top_bigram_frac = 2/n, which would spuriously
+    # trip a fixed threshold below n = 2/threshold words
+    return stats.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & ((F.col("top_bigram_frac") <= max_top_bigram_frac) | (F.col("_top2c") < 2)),
+    ).drop("_top2c")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

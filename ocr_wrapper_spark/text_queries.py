@@ -83,6 +83,120 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_filter",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN [] ELSE str_split(text, ' ') END AS words
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+      FROM w),
+    ug AS (SELECT doc_id, unnest(words) AS gram FROM w WHERE len(words) >= 1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])) AS gram
+      FROM w WHERE len(words) >= 2),
+    t1 AS (SELECT doc_id, max(c) AS top1 FROM
+             (SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+    t2 AS (SELECT doc_id, max(c) AS top2 FROM
+             (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram)
+           GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words,
+           CASE WHEN b.n_words > 0
+                THEN round(1 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_word_frac,
+           round(coalesce(t1.top1, 0) / CAST(greatest(b.n_words, 1) AS DOUBLE), 6)
+             AS top_word_frac,
+           round(coalesce(t2.top2, 0) * 2 / CAST(greatest(b.n_words, 1) AS DOUBLE), 6)
+             AS top_bigram_frac,
+           (CASE WHEN b.n_words > 0
+                 THEN round(1 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6)
+                 ELSE 0.0 END) <= 0.9
+           AND (round(coalesce(t2.top2, 0) * 2 / CAST(greatest(b.n_words, 1) AS DOUBLE), 6) <= 0.10
+                OR coalesce(t2.top2, 0) < 2)
+             AS keep
+    FROM base b
+    LEFT JOIN t1 ON t1.doc_id = b.doc_id
+    LEFT JOIN t2 ON t2.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition cut (Rae et al. 2021 §A1.1): duplicate-word
+    fraction, top-unigram coverage, top-bigram coverage, and the keep
+    decision. n-gram modes are relational (explode -> count -> max), both
+    shuffles keyed by doc_id with map-side combine — scale-safe at any
+    document length or corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_repetition_stats(d)
+
+
+@register(
+    "doc_pii_redaction",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' reach user' || doc_id || '@example.org' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' node 10.' || (doc_id % 256) || '.0.1 up' ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                     THEN ' call +43' || (1000000 + doc_id) ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'),
+             '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
+    FROM pii
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: emails / IPv4 / intl phones
+    replaced by typed placeholder tokens, per-type match counts kept for
+    curation metrics. Pure JVM regexp passes (functions/redact.py), no
+    Python in the loop. The fixture text carries no PII, so the query
+    injects it deterministically from doc_id (mirrored in the oracle) —
+    every row exercises real replacements."""
+    from .functions import redact
+
+    d = _t(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@example.org")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit(" node 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 up")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit(" call +43"), (F.col("doc_id") + 1000000).cast("string")),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return redact.with_pii_redaction(pii).select(
+        "doc_id", "redacted_text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+@register(
     "doc_token_counts",
     """
     SELECT doc_id,

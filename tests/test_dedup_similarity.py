@@ -305,3 +305,53 @@ def test_lloyd_refine_empty_cluster_keeps_seed(spark):
     C = np.array([[1.0, 0.0], [-1.0, 0.0]])  # second seed opposite the data
     refined = sim.lloyd_refine(df, C, n_iter=1)
     assert np.array_equal(refined[1], C[1])
+
+
+def test_repetition_filter_cuts_repeated_phrase(spark):
+    """Hand-computed Gopher repetition stats: a doc dominated by one
+    repeated bigram is cut, a diverse doc is kept, empty/one-word docs
+    hit the no-ngram branches without degenerate sequence()."""
+    from ocr_wrapper_spark.operators.textstats import with_repetition_stats
+
+    rows = [
+        (0, "click here " * 10 + "end"),        # 21 words, bigram 'click here' x10
+        (1, "alpha bravo charlie delta echo"),  # all distinct
+        (2, ""),                                # empty
+        (3, "solo"),                            # one word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 21
+    assert abs(r0["top_bigram_frac"] - round(10 * 2 / 21, 6)) < 1e-9
+    assert abs(r0["dup_word_frac"] - round(1 - 3 / 21, 6)) < 1e-9
+    assert not r0["keep"]
+    r1 = out[1]
+    assert r1["dup_word_frac"] == 0.0 and r1["keep"]
+    assert out[2]["n_words"] == 0 and out[2]["keep"]
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["top_word_frac"] == 1.0 and r3["top_bigram_frac"] == 0.0
+
+
+def test_pii_redaction_patterns_and_order(spark):
+    """Email is redacted before the IP/phone passes so its digit-dot
+    fragments are never double-counted; multiple matches per doc all
+    replaced; clean text untouched."""
+    from ocr_wrapper_spark.functions.redact import with_pii_redaction
+
+    rows = [
+        (0, "mail a.b+c@x-1.org and d@e.io now"),
+        (1, "host 192.168.0.1 peer 10.0.0.255"),
+        (2, "call +4312345678 or +15551234567"),
+        (3, "nothing sensitive here 1.2 only"),
+        (4, "mixed u@v.com at 8.8.8.8 dial +1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    assert out[0]["redacted_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[0]["n_emails"] == 2 and out[0]["n_ips"] == 0 and out[0]["n_phones"] == 0
+    assert out[1]["redacted_text"] == "host <IP> peer <IP>" and out[1]["n_ips"] == 2
+    assert out[2]["redacted_text"] == "call <PHONE> or <PHONE>" and out[2]["n_phones"] == 2
+    assert out[3]["redacted_text"] == rows[3][1]
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted_text"] == "mixed <EMAIL> at <IP> dial <PHONE>"
