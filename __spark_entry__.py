@@ -48,6 +48,8 @@ _VERIFY_PRIORITY = [
     "ann_topk_ivf_lloyd",
     "doc_repetition_filter",
     "doc_pii_redaction",
+    "url_canonical_dedup",
+    "corpus_source_mix",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

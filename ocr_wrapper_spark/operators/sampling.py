@@ -1,0 +1,68 @@
+"""Deterministic stratified sampling for training-mix construction.
+
+A training corpus is rarely used as-is: each source gets a weight —
+downsample boilerplate-heavy crawls, repeat high-quality sources for
+multiple epochs (the public LLaMA/Pile recipe shape). Rates are
+per-stratum:
+
+* rate < 1  — Bernoulli downsample at that rate
+* rate >= 1 — every doc appears floor(rate) times, plus one more with
+  probability frac(rate) (fractional epochs)
+
+Selection uses the same Knuth multiplicative hash as doc_train_split:
+``u = ((id * 2654435761) % 2^32) / 2^32`` — deterministic across runs,
+partitionings, and cluster sizes, exactly reproducible in SQL. The
+whole operator is narrow (filter + explode, no shuffle); only the
+monitoring rollup aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MOD = 4294967296
+
+
+def _u(id_col):
+    return ((F.col(id_col) * KNUTH) % MOD).cast("double") / float(MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``df`` repeated per the stratum's rate; ``epoch`` column
+    numbers the copies (1-based). Zero-shuffle: filter + explode only."""
+    mapping = F.create_map(
+        *[x for k, v in sorted(rates.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    rate = F.coalesce(mapping[F.col(strat_col)], F.lit(float(default_rate)))
+    u = _u(id_col)
+    n_copies = F.floor(rate).cast("int") + (u < (rate - F.floor(rate))).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def source_mix_summary(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum monitoring rollup of the sample: total rows emitted
+    (epochs included) and unique docs kept."""
+    sampled = stratified_sample(df, rates, default_rate, strat_col, id_col)
+    return sampled.groupBy(strat_col).agg(
+        F.count("*").alias("n_samples"),
+        F.countDistinct(id_col).alias("n_unique"),
+    )

@@ -197,6 +197,105 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             'HTTP://crawler:pw@WWW.Host' || (doc_id % 20) || '.Example.COM:80/p/'
+             || (doc_id % 50)
+             || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                     ELSE '?b=2&a=1&fbclid=xyz' END
+             || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)     AS rest,
+             regexp_extract(url, '\?([^#]*)', 1)                            AS query
+      FROM m),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://'
+             || regexp_replace(
+                  regexp_replace(
+                    lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                                         '^[^@]*@', '')),
+                    CASE WHEN scheme = 'http' THEN ':80$'
+                         WHEN scheme = 'https' THEN ':443$' ELSE 'a^' END, ''),
+                  '^www\.', '')
+             || CASE WHEN regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) = '' THEN '/'
+                     ELSE regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) END
+             || CASE WHEN len(list_filter(str_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) > 0
+                     THEN '?' || array_to_string(list_sort(list_filter(str_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&')
+                     ELSE '' END AS canonical_url
+      FROM parts)
+    SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_dupes
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup (functions/urls.py): scheme and
+    host lowercased, userinfo/www./default-port stripped, tracking params
+    cut, remaining params sorted, fragment dropped; then one hash
+    aggregate on the canonical string (map-side combinable). The fixture
+    has no messy URLs, so the query synthesizes scheme-case / userinfo /
+    port / param-order / tracking / fragment variants deterministically
+    from doc_id (mirrored in the oracle); canonicalization collapses
+    them ~5:1."""
+    from .functions import urls
+
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://crawler:pw@WWW.Host"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.COM:80/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, "?utm_source=feed&b=2&a=1").otherwise(
+                "?b=2&a=1&fbclid=xyz"
+            ),
+            F.when(F.col("doc_id") % 3 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+    )
+    return urls.canonical_dedup(messy)
+
+
+@register(
+    "corpus_source_mix",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 0.5 END AS rate
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS INT)
+             + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+      FROM s)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_samples,
+           count(*) FILTER (WHERE n > 0) AS n_unique
+    FROM c GROUP BY source HAVING sum(n) > 0
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (operators/sampling.py): per-source
+    epoch weights — src0 repeated 2.5x (2 epochs + half the docs a 3rd
+    time), src1 downsampled to 0.25, everything else 0.5 — via the
+    deterministic multiplicative hash. The sample operator is narrow
+    (filter + explode, no shuffle); only this monitoring rollup
+    aggregates."""
+    from .operators.sampling import source_mix_summary
+
+    d = _t(spark, sf_dir, "documents")
+    return source_mix_summary(d, {"src0": 2.5, "src1": 0.25}, default_rate=0.5)
+
+
+@register(
     "doc_token_counts",
     """
     SELECT doc_id,

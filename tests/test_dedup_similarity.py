@@ -355,3 +355,52 @@ def test_pii_redaction_patterns_and_order(spark):
     assert out[3]["redacted_text"] == rows[3][1]
     assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
     assert out[4]["redacted_text"] == "mixed <EMAIL> at <IP> dial <PHONE>"
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on a hand-built fixture: case, userinfo,
+    default vs explicit port, empty path, param sort, tracking cut,
+    fragment drop."""
+    from ocr_wrapper_spark.functions.urls import with_canonical_url
+
+    rows = [
+        (0, "HTTP://WWW.Ex.COM:80"),                       # -> http://ex.com/
+        (1, "https://u:p@Ex.com:443/a/b?z=1&a=2#frag"),    # userinfo+443+sort+frag
+        (2, "http://ex.com:8080/x"),                        # non-default port kept
+        (3, "http://ex.com/x?utm_source=a&utm_medium=b"),   # all tracking -> no query
+        (4, "http://ex.com/x?ref&b=1"),                     # bare tracking param cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
+    assert out[0] == "http://ex.com/"
+    assert out[1] == "https://ex.com/a/b?a=2&z=1"
+    assert out[2] == "http://ex.com:8080/x"
+    assert out[3] == "http://ex.com/x"
+    assert out[4] == "http://ex.com/x?b=1"
+
+
+def test_stratified_sample_epochs_and_determinism(spark):
+    """rate >= 1 repeats docs floor(rate) times (+ fractional epoch),
+    rate < 1 Bernoulli-downsamples, rate 0 drops the stratum; identical
+    output regardless of partitioning (narrow, hash-deterministic)."""
+    from ocr_wrapper_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.0, "b": 0.5, "c": 0.0}
+    out = stratified_sample(df, rates).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    # exactly 2 epochs for every 'a' doc
+    assert len(per["a"]) == 80 and {r["epoch"] for r in per["a"]} == {1, 2}
+    # 'b' downsampled strictly between 0 and all
+    assert 0 < len(per.get("b", [])) < 40
+    assert "c" not in per
+    # partition invariance
+    a = sorted((r["doc_id"], r["epoch"]) for r in out)
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in stratified_sample(df.repartition(7), rates).collect()
+    )
+    assert a == b
