@@ -50,6 +50,8 @@ _VERIFY_PRIORITY = [
     "doc_pii_redaction",
     "url_canonical_dedup",
     "corpus_source_mix",
+    "corpus_vocabulary",
+    "ann_topk_int8",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

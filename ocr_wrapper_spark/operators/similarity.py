@@ -118,6 +118,64 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _quantize_i8(V: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 scalar quantization: q = floor(v * 127 /
+    max|v| + 0.5). floor(x + 0.5) instead of numpy's round-half-even so
+    DuckDB's floor reproduces every code exactly."""
+    m = np.abs(V).max(axis=1, keepdims=True)
+    return np.floor(V * (127.0 / m) + 0.5).astype(np.int32)
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantized brute-force top-k: vectors scalar-quantized to int8
+    (per-vector symmetric scale), cosine computed on the integer codes.
+    The scale cancels in the cosine, so this approximates the float
+    score to ~1/127 while reading 4 bytes/dim less — at 100 TB of
+    embeddings the scan is memory-bandwidth-bound and the quantized
+    corpus is 4x smaller (int8 SIMD dot on real hardware). Integer dot
+    products are order-exact, which is what makes the DuckDB oracle an
+    exact mirror rather than a tolerance check."""
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = _quantize_i8(np.asarray([r[1] for r in q_rows], dtype=np.float64)).astype(np.int64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _quantize_i8(np.asarray(pdf[vec_col].tolist(), dtype=np.float64)).astype(np.int64)
+            cnorm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            # integer dot products are order-exact; only the final
+            # divide + round touch floats, so DuckDB reproduces every
+            # score bit-for-bit
+            D = (C @ Q.T).astype(np.float64)
+            S = np.round(D / (cnorm[:, None] * qnorm[None, :]), round_digits)
+            m = len(q_ids)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(np.asarray(q_ids, dtype=np.int64), b),
+                    id_col: np.tile(pdf[id_col].to_numpy(dtype=np.int64), m),
+                    "cosine": S.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # Above this corpus size the broadcast-matmul near-pairs path would
 # collect too much to the driver; the LSH candidate path takes over.
 BROADCAST_LIMIT = 200_000

@@ -296,6 +296,44 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocabulary",
+    """
+    SELECT term, n_occurrences, n_docs, rank FROM (
+      SELECT term, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank
+      FROM (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE text <> '')
+        GROUP BY term))
+    WHERE rank <= 50
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary rollup (tokenizer-training primitive): global
+    term and document frequencies, top 50 by count. explode -> two-level
+    aggregate; the term-count shuffle combines map-side, and only the
+    (tiny) top-k crosses the final single-partition window — the
+    standard global top-k shape from host_top10_exact."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.filter(F.col("text") != "").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("term", "n_occurrences", "n_docs", "rank")
+    )
+
+
+@register(
     "doc_token_counts",
     """
     SELECT doc_id,
@@ -532,6 +570,40 @@ def ann_topk_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk_cosine(e, queries, k=TOPK, lloyd_iters=1)
+
+
+@register(
+    "ann_topk_int8",
+    f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS q
+      FROM (SELECT vec_id, embedding,
+                   127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+            FROM embeddings)),
+    n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM quant),
+    scored AS (
+      SELECT qr.vec_id AS query_id, c.vec_id,
+             round(list_dot_product(c.q, qr.q) / (c.nrm * qr.nrm), 6) AS cosine
+      FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % 100 = 0) qr),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+    """,
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force ANN: per-vector symmetric scalar
+    quantization (floor(x*127/max|x| + 0.5)), cosine on the integer
+    codes — the 4x-smaller-scan scale path. Integer dot products are
+    order-exact, so the oracle mirrors every score bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_int8(e, queries, k=TOPK)
 
 
 @register("ann_topk_lsh")  # oracle assigned below (_lsh_oracle)

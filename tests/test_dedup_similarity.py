@@ -404,3 +404,24 @@ def test_stratified_sample_epochs_and_determinism(spark):
         for r in stratified_sample(df.repartition(7), rates).collect()
     )
     assert a == b
+
+
+def test_int8_topk_recall_vs_bruteforce(spark):
+    """1/127 quantization at dim 64 barely perturbs cosines: top-5 recall
+    vs the exact float path stays high, and quantized codes are in
+    [-127, 127]."""
+    import numpy as np
+    from ocr_wrapper_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk_bruteforce(e, q, k=5).collect()
+    quant = sim.cosine_topk_int8(e, q, k=5).collect()
+    a = {(r["query_id"], r["vec_id"]) for r in exact}
+    b = {(r["query_id"], r["vec_id"]) for r in quant}
+    assert len(a & b) / len(a) >= 0.9
+    V = np.array([[0.5, -1.0, 0.25, 0.0]])
+    codes = sim._quantize_i8(V)
+    assert codes.tolist() == [[64, -127, 32, 0]]
