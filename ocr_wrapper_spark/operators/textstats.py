@@ -125,53 +125,65 @@ def with_repetition_stats(
     and nothing leaves the executors. Empty and one-word documents skip
     the explode entirely (no degenerate sequence()).
     """
-    toks = F.split(F.col(text_col), " ")
-    words = F.when(F.col(text_col) == "", F.expr("array()").cast("array<string>")).otherwise(toks)
-    base = df.select(
-        F.col(id_col),
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
-        words.alias("_w"),
+    # ONE scan of the text column: unigrams and bigrams leave the row as
+    # a single tagged explode; n_words / n_distinct fall out of the
+    # unigram counts (sum and count of the per-gram groups), so no
+    # second pass over the wide column is ever needed. Empty documents
+    # produce no grams — they re-enter via a right join against a
+    # doc_id-only scan (column-pruned, reads none of the text).
+    wdf = (
+        df.filter(F.col(text_col) != "")
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
     )
-    unigrams = base.filter(F.col("n_words") >= 1).select(
-        id_col, F.explode("_w").alias("gram")
-    )
-    bigrams = base.filter(F.col("n_words") >= 2).select(
+    # sequence(0, n-2) flips to a descending [0, -1] when n < 2 (Spark
+    # auto-negates the step), so the bigram arm must be gated explicitly
+    bigram_structs = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "transform(sequence(0, size(_w) - 2), "
+            "i -> struct(2 as typ, concat(_w[i], ' ', _w[i+1]) as gram))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<typ:int,gram:string>>"))
+    grams = wdf.select(
         id_col,
         F.explode(
-            F.expr("transform(sequence(0, size(_w) - 2), i -> concat(_w[i], ' ', _w[i+1]))")
-        ).alias("gram"),
+            F.concat(
+                F.transform(
+                    F.col("_w"),
+                    lambda w: F.struct(F.lit(1).alias("typ"), w.alias("gram")),
+                ),
+                bigram_structs,
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.typ").alias("typ"), F.col("g.gram").alias("gram"))
+
+    per_gram = grams.groupBy(id_col, "typ", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("typ") == 1, F.col("c"))).cast("long").alias("_nw"),
+        F.count(F.when(F.col("typ") == 1, True)).alias("_nd"),
+        F.max(F.when(F.col("typ") == 1, F.col("c"))).alias("_top1"),
+        F.max(F.when(F.col("typ") == 2, F.col("c"))).alias("_top2"),
     )
-
-    def top_count(grams: DataFrame, out: str) -> DataFrame:
-        return (
-            grams.groupBy(id_col, "gram")
-            .agg(F.count("*").alias("c"))
-            .groupBy(id_col)
-            .agg(F.max("c").alias(out))
-        )
-
     stats = (
-        base.drop("_w")
-        .join(top_count(unigrams, "_top1"), id_col, "left")
-        .join(top_count(bigrams, "_top2"), id_col, "left")
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
-            "n_words",
+            F.coalesce(F.col("_nw"), F.lit(0)).cast("int").alias("n_words"),
             F.when(
-                F.col("n_words") > 0,
-                F.round(1 - F.col("n_distinct").cast("double") / F.col("n_words"), 6),
+                F.coalesce(F.col("_nw"), F.lit(0)) > 0,
+                F.round(1 - F.col("_nd").cast("double") / F.col("_nw"), 6),
             )
             .otherwise(0.0)
             .alias("dup_word_frac"),
             F.round(
                 F.coalesce(F.col("_top1"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_words"), F.lit(1)),
+                / F.greatest(F.coalesce(F.col("_nw"), F.lit(0)), F.lit(1)),
                 6,
             ).alias("top_word_frac"),
             F.round(
                 F.coalesce(F.col("_top2"), F.lit(0)).cast("double") * 2
-                / F.greatest(F.col("n_words"), F.lit(1)),
+                / F.greatest(F.coalesce(F.col("_nw"), F.lit(0)), F.lit(1)),
                 6,
             ).alias("top_bigram_frac"),
             F.coalesce(F.col("_top2"), F.lit(0)).alias("_top2c"),
