@@ -199,6 +199,63 @@ def with_repetition_stats(
     ).drop("_top2c")
 
 
+def with_dup_span_coverage(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_span_frac: float = 0.2,
+) -> DataFrame:
+    """Exact-substring duplication coverage (the Lee et al. 2022
+    "Deduplicating Training Data" shape, windowed for Spark): a token
+    position is duplicated if any ``window``-gram covering it occurs in
+    more than one document; emit the covered fraction per doc plus the
+    keep/cut decision.
+
+    Plan shape: one explode of stride-1 windows, a map-side-combinable
+    distinct-doc count per gram, an equi-join back on the gram, and a
+    doc_id-keyed distinct-position count — every shuffle is keyed, no
+    driver collection, no cross product. At real scale the gram string
+    would be md5'd to narrow the exchange; kept raw here so the oracle
+    joins on the same bytes.
+    """
+    toks = F.split(F.col(text_col), " ")
+    t = df.filter(F.col(text_col) != "").select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("n_tokens")
+    )
+    wins = t.filter(F.col("n_tokens") >= window).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - window)).alias("i"),
+        "_tk",
+    ).select(
+        id_col, "i", F.array_join(F.slice("_tk", F.col("i") + 1, window), " ").alias("gram")
+    )
+    dup_grams = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        wins.join(dup_grams, "gram")
+        .select(id_col, F.explode(F.sequence(F.col("i"), F.col("i") + window - 1)).alias("p"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("p").alias("_cov"))
+    )
+    return (
+        t.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("_cov"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_span_frac"),
+        )
+        .withColumn("keep", F.col("dup_span_frac") <= max_dup_span_frac)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -334,6 +334,66 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dup_span_coverage",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' subscribe to our newsletter and click here right now today'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' all rights reserved copyright two thousand twenty four inc'
+                     ELSE '' END AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n_tokens
+      FROM m WHERE text <> ''),
+    wins AS (
+      SELECT doc_id, CAST(s AS INT) AS i,
+             array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8], ' ') AS gram
+      FROM t, unnest(range(0, n_tokens - 7)) AS r(s)
+      WHERE n_tokens >= 8),
+    dup_grams AS (
+      SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT doc_id, count(DISTINCT p) AS cov
+      FROM (SELECT w.doc_id, unnest(range(w.i, w.i + 8)) AS p
+            FROM wins w JOIN dup_grams d ON d.gram = w.gram)
+      GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS dup_span_frac,
+           round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6) <= 0.2 AS keep
+    FROM t LEFT JOIN covered c ON c.doc_id = t.doc_id
+    """,
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022 windowed
+    shape, operators/textstats.py): fraction of token positions covered
+    by an 8-gram occurring in >= 2 documents, with the keep/cut call.
+    The fixture has no cross-doc substrings, so boilerplate sentences
+    are appended deterministically from doc_id (mirrored in the oracle);
+    against the 0.2 threshold the sf0.01 fixture splits 378 keep / 122
+    cut (short docs dominated by the boilerplate score up to ~0.57)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                " subscribe to our newsletter and click here right now today",
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                " all rights reserved copyright two thousand twenty four inc",
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return textstats.with_dup_span_coverage(m, window=8)
+
+
+@register(
     "doc_token_counts",
     """
     SELECT doc_id,

@@ -425,3 +425,25 @@ def test_int8_topk_recall_vs_bruteforce(spark):
     V = np.array([[0.5, -1.0, 0.25, 0.0]])
     codes = sim._quantize_i8(V)
     assert codes.tolist() == [[64, -127, 32, 0]]
+
+
+def test_dup_span_coverage_marks_shared_windows(spark):
+    """Two docs sharing an 8-gram get exactly those positions covered;
+    a unique doc stays at 0; per-doc repeats of a window do NOT count
+    (duplication is across documents)."""
+    from ocr_wrapper_spark.operators.textstats import with_dup_span_coverage
+
+    shared = "a b c d e f g h"  # one 8-gram
+    rows = [
+        (0, shared + " x1 y1 z1 w1"),     # 12 tokens, 8 covered
+        (1, shared + " x2 y2 z2 w2"),     # 12 tokens, 8 covered
+        (2, "p q r s t u v w"),           # unique 8 tokens
+        (3, "m n o p q r s m n o p q r s"),  # repeats inside one doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_dup_span_coverage(df, window=8).collect()}
+    assert abs(out[0]["dup_span_frac"] - round(8 / 12, 6)) < 1e-9
+    assert abs(out[1]["dup_span_frac"] - round(8 / 12, 6)) < 1e-9
+    assert out[2]["dup_span_frac"] == 0.0 and out[2]["keep"]
+    assert out[3]["dup_span_frac"] == 0.0
+    assert not out[0]["keep"]
