@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "asof_purchase_last_click",
     "corpus_curation",
     "media_qr_decode",
+    "doc_repetition_filter",
+    "ann_topk_int8",
 ]
 
 
