@@ -124,3 +124,48 @@ def test_ivf_candidates_meet_in_equi_join(spark):
     plan = _plan(ivf_topk_cosine(e, q, k=3))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "cluster" in plan
+
+
+def test_repetition_filter_single_text_scan(spark):
+    """doc_repetition_filter reads the wide text column exactly once;
+    the second scan is the doc_id-only re-entry for empty docs."""
+    from ocr_wrapper_spark.relational import QUERIES
+    import ocr_wrapper_spark.text_queries  # noqa: F401
+
+    plan = _formatted(QUERIES["doc_repetition_filter"](spark, SF))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    with_text = [l for l in reads if "text" in l]
+    assert len(with_text) == 1
+
+
+def test_source_mix_sampler_is_narrow(spark):
+    """The stratified sampler itself adds no Exchange — the only shuffle
+    in corpus_source_mix belongs to the monitoring rollup."""
+    from ocr_wrapper_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(stratified_sample(d, {"src0": 2.5}, default_rate=0.5))
+    assert "Exchange" not in plan
+
+
+def test_dup_span_joins_are_keyed(spark):
+    """doc_dup_span_coverage: no cartesian/broadcast-nested-loop — the
+    gram match and the coverage re-join both hash on their keys."""
+    from ocr_wrapper_spark.relational import QUERIES
+    import ocr_wrapper_spark.text_queries  # noqa: F401
+
+    plan = _plan(QUERIES["doc_dup_span_coverage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_dedup_aggregate_is_two_phase(spark):
+    """url_canonical_dedup pre-aggregates map-side (partial HashAggregate
+    before the Exchange) so duplicate canonical URLs combine before the
+    shuffle."""
+    from ocr_wrapper_spark.relational import QUERIES
+    import ocr_wrapper_spark.text_queries  # noqa: F401
+
+    plan = _plan(QUERIES["url_canonical_dedup"](spark, SF))
+    pre_exchange = plan.split("Exchange")[-1]  # bottom-most segment is below the exchange
+    assert "HashAggregate" in pre_exchange
