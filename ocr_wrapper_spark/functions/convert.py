@@ -89,3 +89,35 @@ def layoutlm_to_bbox_coords(ll_col: Column) -> Column:
         return F.array(x1, y1, x2, y1, x2, y2, x1, y2)
 
     return F.transform(ll_col, one)
+
+
+def spans_augmented(spans_col: Column, seed_col: Column, max_augment: float) -> Column:
+    """Deterministic twin of the reference's BBox.get_augmented
+    (bbox.py:547-556, the one viz-only reference feature round 2 skipped):
+    every corner coordinate gets + u * max_augment with u in [0, 1).
+
+    The reference draws u from the global `random()`; here u is the
+    Knuth multiplicative hash of (seed, span index, coordinate index) so
+    the augmentation is reproducible across runs, partitionings, and
+    cluster sizes — the property a training-data augmentation pipeline
+    actually needs (re-running a shard must regenerate the same jitter).
+    Pure JVM expressions; text/label/confidence pass through."""
+    from ..schema import COORD_FIELDS
+
+    def u(key):
+        return ((key * 2654435761) % 4294967296).cast("double") / 4294967296.0
+
+    def one(s, i):
+        jittered = [
+            (s[c] + u(seed_col * 131071 + i * 8 + j) * max_augment).alias(c)
+            for j, c in enumerate(COORD_FIELDS)
+        ]
+        return F.struct(
+            *jittered,
+            s["in_pixels"].alias("in_pixels"),
+            s["text"].alias("text"),
+            s["label"].alias("label"),
+            s["confidence"].alias("confidence"),
+        )
+
+    return F.transform(spans_col, one)

@@ -129,3 +129,38 @@ def test_stage_udfs_compose(spark):
     # assemble via the pure JVM expression
     assembled = staged.select(assemble_text_col(F.col("post")).alias("t")).collect()[0].t
     assert "alpha" in assembled
+
+
+def test_spans_augmented_deterministic_and_bounded(spark):
+    """C16 twin: jitter is reproducible (same seed -> same output, any
+    partitioning), strictly within [0, max_augment) per coordinate, and
+    differs across spans/coords; text/conf pass through."""
+    from ocr_wrapper_spark.functions.convert import spans_augmented
+    from ocr_wrapper_spark.plans.pipeline import run_extraction
+    from ocr_wrapper_spark.sources.pages import synthesize_pages
+    import pyspark.sql.functions as F
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(20)
+    out = run_extraction(spark, pages).select(
+        F.regexp_extract("url", r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "spans",
+    ).filter(F.size("spans") > 0)
+    aug = out.select(
+        "doc_id",
+        "spans",
+        spans_augmented(F.col("spans"), F.col("doc_id"), 0.05).alias("aug"),
+    )
+    rows = aug.collect()
+    rows2 = {r["doc_id"]: r for r in aug.repartition(7).collect()}
+    assert len(rows) > 0
+    deltas = set()
+    for r in rows:
+        r2 = r2b = rows2[r["doc_id"]]
+        for s, a, a2 in zip(r["spans"], r["aug"], r2["aug"]):
+            assert a == a2  # partitioning-invariant
+            assert a["text"] == s["text"] and a["confidence"] == s["confidence"]
+            for c in ("TLx", "TLy", "TRx", "TRy", "BRx", "BRy", "BLx", "BLy"):
+                d = a[c] - s[c]
+                assert 0.0 <= d < 0.05
+                deltas.add(round(d, 12))
+    assert len(deltas) > 10  # jitter actually varies per (span, coord)
