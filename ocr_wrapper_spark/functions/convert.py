@@ -102,10 +102,10 @@ def spans_augmented(spans_col: Column, seed_col: Column, max_augment: float) -> 
     cluster sizes — the property a training-data augmentation pipeline
     actually needs (re-running a shard must regenerate the same jitter).
     Pure JVM expressions; text/label/confidence pass through."""
+    from ..operators.sampling import knuth_u
     from ..schema import COORD_FIELDS
 
-    def u(key):
-        return ((key * 2654435761) % 4294967296).cast("double") / 4294967296.0
+    u = knuth_u
 
     def one(s, i):
         jittered = [

@@ -36,7 +36,11 @@ def canonical_url_col(url_col: Column) -> Column:
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE looking for the query: a '?' inside the
+    # fragment ('/p#sec?x=1') is fragment text, not a query
+    query = F.regexp_extract(
+        F.regexp_replace(url_col, r"#[\s\S]*$", ""), r"\?([\s\S]*)$", 1
+    )
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),

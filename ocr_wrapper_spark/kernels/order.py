@@ -111,7 +111,12 @@ class DocumentGeometry:
 
 def _median(a: np.ndarray) -> float:
     """np.median minus its dispatch overhead: same partition indices,
-    same (lo + hi) / 2 even-count arithmetic, bit-identical result."""
+    same (lo + hi) / 2 even-count arithmetic, and the same NaN contract
+    (np.median returns NaN when any element is NaN — hostile payloads
+    can push NaN coords through clip/matmul into the heights), so the
+    result stays bit-identical."""
+    if np.isnan(a).any():
+        return float("nan")
     n = a.size
     h = n >> 1
     if n & 1:

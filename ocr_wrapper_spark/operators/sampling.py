@@ -25,8 +25,35 @@ KNUTH = 2654435761
 MOD = 4294967296
 
 
+def knuth_u(key):
+    """Uniform-in-[0,1) Knuth multiplicative hash of a long column,
+    overflow-safe for the full int64 id range.
+
+    (x * K) mod 2^32 computed directly overflows int64 once x >= ~3.47e9
+    (Spark 4's default ANSI mode throws, non-ANSI wraps negative), so
+    reduce x mod 2^32 first and split the multiply into 16-bit halves:
+    (lo*K + ((hi*K) mod 2^32) * 2^16) mod 2^32 — every intermediate stays
+    below 2^49. Identical values to the naive form wherever that form
+    doesn't overflow; the SQL oracles mirror this decomposition.
+    """
+    x = F.pmod(key, F.lit(MOD))
+    lo = x % 65536
+    hi = ((x - lo) / 65536).cast("long")  # exact: x < 2^32, power-of-two divisor
+    h = F.pmod(lo * KNUTH + F.pmod(hi * KNUTH, F.lit(MOD)) * 65536, F.lit(MOD))
+    return h.cast("double") / float(MOD)
+
+
+# SQL mirror of knuth_u for DuckDB oracles (same decomposition, same
+# intermediate bounds). Format with the key expression.
+KNUTH_U_SQL = (
+    "(((({k}) % 4294967296) % 65536) * 2654435761 "
+    "+ (((({k}) % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536) "
+    "% 4294967296 / 4294967296.0"
+)
+
+
 def _u(id_col):
-    return ((F.col(id_col) * KNUTH) % MOD).cast("double") / float(MOD)
+    return knuth_u(F.col(id_col))
 
 
 def stratified_sample(

@@ -118,12 +118,20 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+ZERO_NORM_EPS = 1e-100  # below this max|v| a vector counts as zero
+
+
 def _quantize_i8(V: np.ndarray) -> np.ndarray:
     """Per-vector symmetric int8 scalar quantization: q = floor(v * 127 /
     max|v| + 0.5). floor(x + 0.5) instead of numpy's round-half-even so
-    DuckDB's floor reproduces every code exactly."""
+    DuckDB's floor reproduces every code exactly. (Near-)zero vectors
+    quantize to all-zero codes instead of NaN garbage — the oracle
+    mirrors the same m < eps branch."""
     m = np.abs(V).max(axis=1, keepdims=True)
-    return np.floor(V * (127.0 / m) + 0.5).astype(np.int32)
+    zero = m < ZERO_NORM_EPS
+    safe_m = np.where(zero, 1.0, m)
+    codes = np.floor(V * (127.0 / safe_m) + 0.5).astype(np.int32)
+    return np.where(zero, 0, codes)
 
 
 def cosine_topk_int8(
@@ -156,9 +164,11 @@ def cosine_topk_int8(
             cnorm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
             # integer dot products are order-exact; only the final
             # divide + round touch floats, so DuckDB reproduces every
-            # score bit-for-bit
+            # score bit-for-bit. The norm-product floor keeps zero-code
+            # vectors at cosine 0 instead of 0/0 NaN (oracle mirrors it).
             D = (C @ Q.T).astype(np.float64)
-            S = np.round(D / (cnorm[:, None] * qnorm[None, :]), round_digits)
+            denom = np.maximum(cnorm[:, None] * qnorm[None, :], ZERO_NORM_EPS)
+            S = np.round(D / denom, round_digits)
             m = len(q_ids)
             b = len(pdf)
             yield pd.DataFrame(

@@ -19,9 +19,13 @@ from pyspark.sql import functions as F
 
 
 def with_shard_id(df: DataFrame, docs_per_shard: int, id_col: str = "doc_id") -> DataFrame:
-    """shard_id as a pure function of the id — identical on any cluster."""
+    """shard_id as a pure function of the id — identical on any cluster.
+
+    Integer `div`, not float division: a double quotient rounds for ids
+    >= 2^53 and the truncating cast would shift boundary ids into the
+    wrong shard."""
     return df.withColumn(
-        "shard_id", (F.col(id_col) / docs_per_shard).cast("long")
+        "shard_id", F.expr(f"{id_col} div {int(docs_per_shard)}")
     )
 
 

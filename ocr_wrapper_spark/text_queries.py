@@ -211,7 +211,8 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)     AS rest,
-             regexp_extract(url, '\?([^#]*)', 1)                            AS query
+             regexp_extract(regexp_replace(url, '#[\s\S]*$', ''),
+                            '\?([\s\S]*)$', 1)                              AS query
       FROM m),
     canon AS (
       SELECT doc_id,
@@ -268,7 +269,9 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT doc_id, source,
-             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u,
+             (((doc_id % 4294967296) % 65536) * 2654435761
+              + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
+             % 4294967296 / 4294967296.0 AS u,
              CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 0.5 END AS rate
       FROM documents),
     c AS (
@@ -637,15 +640,18 @@ def ann_topk_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH quant AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS q
+             CASE WHEN m < 1e-100
+                  THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding::DOUBLE[],
+                         x -> CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)) END AS q
       FROM (SELECT vec_id, embedding,
-                   127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
             FROM embeddings)),
     n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM quant),
     scored AS (
       SELECT qr.vec_id AS query_id, c.vec_id,
-             round(list_dot_product(c.q, qr.q) / (c.nrm * qr.nrm), 6) AS cosine
+             round(list_dot_product(c.q, qr.q)
+                   / greatest(c.nrm * qr.nrm, 1e-100), 6) AS cosine
       FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id % 100 = 0) qr),
     ranked AS (
       SELECT query_id, vec_id, cosine,
@@ -1183,12 +1189,15 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_train_split",
-    # same Knuth multiplicative hash the host assignment uses — a
-    # deterministic, engine-portable split function
+    # same Knuth multiplicative hash the host assignment uses — the
+    # overflow-safe 16-bit-split form (sampling.knuth_u), identical
+    # values wherever the naive (id * K) % 2^32 doesn't overflow int64
     """
     SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
            count(*) AS n_docs
-    FROM (SELECT CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+    FROM (SELECT (((doc_id % 4294967296) % 65536) * 2654435761
+                  + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
+                 % 4294967296 / 4294967296.0 AS u
           FROM documents)
     GROUP BY 1
     """,
@@ -1197,8 +1206,10 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by multiplicative hash of
     doc_id (0.8/0.1/0.1): stable across runs and cluster sizes, no
     shuffle beyond the count rollup."""
+    from .operators.sampling import knuth_u
+
     d = _t(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * 2654435761) % 4294967296).cast("double") / 4294967296.0
+    u = knuth_u(F.col("doc_id"))
     split = (
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
     )

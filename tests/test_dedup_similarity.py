@@ -447,3 +447,69 @@ def test_dup_span_coverage_marks_shared_windows(spark):
     assert out[2]["dup_span_frac"] == 0.0 and out[2]["keep"]
     assert out[3]["dup_span_frac"] == 0.0
     assert not out[0]["keep"]
+
+
+def test_knuth_u_overflow_safe_and_equivalent(spark):
+    """knuth_u must not overflow int64 under ANSI mode for full-range ids
+    (the naive (id*K) % 2^32 throws at id >= ~3.47e9) and must equal the
+    mathematical (id mod 2^32)*K mod 2^32 everywhere."""
+    from ocr_wrapper_spark.operators.sampling import knuth_u
+
+    ids = [0, 1, 4999, 26510, 3474661807, 4294967295, 2**40 + 123, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["u"] for r in df.select("doc_id", knuth_u(F.col("doc_id")).alias("u")).collect()}
+    for i in ids:
+        expect = ((i % 2**32) * 2654435761 % 2**32) / 2**32
+        assert got[i] == expect, i
+
+
+def test_spans_augmented_large_seed_no_overflow(spark):
+    """Reproduces the reviewed crash: seed >= ~26.5k overflowed the old
+    inline hash under ANSI mode; knuth_u keeps it finite and bounded."""
+    from ocr_wrapper_spark.functions.convert import spans_augmented
+    from ocr_wrapper_spark.schema import SPANS_ARRAY
+
+    row = [(9999999999, [tuple([0.1] * 8) + (False, "w", None, 0.9)])]
+    df = spark.createDataFrame(row, f"doc_id long, spans {SPANS_ARRAY.simpleString()}")
+    out = df.select(spans_augmented(F.col("spans"), F.col("doc_id"), 0.05).alias("a")).collect()
+    s = out[0]["a"][0]
+    for c in ("TLx", "TLy", "TRx", "TRy", "BRx", "BRy", "BLx", "BLy"):
+        assert 0.1 <= s[c] < 0.1 + 0.05
+
+
+def test_int8_zero_vector_quantizes_to_zero_codes(spark):
+    """(Near-)zero embeddings get all-zero codes and cosine 0 — no NaN,
+    matching the oracle's m < eps branch."""
+    import numpy as np
+    from ocr_wrapper_spark.operators import similarity as sim
+
+    codes = sim._quantize_i8(np.array([[0.0, 0.0], [1.0, -0.5]]))
+    assert codes.tolist() == [[0, 0], [127, -63]]  # floor(-63.5 + 0.5) = -63
+    rows = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.cosine_topk_int8(df, q, k=3).collect()
+    by_vec = {r["vec_id"]: r["cosine"] for r in out}
+    assert by_vec[0] == 0.0 and by_vec[1] == 1.0
+
+
+def test_shard_id_integer_division_beyond_2_53(spark):
+    """shard_id must be exact integer floor-division even past 2^53,
+    where a double quotient rounds."""
+    from ocr_wrapper_spark.sources.shards import with_shard_id
+
+    big = (2**53 + 1)
+    df = spark.createDataFrame([(big,)], "doc_id long")
+    r = with_shard_id(df, 64).collect()[0]
+    assert r["shard_id"] == big // 64
+
+
+def test_canonical_url_fragment_question_mark(spark):
+    """A '?' inside the fragment is fragment text, not a query: both
+    variants canonicalize to the fragment-free form (review finding)."""
+    from ocr_wrapper_spark.functions.urls import with_canonical_url
+
+    rows = [(0, "http://ex.com/p#sec?x=1"), (1, "http://ex.com/p")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
+    assert out[0] == "http://ex.com/p" == out[1]
