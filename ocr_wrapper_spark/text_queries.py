@@ -785,6 +785,87 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_v2",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN [] ELSE str_split(text, ' ') END AS words
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+      FROM w),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])) AS gram
+      FROM w WHERE len(words) >= 2),
+    t2 AS (SELECT doc_id, max(c) AS top2 FROM
+             (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+    rep_keep AS (
+      SELECT b.doc_id FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id
+      WHERE (CASE WHEN b.n_words > 0
+                  THEN round(1 - b.n_distinct / CAST(b.n_words AS DOUBLE), 6)
+                  ELSE 0.0 END) <= 0.9
+        AND (round(coalesce(t2.top2, 0) * 2 / CAST(greatest(b.n_words, 1) AS DOUBLE), 6) <= 0.10
+             OR coalesce(t2.top2, 0) < 2)),
+    stats AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_tokens,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS alpha_ratio
+      FROM documents),
+    kept AS (
+      SELECT s.*, row_number() OVER (PARTITION BY fp ORDER BY s.doc_id) AS rn
+      FROM stats s JOIN rep_keep r ON r.doc_id = s.doc_id
+      WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ratio >= 0.7),
+    split AS (
+      SELECT *, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT *, (((doc_id % 4294967296) % 65536) * 2654435761
+                       + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
+                      % 4294967296 / 4294967296.0 AS u
+            FROM kept WHERE rn = 1))
+    SELECT lang, split, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+    FROM split GROUP BY lang, split
+    """,
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round-3 operators composed end to end:
+    Gopher repetition cut -> quality gate (token count + alpha ratio) ->
+    exact dedup keep-first -> deterministic train/val/test split ->
+    per-(lang, split) corpus stats. Same scale shapes as the parts:
+    doc_id-keyed combines, one window per dedup group, hash split with
+    no extra shuffle."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import knuth_u
+
+    d = _t(spark, sf_dir, "documents")
+    rep_keep = (
+        textstats.with_repetition_stats(d).filter(F.col("keep")).select("doc_id")
+    )
+    toks = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    alpha = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", "")) / F.length("text"),
+    ).otherwise(0.0)
+    stats = d.select(
+        "doc_id", "lang", F.md5("text").alias("fp"), toks.alias("n_tokens"), alpha.alias("alpha_ratio")
+    )
+    kept = stats.join(rep_keep, "doc_id").filter(
+        F.col("n_tokens").between(20, 1000) & (F.col("alpha_ratio") >= 0.7)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    u = knuth_u(F.col("doc_id"))
+    split = F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
+    return first.select("lang", "n_tokens", split).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("n_tokens"), 4).alias("avg_tokens")
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
