@@ -54,6 +54,7 @@ _VERIFY_PRIORITY = [
     "ann_topk_int8",
     "doc_dup_span_coverage",
     "corpus_curation_v2",
+    "ngram_dropped_shingles",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

@@ -279,6 +279,39 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def ngram_dropped_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    max_df: int = 30,
+) -> DataFrame:
+    """Monitoring twin of ngram_jaccard_pairs' stop-shingle cut (same
+    role lsh_dropped_buckets plays for MinHash): which shingles exceed
+    ``max_df`` and in how many documents — each dropped shingle forfeits
+    df*(df-1)/2 intersection rows, so a crawl operator watches this to
+    tune the cut. One map-side-combinable aggregate on the shingle."""
+    toks = F.split(F.col(text_col), " ")
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(F.col(text_col)))
+        ).alias("shingles"),
+    )
+    return (
+        shingled.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_df)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

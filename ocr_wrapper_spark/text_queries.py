@@ -488,6 +488,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # visibility, not the cut itself.
 LSH_MONITOR_BUCKET = 1
 
+# Same idea for the shingle-df monitor (max df at sf0.01 is 7).
+SHINGLE_MONITOR_DF = 5
+
+
+@register(
+    "ngram_dropped_shingles",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(str_split(text, ' ')) >= {dedup.SHINGLE_K}
+               THEN list_transform(range(0, len(str_split(text, ' ')) - {dedup.SHINGLE_K} + 1),
+                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {dedup.SHINGLE_K}], ' '))
+               ELSE [text] END) AS shingles
+      FROM documents)
+    SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM (SELECT unnest(shingles) AS shingle FROM shingled)
+    GROUP BY shingle HAVING count(*) > {SHINGLE_MONITOR_DF}
+    """,
+)
+def ngram_dropped_shingles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring twin of the ngram-Jaccard stop-shingle cut: shingles
+    whose document frequency exceeds the threshold (each forfeits
+    df*(df-1)/2 intersection rows when cut). Registered at a low
+    monitor threshold so the query returns real rows at test scale."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_dropped_shingles(d, max_df=SHINGLE_MONITOR_DF)
+
 
 @register("lsh_dropped_buckets")  # oracle assigned below (_dropped_buckets_oracle)
 def lsh_dropped_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
