@@ -46,13 +46,16 @@ def canonical_url_col(url_col: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
     )
     sorted_q = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(""),
     )
+    # inputs without a scheme (relative refs, junk rows in a crawl
+    # frontier) pass through unchanged rather than collapsing to '://…'
+    return F.when(scheme == "", url_col).otherwise(canon)
 
 
 def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url"):

@@ -513,3 +513,16 @@ def test_canonical_url_fragment_question_mark(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r["doc_id"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
     assert out[0] == "http://ex.com/p" == out[1]
+
+
+def test_canonical_url_schemeless_passthrough(spark):
+    """Relative refs / junk frontier rows have no scheme: they pass
+    through unchanged instead of collapsing to '://...'."""
+    from ocr_wrapper_spark.functions.urls import with_canonical_url
+
+    rows = [(0, "/relative/path?b=1"), (1, "not a url at all"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
+    assert out[0] == "/relative/path?b=1"
+    assert out[1] == "not a url at all"
+    assert out[2] == ""

@@ -121,3 +121,47 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         QUERIES["sessionize_events"](spark, SF).agg(F.sum("n_sessions")).collect()[0][0]
     )
     assert stream_sessions == batch_sessions
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The same keyed-state dedup runs on the RocksDB state store —
+    the production backend for large keyed state (keys spill to disk
+    instead of executor heap). Results must match the default
+    HDFS-backed store exactly."""
+    import datetime
+
+    from ocr_wrapper_spark.schema import PAGES_SCHEMA
+    from ocr_wrapper_spark.streaming.dedup_stream import stream_dedup_first_seen
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            (f"u{i}", ts, f"<div>{'doc ' * 30}{i % 5}</div>".encode(), "", "en")
+            for i in range(15)
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(src)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            stream_dedup_first_seen(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql("select content_hash from dedup_rocks").collect()
+        assert len(out) == 5
+        assert len({r.content_hash for r in out}) == 5
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
