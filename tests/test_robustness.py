@@ -207,3 +207,26 @@ def test_hostile_payloads_all_extractor_modes(spark):
         assert len(rows) == len(HOSTILE), f"mode {mode} lost rows"
         for r in rows:
             assert r.error is None or isinstance(r.error, str), mode
+
+
+def test_repetition_and_dupspan_survive_monster_doc(spark):
+    """A 200k-token single-word doc (the hostile shape for anything that
+    explodes n-grams): both filters finish, mark it as degenerate, and
+    don't blow memory — the explode is linear, never quadratic."""
+    from ocr_wrapper_spark.operators.textstats import (
+        with_dup_span_coverage,
+        with_repetition_stats,
+    )
+
+    monster = " ".join(["spam"] * 200_000)
+    df = spark.createDataFrame(
+        [(0, monster), (1, "regular words only here")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert rep[0]["n_words"] == 200_000
+    assert rep[0]["dup_word_frac"] > 0.99 and not rep[0]["keep"]
+    assert rep[1]["keep"]
+
+    cov = {r["doc_id"]: r for r in with_dup_span_coverage(df, window=8).collect()}
+    # the monster's 8-gram repeats only within itself -> cross-doc frac 0
+    assert cov[0]["dup_span_frac"] == 0.0
