@@ -55,6 +55,7 @@ _VERIFY_PRIORITY = [
     "doc_dup_span_coverage",
     "corpus_curation_v2",
     "ngram_dropped_shingles",
+    "media_phash_dedup",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

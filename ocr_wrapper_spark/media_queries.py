@@ -179,3 +179,32 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 1).alias("f0"),
         F.element_at("features", 16).alias("f15"),
     )
+
+
+@register(
+    "media_phash_dedup",
+    # image rasters are a pure function of doc_id % 7 (the tilt-angle
+    # index, sources/media.py image_tilt_for_doc), so perceptual-hash
+    # groups must coincide exactly with the residue classes — the hash
+    # value itself is engine-specific, the GROUPING is the checked claim
+    """
+    SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dupes
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY doc_id % 7
+    """,
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash (aHash over the decoded raster):
+    group identical-content images, keep the lowest id. One map-side-
+    combinable aggregate on the 8-byte hash — the image-corpus analogue
+    of exact text dedup, with the hash robust to re-encoding. The oracle
+    predicts the exact groups closed-form from the generator (7 tilt
+    classes), so a wrong decode or hash shows up as a group mismatch."""
+    media = synthesize_media(spark, sf_dir)
+    images = media.filter(F.col("media_id") % 3 == 0)
+    return (
+        mm.with_image_phash(images)
+        .groupBy("phash")
+        .agg(F.min("media_id").alias("keeper"), F.count("*").alias("n_dupes"))
+        .select("keeper", "n_dupes")
+    )

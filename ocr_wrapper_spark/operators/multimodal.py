@@ -247,3 +247,38 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("media_id", payload_col).mapInPandas(
         op, schema="media_id long, features array<double>"
     )
+
+
+def image_ahash(img: np.ndarray, grid: int = 8) -> int:
+    """Average hash (aHash, public pHash-family heuristic): grid x grid
+    block means thresholded at their overall mean, packed row-major into
+    a signed 64-bit int. Robust to resolution changes, sensitive to
+    content — the standard cheap image near-dup key."""
+    a = img.astype(np.float64)
+    h, w = a.shape
+    bh, bw = max(1, h // grid), max(1, w // grid)
+    blocks = a[: bh * grid, : bw * grid].reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def with_image_phash(df: DataFrame, payload_col: str = "payload", grid: int = 8) -> DataFrame:
+    """Perceptual-hash column over image payloads (Arrow batches): decode
+    the embedded raster, aHash it. Identical rasters get identical
+    hashes at any partitioning — the dedup key for image corpora."""
+
+    def op(batches):
+        for pdf in batches:
+            hashes = [image_ahash(_decode_image(p), grid) for p in pdf[payload_col]]
+            out = pdf.drop(columns=[payload_col]).copy()
+            out["phash"] = pd.Series(hashes, dtype="int64", index=pdf.index)
+            yield out
+
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields) + ", phash long"
+    return df.mapInPandas(op, schema=schema)

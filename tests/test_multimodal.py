@@ -75,3 +75,22 @@ def test_media_pipeline_end_to_end(spark):
     # deterministic across runs
     row2 = mm.extract_features(synthesize_media(spark, SF)).orderBy("media_id").first()
     assert row.features == row2.features
+
+
+def test_image_ahash_groups_by_content(spark):
+    """aHash: identical rasters hash equal, different tilt classes hash
+    differently (all 7 generator angles distinct), and the hash is
+    partitioning-invariant."""
+    from ocr_wrapper_spark.operators.multimodal import image_ahash, _decode_image
+    from ocr_wrapper_spark.sources.media import build_media_payload, TILT_ANGLES
+    import numpy as np
+
+    # doc_ids 0,3,6,...: image kind; tilt class = doc_id % 7
+    ids = [i for i in range(0, 63, 3)]
+    hashes = {i: image_ahash(_decode_image(build_media_payload(i))) for i in ids}
+    by_class = {}
+    for i, h in hashes.items():
+        by_class.setdefault(i % 7, set()).add(h)
+    assert all(len(s) == 1 for s in by_class.values())  # same class -> same hash
+    distinct = {next(iter(s)) for s in by_class.values()}
+    assert len(distinct) == len(by_class)  # different class -> different hash
