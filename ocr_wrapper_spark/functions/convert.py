@@ -107,9 +107,13 @@ def spans_augmented(spans_col: Column, seed_col: Column, max_augment: float) -> 
 
     u = knuth_u
 
+    # reduce the seed mod 2^32 BEFORE scaling: seed * 131071 alone
+    # overflows int64 for seeds >= ~7e13, upstream of knuth_u's own guard
+    seed32 = F.pmod(seed_col, F.lit(4294967296))
+
     def one(s, i):
         jittered = [
-            (s[c] + u(seed_col * 131071 + i * 8 + j) * max_augment).alias(c)
+            (s[c] + u(seed32 * 131071 + i * 8 + j) * max_augment).alias(c)
             for j, c in enumerate(COORD_FIELDS)
         ]
         return F.struct(

@@ -279,6 +279,25 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingles) — distinct token k-shingles per doc, whole-text
+    fallback below k tokens. The single definition both the Jaccard cut
+    and its monitoring twin use: they MUST see the same shingle set."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(F.col(text_col)))
+        ).alias("shingles"),
+    )
+
+
 def ngram_dropped_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -291,21 +310,9 @@ def ngram_dropped_shingles(
     ``max_df`` and in how many documents — each dropped shingle forfeits
     df*(df-1)/2 intersection rows, so a crawl operator watches this to
     tune the cut. One map-side-combinable aggregate on the shingle."""
-    toks = F.split(F.col(text_col), " ")
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-                ),
-            ).otherwise(F.array(F.col(text_col)))
-        ).alias("shingles"),
-    )
     return (
-        shingled.select(F.explode("shingles").alias("shingle"))
+        _doc_shingles(df, id_col, text_col, k)
+        .select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("doc_freq") > max_df)
@@ -332,19 +339,7 @@ def ngram_jaccard_pairs(
     standard stop-shingle cut — Jaccard over the discriminative shingle
     set). The DuckDB oracles mirror the same cut exactly.
     """
-    toks = F.split(F.col(text_col), " ")
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-                ),
-            ).otherwise(F.array(F.col(text_col)))
-        ).alias("shingles"),
-    )
+    shingled = _doc_shingles(df, id_col, text_col, k)
     exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
     if max_df is not None:
         dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))

@@ -253,11 +253,14 @@ def image_ahash(img: np.ndarray, grid: int = 8) -> int:
     """Average hash (aHash, public pHash-family heuristic): grid x grid
     block means thresholded at their overall mean, packed row-major into
     a signed 64-bit int. Robust to resolution changes, sensitive to
-    content — the standard cheap image near-dup key."""
+    content — the standard cheap image near-dup key. Rasters smaller
+    than the grid in either axis use the largest grid that fits (a 1x1
+    image still hashes) instead of crashing the task."""
     a = img.astype(np.float64)
     h, w = a.shape
-    bh, bw = max(1, h // grid), max(1, w // grid)
-    blocks = a[: bh * grid, : bw * grid].reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    g = max(1, min(grid, h, w))
+    bh, bw = h // g, w // g
+    blocks = a[: bh * g, : bw * g].reshape(g, bh, g, bw).mean(axis=(1, 3))
     bits = (blocks > blocks.mean()).ravel()
     v = 0
     for b in bits:
@@ -270,13 +273,21 @@ def image_ahash(img: np.ndarray, grid: int = 8) -> int:
 def with_image_phash(df: DataFrame, payload_col: str = "payload", grid: int = 8) -> DataFrame:
     """Perceptual-hash column over image payloads (Arrow batches): decode
     the embedded raster, aHash it. Identical rasters get identical
-    hashes at any partitioning — the dedup key for image corpora."""
+    hashes at any partitioning — the dedup key for image corpora.
+    Undecodable payloads get a NULL phash (hostile inputs degrade, never
+    kill the task — the contract every media operator here keeps) and so
+    are never merged with anything."""
 
     def op(batches):
         for pdf in batches:
-            hashes = [image_ahash(_decode_image(p), grid) for p in pdf[payload_col]]
+            hashes = []
+            for p in pdf[payload_col]:
+                try:
+                    hashes.append(image_ahash(_decode_image(p), grid))
+                except Exception:
+                    hashes.append(None)
             out = pdf.drop(columns=[payload_col]).copy()
-            out["phash"] = pd.Series(hashes, dtype="int64", index=pdf.index)
+            out["phash"] = pd.Series(hashes, dtype="Int64", index=pdf.index)
             yield out
 
     fields = [f for f in df.schema.fields if f.name != payload_col]

@@ -43,11 +43,14 @@ def knuth_u(key):
     return h.cast("double") / float(MOD)
 
 
-# SQL mirror of knuth_u for DuckDB oracles (same decomposition, same
-# intermediate bounds). Format with the key expression.
+# SQL mirror of knuth_u for DuckDB oracles — format with the key
+# expression, e.g. KNUTH_U_SQL.format(k="doc_id"). The double-% mod
+# mirrors Spark's pmod for negative keys too (DuckDB % keeps the
+# dividend sign); intermediate bounds are the same as knuth_u's.
+_NONNEG = "((({k}) % 4294967296 + 4294967296) % 4294967296)"
 KNUTH_U_SQL = (
-    "(((({k}) % 4294967296) % 65536) * 2654435761 "
-    "+ (((({k}) % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536) "
+    f"(({_NONNEG} % 65536) * 2654435761 "
+    f"+ ({_NONNEG} // 65536 * 2654435761) % 4294967296 * 65536) "
     "% 4294967296 / 4294967296.0"
 )
 

@@ -25,7 +25,7 @@ def with_shard_id(df: DataFrame, docs_per_shard: int, id_col: str = "doc_id") ->
     >= 2^53 and the truncating cast would shift boundary ids into the
     wrong shard."""
     return df.withColumn(
-        "shard_id", F.expr(f"{id_col} div {int(docs_per_shard)}")
+        "shard_id", F.expr(f"`{id_col}` div {int(docs_per_shard)}")
     )
 
 

@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, textstats
+from .operators.sampling import KNUTH_U_SQL
+
+_U_SQL = KNUTH_U_SQL.format(k="doc_id")
 from .relational import register
 
 
@@ -266,12 +269,10 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_source_mix",
-    """
+    f"""
     WITH s AS (
       SELECT doc_id, source,
-             (((doc_id % 4294967296) % 65536) * 2654435761
-              + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
-             % 4294967296 / 4294967296.0 AS u,
+             {_U_SQL} AS u,
              CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 0.5 END AS rate
       FROM documents),
     c AS (
@@ -813,7 +814,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_curation_v2",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id,
              CASE WHEN text = '' THEN [] ELSE str_split(text, ' ') END AS words
@@ -849,9 +850,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ratio >= 0.7),
     split AS (
       SELECT *, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
-      FROM (SELECT *, (((doc_id % 4294967296) % 65536) * 2654435761
-                       + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
-                      % 4294967296 / 4294967296.0 AS u
+      FROM (SELECT *, {_U_SQL} AS u
             FROM kept WHERE rn = 1))
     SELECT lang, split, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
     FROM split GROUP BY lang, split
@@ -1300,13 +1299,10 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same Knuth multiplicative hash the host assignment uses — the
     # overflow-safe 16-bit-split form (sampling.knuth_u), identical
     # values wherever the naive (id * K) % 2^32 doesn't overflow int64
-    """
+    f"""
     SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
            count(*) AS n_docs
-    FROM (SELECT (((doc_id % 4294967296) % 65536) * 2654435761
-                  + (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536)
-                 % 4294967296 / 4294967296.0 AS u
-          FROM documents)
+    FROM (SELECT {_U_SQL} AS u FROM documents)
     GROUP BY 1
     """,
 )

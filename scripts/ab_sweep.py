@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[3])
 cores, pages_path = sys.argv[1], sys.argv[2]
 from ocr_wrapper_spark.session import get_spark
 from ocr_wrapper_spark.plans.pipeline import run_extraction
@@ -47,11 +47,15 @@ print(json.dumps({"n_docs": n, "sec": best, "docs_per_sec": n / best}))
 
 
 def probe() -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "host_health.py")],
-        capture_output=True, text=True, timeout=600,
-    )
-    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "host_health.py")],
+            capture_output=True, text=True, timeout=600,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else {"error": out.stderr[-200:]}
+    except Exception as exc:  # a dead probe shouldn't abort the sweep
+        return {"error": f"{type(exc).__name__}: {exc}"}
 
 
 def main() -> None:
@@ -77,11 +81,15 @@ def main() -> None:
         env = dict(os.environ,
                    SPARK_GRAFT_ARROW_BATCH=str(batch),
                    SPARK_GRAFT_PREFETCH_DEPTH=str(depth))
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", CHILD,
-             str(cores), pages_path],
-            capture_output=True, text=True, timeout=1800, env=env,
-        )
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", CHILD,
+                 str(cores), pages_path, REPO],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# cell batch={batch} depth={depth} TIMEOUT", file=sys.stderr)
+            continue
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not lines:
             print(f"# cell batch={batch} depth={depth} FAILED", file=sys.stderr)

@@ -15,7 +15,10 @@ def test_priority_names_exist_and_lead():
 
     q = m.queries()
     o = m.oracle_sql()
-    assert set(q) == set(o), "every query needs an oracle (and vice versa)"
+    # oracles must reference real queries; queries MAY omit an oracle
+    # (the documented rows-only path for non-SQL-expressible ops) —
+    # currently none do, but that's a choice, not an invariant
+    assert set(o) <= set(q), f"orphan oracles: {set(o) - set(q)}"
     missing = [n for n in m._VERIFY_PRIORITY if n not in q]
     assert not missing, f"_VERIFY_PRIORITY names not registered: {missing}"
     # priority names must actually lead the iteration order
