@@ -56,6 +56,7 @@ _VERIFY_PRIORITY = [
     "corpus_curation_v2",
     "ngram_dropped_shingles",
     "media_phash_dedup",
+    "pipeline_warc_extract",
     # never verified in r1 or r2 snapshots
     "streaming_window_counts",
     "streaming_stateful_dedup",

@@ -138,6 +138,40 @@ def pipeline_consensus3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_warc_extract",
+    """
+    SELECT doc_id,
+           text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
+           CASE WHEN doc_id % 5 = 3 THEN 'pdf'
+                WHEN doc_id % 5 = 1 THEN 'json'
+                WHEN doc_id % 5 = 4 THEN 'hocr' ELSE 'html' END          AS provider
+    FROM documents
+    """,
+)
+def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the crawl-native input: the corpus written as
+    WARC/1.0 files (ISO 28500), read back through the binaryFile +
+    Content-Length-walking record parser (sources/warc.py), then the
+    SAME fused extraction operator. Byte identity must hold through the
+    container round-trip — URL, date, language annotation, and payload
+    all survive the WARC framing. One task per WARC file, the
+    Common-Crawl parallelism model (a 100 TB crawl is ~100k files)."""
+    from .operators.extract import with_extraction
+    from .sources.warc import materialize_warc, read_warc
+
+    path = materialize_warc(spark, sf_dir)
+    pages = read_warc(spark, f"{path}/*.warc")
+    out = with_extraction(pages)
+    return out.select(
+        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_spans",
+        "provider",
+    )
+
+
+@register(
     "spans_layoutlm_export",
     f"""
     WITH toks AS (
