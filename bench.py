@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "media_qr_decode",
     "doc_repetition_filter",
     "ann_topk_int8",
+    "pipeline_warc_extract",
 ]
 
 
