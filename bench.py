@@ -44,6 +44,36 @@ BENCH_QUERIES = [
 ]
 
 
+def tree_cpu_seconds() -> float:
+    """Cumulative utime+stime of this process and every live descendant
+    (the JVM and its Python workers), from /proc. Wall time in a shared
+    VM is hostage to neighbor load; the subtree's own CPU seconds are
+    not — deltas of this give a window-robust per-doc cost."""
+    hz = os.sysconf("SC_CLK_TCK")
+    stats = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields resume after the last ')'
+        rest = raw[raw.rfind(")") + 2 :].split(" ")
+        stats[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))  # ppid, ticks
+    me = os.getpid()
+    mine = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in stats.items():
+            if pid not in mine and ppid in mine:
+                mine.add(pid)
+                changed = True
+    return sum(t for pid, (_, t) in stats.items() if pid in mine) / hz
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
@@ -108,14 +138,21 @@ def main() -> None:
     n_pages = pages.count()
     run_extraction(spark, pages.limit(4096)).count()  # warm workers
     best = None
+    cpu0 = tree_cpu_seconds()
     for _ in range(3):
         t0 = time.perf_counter()
         run_extraction(spark, pages).count()
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
+    cpu_delta = tree_cpu_seconds() - cpu0
+    cpu_ms_per_doc = round(cpu_delta / (3 * n_pages) * 1000, 3)
     docs_per_sec = round(n_pages / best, 2)
     timings["extract_materialized"] = round(best, 3)
-    print(f"# extract_materialized: {best:.2f}s ({n_pages} docs -> {docs_per_sec}/s)", file=sys.stderr)
+    print(
+        f"# extract_materialized: {best:.2f}s ({n_pages} docs -> {docs_per_sec}/s, "
+        f"{cpu_ms_per_doc} cpu-ms/doc)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -129,6 +166,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "n_docs": n_pages,
                 "headline_wall_sec": total,
+                "headline_cpu_ms_per_doc": cpu_ms_per_doc,
                 "host_probe": host_probe,
             }
         )
