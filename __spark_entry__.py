@@ -41,52 +41,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
-    # new this round (never in any snapshot)
-    "media_qr_decode",
-    "lsh_dropped_buckets",
-    "pipeline_consensus3_extract",
-    "ann_topk_ivf_lloyd",
-    "doc_repetition_filter",
-    "doc_pii_redaction",
-    "url_canonical_dedup",
-    "corpus_source_mix",
-    "corpus_vocabulary",
-    "ann_topk_int8",
-    "doc_dup_span_coverage",
-    "corpus_curation_v2",
-    "ngram_dropped_shingles",
-    "media_phash_dedup",
-    "pipeline_warc_extract",
-    # never verified in r1 or r2 snapshots
-    "streaming_window_counts",
-    "streaming_stateful_dedup",
-    "pipeline_checkbox_extract",
-    "pipeline_qr_extract",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk_cosine",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "asof_purchase_last_click",
-    "range_join_shipments",
-    "corpus_curation",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "host_top10_exact",
-    "doc_token_chunks",
-    "doc_sequence_packing",
-    "corpus_decontamination",
-    "doc_train_split",
-    # verified in r1 only (stale since the r2 snapshot missed them)
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_token_counts",
-    "host_profile_grouped_map",
-    "pipeline_host_stats",
-    "pipeline_spans_integrity",
-    "pipeline_tilt_histogram",
+    # new this round (round 4: never in any snapshot)
+    "pipeline_textract_extract",
+    "doc_dup_span_coverage",  # r4 semantics change: empty docs now kept
+    # stale set: newest green row is the r2 snapshot — touched-this-round
+    # surfaces first (5-dialect mix, compressed-PNG media payloads)
+    "pipeline_extract",
+    "pipeline_dual_extract",
+    "pipeline_consensus_extract",
+    "pipeline_streaming_extract",
+    "pipeline_error_free",
+    "media_meta",
+    "media_resize_plan",
+    "media_frame_sample",
+    "media_features",
+    "media_raster_tilt",
+    "spans_layoutlm_export",
+    # remaining r2-stale queries (driver snapshot window is ~50)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_sales_opportunity",
+    "cube_orders",
+    "window_rank_family",
+    "lag_lead_user_events",
+    "running_user_value",
+    "sessionize_events",
+    "host_skew_topk",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_orders",
+    "broadcast_dim_join",
+    "distinct_agg_users",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "events_value_percentiles",
+    "json_props_extract",
+    "scalar_subquery_above_avg",
+    "setop_nations_cust_supp",
+    "top10_orders_by_price",
+    "topk_parts_per_brand",
+    "union_all_parties",
 ]
 
 

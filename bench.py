@@ -45,10 +45,14 @@ BENCH_QUERIES = [
 
 
 def tree_cpu_seconds() -> float:
-    """Cumulative utime+stime of this process and every live descendant
-    (the JVM and its Python workers), from /proc. Wall time in a shared
-    VM is hostage to neighbor load; the subtree's own CPU seconds are
-    not — deltas of this give a window-robust per-doc cost."""
+    """Cumulative utime+stime (plus reaped-child cutime+cstime) of this
+    process and every live descendant (the JVM and its Python workers),
+    from /proc. Wall time in a shared VM is hostage to neighbor load;
+    the subtree's own CPU seconds are not — deltas of this give a
+    window-robust per-doc cost. Including cutime/cstime (stat fields
+    16-17) keeps CPU of workers that exit and are reaped between two
+    samples: each tick lands exactly once — in a live process's own
+    utime/stime or, after reaping, in its parent's cutime/cstime."""
     hz = os.sysconf("SC_CLK_TCK")
     stats = {}
     for pid in os.listdir("/proc"):
@@ -61,7 +65,8 @@ def tree_cpu_seconds() -> float:
             continue
         # comm may contain spaces/parens: fields resume after the last ')'
         rest = raw[raw.rfind(")") + 2 :].split(" ")
-        stats[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))  # ppid, ticks
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        stats[int(pid)] = (int(rest[1]), ticks)  # ppid, ticks
     me = os.getpid()
     mine = {me}
     changed = True

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import bbox_core as bc
-from . import clean, hocr_extract, json_extract, layout, order, pdf_extract
+from . import clean, hocr_extract, json_extract, layout, order, pdf_extract, textract_extract
 from .html_extract import extract_main_text
 from .pdf_extract import RTL_LANGUAGES
 from .textops import flip_number_blocks, has_arabic_text
@@ -106,6 +106,17 @@ def extract_json(payload: bytes, lang: str) -> ExtractResult:
     kernels/json_extract.py; normalize/rotate/date-split/order are shared
     verbatim with the PDF branch."""
     return _extract_layout(json_extract.parse_json_payload(payload), lang, "json")
+
+
+def extract_textract(payload: bytes, lang: str) -> ExtractResult:
+    """Textract Blocks-JSON branch: fifth provider dialect (reference
+    AwsOCR converter, aws.py:51-60 — BlockType=="WORD" filter F3 on its
+    native shape, Polygon->quad flatten). Converter in
+    kernels/textract_extract.py; normalize / rotate / date-split / order
+    shared verbatim with the PDF/JSON/hOCR branches."""
+    return _extract_layout(
+        textract_extract.parse_textract_payload(payload), lang, "textract"
+    )
 
 
 def extract_hocr(payload: bytes, lang: str) -> ExtractResult:
@@ -250,6 +261,8 @@ def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
             return extract_pdf(payload, lang)
         if json_extract.is_json_layout(payload):
             return extract_json(payload, lang)
+        if textract_extract.is_textract(payload):
+            return extract_textract(payload, lang)
         if hocr_extract.is_hocr(payload):
             return extract_hocr(payload, lang)
         return extract_html(payload, lang)

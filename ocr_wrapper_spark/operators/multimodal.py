@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the *decode* steps are
-deterministic fakes behind a real-codec seam (`_decode_image` raises
-NotImplementedError when asked for real decoding without PIL); the
-Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested (task brief: "make the Spark-side
-plumbing real and tested").
+Image decode is REAL: payload rasters are PNG-compressed
+(sources/media.py via kernels/png_codec.py) and `_decode_image`
+decompresses them with PIL when importable, else the repo's pure PNG
+codec — identical pixels either way. Audio/video decode remains a
+deterministic fake behind the same seam (no audio codec in the
+container); the Spark-side plumbing — schema, partitioning, Arrow
+batch shape, UDF signatures — is real and tested.
 
 Operators:
 * ``with_media_meta``     — parse the typed header out of the payload
@@ -67,15 +68,43 @@ def parse_media_header(payload: bytes | None) -> dict | None:
         return None
 
 
+def _decode_png_bytes(data: bytes) -> np.ndarray:
+    """Real compressed-image decode: PIL when importable (the
+    reference's ingest codec, ocr_wrapper.py:103), else the repo's pure
+    PNG implementation (kernels/png_codec.py) — both produce identical
+    pixels for the lossless formats the corpus carries. RGB collapses
+    to luminance (ITU-R 601, the PIL 'L' convert) since every pixel
+    kernel here consumes grayscale."""
+    try:
+        from PIL import Image  # container usually lacks PIL; codec-seam parity
+        from io import BytesIO
+
+        img = np.asarray(Image.open(BytesIO(data)).convert("RGB"), dtype=np.uint8)
+    except ImportError:
+        from ..kernels.png_codec import decode_png
+
+        img = decode_png(data)
+    if img.ndim == 3:
+        lum = img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+        return np.clip(np.rint(lum), 0, 255).astype(np.uint8)
+    return img
+
+
 def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
     """Decode seam. Image payloads from sources/media.py embed a real
-    uint8 grayscale raster in the body — decoded for real here (a codec
-    like PIL slots into the same signature for compressed formats). For
+    PNG-compressed uint8 grayscale raster in the body — decoded for real
+    here (PIL when present, kernels/png_codec.py otherwise); legacy raw
+    uncompressed bodies still decode via the size-match paths. For
     non-image payloads the fake path derives a deterministic tiny raster
     from the payload hash so downstream shapes stay real."""
+    from ..kernels.png_codec import is_png
     from ..sources.media import RASTER_H, RASTER_W
 
     body = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
+    if is_png(body):
+        return _decode_png_bytes(body)
+    if is_png(payload):  # bare image file, no MM01 envelope
+        return _decode_png_bytes(payload)
     if len(body) == RASTER_W * RASTER_H:
         return np.frombuffer(body, dtype=np.uint8).reshape(RASTER_H, RASTER_W)
     # scan pages (sources/media.py synthesize_scans) carry true raster
@@ -85,13 +114,10 @@ def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
     if meta and meta["kind"] == "image" and len(body) == meta["width"] * meta["height"]:
         return np.frombuffer(body, dtype=np.uint8).reshape(meta["height"], meta["width"])
     if not fake:
-        try:
-            import PIL  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "real image decode requires PIL; use fake=True (deterministic raster)"
-            )
-        raise NotImplementedError("real codec path not wired in this environment")
+        raise NotImplementedError(
+            "payload is neither PNG nor a raw raster; no codec for this "
+            "format in this environment — use fake=True (deterministic raster)"
+        )
     h = blake2b(payload, digest_size=8).digest()
     rng = np.frombuffer(h, dtype=np.uint64)[0]
     side = 8

@@ -220,8 +220,15 @@ def with_dup_span_coverage(
     joins on the same bytes.
     """
     toks = F.split(F.col(text_col), " ")
-    t = df.filter(F.col(text_col) != "").select(
-        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("n_tokens")
+    # empty/null docs stay in the output (n_tokens=0, frac=0, keep) —
+    # a curation filter must emit a verdict for every input doc, like
+    # with_repetition_stats does
+    t = df.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        F.when(F.coalesce(F.col(text_col), F.lit("")) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("n_tokens"),
     )
     wins = t.filter(F.col("n_tokens") >= window).select(
         id_col,
@@ -248,9 +255,13 @@ def with_dup_span_coverage(
         .select(
             id_col,
             "n_tokens",
-            F.round(
-                F.coalesce(F.col("_cov"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
-            ).alias("dup_span_frac"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("_cov"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+                )
+            )
+            .alias("dup_span_frac"),
         )
         .withColumn("keep", F.col("dup_span_frac") <= max_dup_span_frac)
     )

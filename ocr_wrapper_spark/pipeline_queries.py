@@ -41,7 +41,8 @@ _ROTATION_SQL = """
            CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
            CASE WHEN doc_id % 5 = 3 THEN 'pdf'
                 WHEN doc_id % 5 = 1 THEN 'json'
-                WHEN doc_id % 5 = 4 THEN 'hocr' ELSE 'html' END          AS provider,
+                WHEN doc_id % 5 = 4 THEN 'hocr'
+                WHEN doc_id % 10 = 7 THEN 'textract' ELSE 'html' END     AS provider,
            {_ROTATION_SQL}                                               AS doc_rotation
     FROM documents
     """,
@@ -145,7 +146,8 @@ def pipeline_consensus3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
            CASE WHEN doc_id % 5 = 3 THEN 'pdf'
                 WHEN doc_id % 5 = 1 THEN 'json'
-                WHEN doc_id % 5 = 4 THEN 'hocr' ELSE 'html' END          AS provider
+                WHEN doc_id % 5 = 4 THEN 'hocr'
+                WHEN doc_id % 10 = 7 THEN 'textract' ELSE 'html' END     AS provider
     FROM documents
     """,
 )
@@ -168,6 +170,35 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_text",
         "n_spans",
         "provider",
+    )
+
+
+@register(
+    "pipeline_textract_extract",
+    # fifth dialect slice: doc_id % 10 == 7 pages carry Textract-style
+    # Blocks JSON; the converter's F3 WORD filter must drop the PAGE +
+    # LINE blocks, so n_spans equals the WORD count = token count, and
+    # the assembled text stays byte-identical to the document text
+    """
+    SELECT doc_id,
+           text AS extracted_text,
+           CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n_spans,
+           'textract' AS provider
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def pipeline_textract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textract Blocks-JSON dialect end-to-end (reference AwsOCR
+    converter, aws.py:51-60): the doc_id % 10 == 7 slice of the corpus
+    is stored as detect_document_text-shaped responses; extraction must
+    keep only WORD blocks (F3), rebuild the quads from Polygon vertices,
+    and reproduce the document text byte-for-byte through the shared
+    normalize/order path."""
+    from .operators.extract import extract_documents_fused
+
+    result = extract_documents_fused(spark, sf_dir)
+    return result.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "extracted_text", "n_spans", "provider"
     )
 
 
@@ -328,13 +359,13 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_checkbox_extract",
     # checkbox counts are closed-form in doc_id (sources/pages.py:
     # doc_id % 6 inputs on html pages, checkbox i checked iff
-    # (doc_id + i) % 3 == 0); pdf/json/hocr dialects carry none
+    # (doc_id + i) % 3 == 0); pdf/json/hocr/textract dialects carry none
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 0
+           CASE WHEN doc_id % 5 IN (1, 3, 4) OR doc_id % 10 = 7 THEN 0
                 ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 = 0))
            END AS n_checked,
-           CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 0
+           CASE WHEN doc_id % 5 IN (1, 3, 4) OR doc_id % 10 = 7 THEN 0
                 ELSE len(list_filter(range(0, doc_id % 6), i -> (doc_id + i) % 3 <> 0))
            END AS n_unchecked
     FROM documents

@@ -29,9 +29,11 @@ def media_attrs(doc_id: int) -> tuple[str, int, int, int, int, int]:
 
 
 # image payloads embed a real raster (uint8 grayscale, RASTER_W x
-# RASTER_H) rendered with a closed-form tilt angle, so the raster tilt
-# kernel has actual pixels to decode and the oracle can recompute the
-# expected angle from doc_id
+# RASTER_H) rendered with a closed-form tilt angle and compressed as a
+# real PNG (kernels/png_codec.py — the reference ingests compressed
+# images via PIL, ocr_wrapper.py:103), so the raster tilt kernel has an
+# actual codec round-trip to run and the oracle can still recompute the
+# expected angle from doc_id (PNG is lossless)
 TILT_ANGLES = [-8, -4, -2, 0, 2, 4, 8]
 RASTER_W, RASTER_H = 160, 120
 
@@ -45,10 +47,11 @@ def image_tilt_for_doc(doc_id: int) -> int:
 def _raster_bytes(angle: int) -> bytes:
     body = _RASTER_CACHE.get(angle)
     if body is None:
+        from ..kernels.png_codec import encode_png
         from ..kernels.raster_tilt import render_text_raster
 
         r = render_text_raster(angle, width=RASTER_W, height=RASTER_H)
-        body = (r * 255).astype(np.uint8).tobytes()
+        body = encode_png((r * 255).astype(np.uint8))
         _RASTER_CACHE[angle] = body
     return body
 
@@ -107,8 +110,10 @@ def build_scan_raster(doc_id: int) -> np.ndarray:
 
 
 def build_scan_payload(doc_id: int) -> bytes:
+    from ..kernels.png_codec import encode_png
+
     header = f"MM01 image {SCAN_W} {SCAN_H} 0 0 1\n".encode("ascii")
-    body = (build_scan_raster(doc_id) * 255).astype(np.uint8).tobytes()
+    body = encode_png((build_scan_raster(doc_id) * 255).astype(np.uint8))
     return header + body
 
 

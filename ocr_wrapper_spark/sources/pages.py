@@ -31,14 +31,24 @@ from pyspark.sql import functions as F
 from ..kernels import layout, order
 from ..schema import PAGES_SCHEMA
 
+# Bump whenever build_page_rows or any payload builder changes shape or
+# bytes: /tmp materializations (materialize_pages, warc.materialize_warc)
+# key their cache paths on it, so generator edits can never silently
+# reuse stale files.
+PAGES_FORMAT_VERSION = 2  # v2: +textract dialect (doc_id % 10 == 7)
+
 N_HOSTS = 40
 ZIPF_S = 1.1
 PDF_MOD = 5  # doc_id % 5 == 3 -> PDF payload
 JSON_REM = 1  # doc_id % 5 == 1 -> JSON-layout payload (third dialect)
 HOCR_REM = 4  # doc_id % 5 == 4 -> hOCR payload (fourth dialect)
+TEXTRACT_MOD, TEXTRACT_REM = 10, 7  # doc_id % 10 == 7 -> Textract Blocks JSON
+# (fifth dialect; 7 mod 10 is a subset of the html class doc_id % 5 == 2
+# and odd, so it never intersects the QR carriers doc_id % 4 == 2)
 HOCR_WCONF = 96  # hOCR x_wconf percent -> confidence 0.96
 PDF_CONFIDENCE = 0.95
 JSON_CONFIDENCE = 0.97
+TEXTRACT_CONFIDENCE = 0.93  # serialized as aws percent: Confidence 93.0
 CHECKBOX_MOD = 6  # html pages carry doc_id % 6 checkbox inputs,
 CHECKED_MOD = 3  # checkbox i is checked iff (doc_id + i) % 3 == 0
 QR_MOD, QR_REM = 4, 2  # html pages with doc_id % 4 == 2 carry one QR code
@@ -181,6 +191,70 @@ def build_hocr(doc_id: int, text: str, lang: str) -> bytes:
     return doc.encode("utf-8")
 
 
+def build_textract(doc_id: int, text: str, lang: str) -> bytes:
+    """Textract-style Blocks JSON payload (kernels/textract_extract.py
+    dialect, fifth provider branch — reference AwsOCR, aws.py:51-60):
+    PAGE + LINE + WORD blocks with ``Geometry.Polygon`` vertices and
+    percent confidences; the converter must drop the PAGE/LINE blocks
+    (F3 on its native shape) and keep the WORD quads. Upright
+    (rotation/tilt stay 0). ImageSize/Lang are the crawler envelope —
+    a raw Textract response carries neither (the reference holds the
+    PIL image instead, aws.py:40)."""
+    import json
+
+    words = text.split(" ") if text else []
+    rtl = lang in {"ar", "he", "fa", "ur"}
+    coords_px, width, height = layout.layout_words(words, rtl=rtl)
+    scale = np.array([width, height] * 4, dtype=np.float64)
+    quads = coords_px / scale if words else coords_px
+
+    def poly(q) -> list[dict[str, float]]:
+        return [{"X": float(q[i]), "Y": float(q[i + 1])} for i in range(0, 8, 2)]
+
+    blocks: list[dict] = [
+        {
+            "BlockType": "PAGE",
+            "Id": f"{doc_id:08x}-page-0001",
+            "Page": 1,
+            "Geometry": {
+                "BoundingBox": {"Width": 1.0, "Height": 1.0, "Left": 0.0, "Top": 0.0},
+                "Polygon": [
+                    {"X": 0.0, "Y": 0.0}, {"X": 1.0, "Y": 0.0},
+                    {"X": 1.0, "Y": 1.0}, {"X": 0.0, "Y": 1.0},
+                ],
+            },
+        }
+    ]
+    for ln in range(0, len(words), 10):  # LINE blocks: dropped by F3
+        blocks.append(
+            {
+                "BlockType": "LINE",
+                "Id": f"{doc_id:08x}-line-{ln // 10:04d}",
+                "Page": 1,
+                "Text": " ".join(words[ln : ln + 10]),
+                "Confidence": TEXTRACT_CONFIDENCE * 100,
+            }
+        )
+    for i, w in enumerate(words):
+        blocks.append(
+            {
+                "BlockType": "WORD",
+                "Id": f"{doc_id:08x}-word-{i:04d}",
+                "Page": 1,
+                "Text": w,
+                "Confidence": TEXTRACT_CONFIDENCE * 100,
+                "Geometry": {"Polygon": poly(quads[i])},
+            }
+        )
+    doc = {
+        "DocumentMetadata": {"Pages": 1},
+        "ImageSize": {"Width": width, "Height": height},
+        "Lang": lang,
+        "Blocks": blocks,
+    }
+    return json.dumps(doc, separators=(",", ":")).encode("utf-8")
+
+
 def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
     """Synthetic PDF-like payload (kernels/pdf_extract.py format) with a
     deterministic rotation or on-grid tilt variant."""
@@ -244,8 +318,15 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     is_pdf = (doc_ids % PDF_MOD) == 3
     is_json = (doc_ids % PDF_MOD) == JSON_REM
     is_hocr = (doc_ids % PDF_MOD) == HOCR_REM
+    is_tex = (doc_ids % TEXTRACT_MOD) == TEXTRACT_REM
     exts = np.where(
-        is_pdf, "pdf", np.where(is_json, "json", np.where(is_hocr, "hocr", "html"))
+        is_pdf,
+        "pdf",
+        np.where(
+            is_json,
+            "json",
+            np.where(is_hocr, "hocr", np.where(is_tex, "textract", "html")),
+        ),
     )
     urls = [
         f"https://host{int(h):02d}.example.com/{lang}/{did:010d}.{ext}"
@@ -255,7 +336,13 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         (doc_ids * 7919) % 86400
     ).astype("timedelta64[s]").astype("timedelta64[us]")
 
-    builders = {"pdf": build_pdf, "json": build_json, "hocr": build_hocr, "html": build_html}
+    builders = {
+        "pdf": build_pdf,
+        "json": build_json,
+        "hocr": build_hocr,
+        "textract": build_textract,
+        "html": build_html,
+    }
     payloads = [
         builders[ext](int(did), text, lang)
         for did, text, lang, ext in zip(doc_ids, texts, langs, exts)
@@ -320,7 +407,7 @@ def materialize_pages(
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n_parts = partitions or 64
-    path = f"{base_dir}/{sf_tag}_r{replicate}_p{n_parts}"
+    path = f"{base_dir}/v{PAGES_FORMAT_VERSION}_{sf_tag}_r{replicate}_p{n_parts}"
     if not os.path.exists(path + "/_SUCCESS"):
         synthesize_pages(spark, sf_dir, replicate=replicate, partitions=n_parts).write.mode(
             "overwrite"

@@ -351,8 +351,10 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE '' END AS text
       FROM documents),
     t AS (
-      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n_tokens
-      FROM m WHERE text <> ''),
+      SELECT doc_id, str_split(text, ' ') AS tk,
+             CASE WHEN coalesce(text, '') = '' THEN 0
+                  ELSE len(str_split(text, ' ')) END AS n_tokens
+      FROM m),
     wins AS (
       SELECT doc_id, CAST(s AS INT) AS i,
              array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8], ' ') AS gram
@@ -366,8 +368,12 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM wins w JOIN dup_grams d ON d.gram = w.gram)
       GROUP BY doc_id)
     SELECT t.doc_id, t.n_tokens,
-           round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS dup_span_frac,
-           round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6) <= 0.2 AS keep
+           CASE WHEN t.n_tokens = 0 THEN 0.0
+                ELSE round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+           END AS dup_span_frac,
+           CASE WHEN t.n_tokens = 0 THEN 0.0
+                ELSE round(coalesce(c.cov, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+           END <= 0.2 AS keep
     FROM t LEFT JOIN covered c ON c.doc_id = t.doc_id
     """,
 )

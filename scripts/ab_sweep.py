@@ -107,7 +107,8 @@ def main() -> None:
     if results:
         best = max(results, key=lambda r: r["docs_per_sec"])
         print(f"# best: batch={best['arrow_batch']} depth={best['prefetch_depth']} "
-              f"{best['docs_per_sec']:.0f} docs/s (probe {best['probe']['per_doc_ms']} ms/doc)")
+              f"{best['docs_per_sec']:.0f} docs/s "
+              f"(probe {best['probe'].get('per_doc_ms', '?')} ms/doc)")
 
 
 if __name__ == "__main__":

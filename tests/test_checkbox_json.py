@@ -83,7 +83,7 @@ def test_aux_mode_spark_operator(spark):
     pages = synthesize_pages(spark, "/root/testdata/sf0.001")
     out = autoselect_extractor("aux")(pages).select("provider").distinct()
     providers = {r.provider for r in out.collect()}
-    assert providers == {"html+aux", "pdf", "json", "hocr"}
+    assert providers == {"html+aux", "pdf", "json", "hocr", "textract"}
 
 
 def test_code_detector_reference_payload():
@@ -126,6 +126,62 @@ def test_hocr_dialect_byte_identity_and_dispatch():
     assert res.extracted_text == text
     assert res.rotation == 0
     assert res.confidences[0] == pytest.approx(0.96)  # x_wconf 96
+
+
+def test_textract_dialect_byte_identity_and_dispatch():
+    """Fifth dialect mirrors the reference AwsOCR conversion
+    (aws.py:51-60): WORD-only filter, Polygon->quad flatten, percent
+    confidence scale."""
+    from ocr_wrapper_spark.kernels.textract_extract import is_textract
+    from ocr_wrapper_spark.sources.pages import build_textract
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    payload = build_textract(7, text, "en")
+    assert payload.startswith(b'{"DocumentMetadata"') and is_textract(payload)
+    res = extract_document(payload, "en")
+    assert res.provider == "textract"
+    assert res.extracted_text == text
+    assert res.rotation == 0 and res.tilt_angle == 0.0
+    assert res.confidences[0] == pytest.approx(0.93)  # Confidence 93.0 / 100
+
+
+def test_textract_word_block_filter_mirrors_aws_geometry():
+    """Parse-level parity with aws.py:54-58: PAGE and LINE blocks are
+    dropped, Polygon vertices flatten to [x0,y0,...,x3,y3] in relative
+    coords, Confidence is percent."""
+    import json
+
+    import numpy as np
+
+    from ocr_wrapper_spark.kernels.textract_extract import parse_textract_payload
+    from ocr_wrapper_spark.sources.pages import build_textract
+
+    payload = build_textract(27, "alpha beta", "en")
+    doc = json.loads(payload)
+    kinds = [b["BlockType"] for b in doc["Blocks"]]
+    assert "PAGE" in kinds and "LINE" in kinds and kinds.count("WORD") == 2
+    raw, words, confs, w, h, lang, pages = parse_textract_payload(payload)
+    assert words == ["alpha", "beta"] and lang == "en"
+    word0 = next(b for b in doc["Blocks"] if b["BlockType"] == "WORD")
+    expect = [c for v in word0["Geometry"]["Polygon"] for c in (v["X"], v["Y"])]
+    assert np.allclose(raw[0], expect)
+    assert confs == [0.93, 0.93]
+    assert (pages == 0).all()
+    # malformed WORD blocks (no Polygon / no Text) drop, never fatal
+    doc["Blocks"].append({"BlockType": "WORD", "Text": "orphan"})
+    doc["Blocks"].append({"BlockType": "WORD", "Geometry": {"Polygon": []}})
+    raw2, words2, *_ = parse_textract_payload(json.dumps(doc).encode())
+    assert words2 == ["alpha", "beta"]
+
+
+def test_textract_dialect_rtl_and_empty():
+    from ocr_wrapper_spark.sources.pages import build_textract
+
+    res = extract_document(build_textract(37, "", "en"), "en")
+    assert res.provider == "textract" and res.extracted_text == ""
+    text = "كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة أخرى ثم كلمة"
+    res = extract_document(build_textract(47, text, "ar"), "ar")
+    assert res.extracted_text == text
 
 
 def test_hocr_dialect_rtl_empty_and_malformed():

@@ -115,4 +115,4 @@ def test_results_parquet_roundtrip(spark, pages, tmp_path):
         .distinct()
         .collect()
     }
-    assert confs <= {0.9, 0.95, 0.97, 0.96}  # html / pdf / json / hocr dialect confidences
+    assert confs <= {0.9, 0.95, 0.97, 0.96, 0.93}  # html/pdf/json/hocr/textract dialect confidences

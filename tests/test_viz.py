@@ -1,0 +1,121 @@
+"""Visualization exports (functions/viz.py) — palette + renderer
+properties mirroring ref:tests/test_bbox.py:87-106."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given
+from hypothesis.strategies import floats, from_regex, lists, text
+
+from ocr_wrapper_spark.functions.viz import (
+    PALETTE_SIZES,
+    PALLETS,
+    draw_bboxes,
+    get_color_with_defined_brightness,
+    get_label2color_dict,
+    parse_color,
+)
+
+color_code_regex = r"^#[0-9a-fA-F]{6}$"
+
+
+@given(labels=lists(elements=text()))
+def test_get_label2color_dict(labels):
+    """Reference property (test_bbox.py:87-95): one entry per distinct
+    label; colors unique up to 64 labels, exactly 64 distinct beyond."""
+    d = get_label2color_dict(labels)
+    assert len(d) == len(set(labels))
+    if len(set(labels)) <= 64:
+        assert len(set(d.values())) == len(d.values())
+    else:
+        assert len(set(d.values())) == 64
+
+
+def test_palette_tiers_match_reference_structure():
+    assert tuple(len(p) for p in PALLETS) == PALETTE_SIZES == (2, 3, 4, 8, 16, 32, 64)
+    for p in PALLETS:
+        assert len(set(p)) == len(p)
+        for c in p:
+            r, g, b = parse_color(c)
+            # reds are reserved for errors (reference palette rationale):
+            # no strongly red-dominant colors in any tier
+            assert not (r > 160 and g < 80 and b < 80), c
+
+
+def test_smallest_fitting_tier_is_used():
+    d = get_label2color_dict(["a", "b"])
+    assert set(d.values()) <= set(PALLETS[0])
+    d = get_label2color_dict([f"l{i}" for i in range(9)])
+    assert set(d.values()) <= set(PALLETS[4])  # 16-tier
+
+
+@given(
+    color=from_regex(color_code_regex),
+    goal_brightness=floats(min_value=0, max_value=1),
+)
+def test_get_color_with_defined_brightness(color, goal_brightness):
+    """Reference property (test_bbox.py:98-106): result is a valid color."""
+    out = get_color_with_defined_brightness(color, goal_brightness)
+    assert parse_color(out) is not None
+
+
+def test_brightness_passthrough_for_unparsable():
+    assert get_color_with_defined_brightness("definitely-not-a-color") == "definitely-not-a-color"
+
+
+def test_brightness_actually_moves_mean():
+    # grey can scale without per-channel clamping -> mean lands on goal
+    out = parse_color(get_color_with_defined_brightness("#404040", 0.8))
+    assert sum(out) / 3 / 255 == pytest.approx(0.8, abs=0.05)
+    # channel-skewed colors clamp at 255 like the reference's min(255, .)
+    out = parse_color(get_color_with_defined_brightness("#204060", 0.8))
+    assert out[2] == 255
+
+
+def test_draw_bboxes_outline_fill_and_broadcast():
+    img = np.full((100, 200), 255, dtype=np.uint8)
+    quads = np.array(
+        [
+            [0.1, 0.1, 0.4, 0.1, 0.4, 0.4, 0.1, 0.4],
+            [0.5, 0.5, 0.9, 0.5, 0.9, 0.9, 0.5, 0.9],
+        ]
+    )
+    out = draw_bboxes(img, quads, colors="#0000ff", fill_colors="#00ff00", fill_opacities=0.5)
+    assert out.shape == (100, 200, 3) and out.dtype == np.uint8
+    assert (img == 255).all()  # input never mutated
+    # outline pixel: pure blue on the first box's top edge
+    assert out[10, 40].tolist() == [0, 0, 255]
+    # fill pixel: 50% green blend over white inside the second box
+    assert out[70, 140].tolist() == [128, 255, 128]
+    # untouched corner stays white
+    assert out[0, 199].tolist() == [255, 255, 255]
+
+
+def test_draw_bboxes_length_mismatch_raises():
+    img = np.zeros((10, 10), dtype=np.uint8)
+    q = np.zeros((2, 8))
+    with pytest.raises(Exception, match="must be the same"):
+        draw_bboxes(img, q, colors=["#fff000"])
+
+
+def test_draw_bboxes_deterministic_with_augment_and_text():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    quads = np.array([[0.2, 0.3, 0.6, 0.3, 0.6, 0.6, 0.2, 0.6]])
+    a = draw_bboxes(img, quads, texts="label", max_augment=0.2, fontsize=40)
+    b = draw_bboxes(img, quads, texts="label", max_augment=0.2, fontsize=40)
+    assert (a == b).all()
+    assert not (a == img).all()
+
+
+def test_draw_bboxes_spans_roundtrip_png():
+    """Engine-shaped usage: render span quads over a decoded page raster
+    and PNG-roundtrip the result losslessly."""
+    from ocr_wrapper_spark.kernels.png_codec import decode_png, encode_png
+
+    img = np.full((60, 90), 240, dtype=np.uint8)
+    quads = np.array([[0.0, 0.0, 0.5, 0.0, 0.5, 0.5, 0.0, 0.5]])
+    colors = get_label2color_dict(["word"])["word"]
+    out = draw_bboxes(img, quads, colors=colors, strokewidths=1)
+    assert (decode_png(encode_png(out)) == out).all()
