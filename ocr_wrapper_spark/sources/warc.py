@@ -117,9 +117,20 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
 
     One task per file (binaryFile is unsplittable — the WARC processing
     model everywhere); lang is null, the extractor's dispatch handles
-    it. Hostile bytes degrade to zero records for that file."""
+    it. Hostile bytes degrade to zero records for that file.
 
-    binary = spark.read.format("binaryFile").load(path_glob)
+    A trailing ``/*.ext`` glob is split into (dir, pathGlobFilter):
+    loading a literal glob path makes Spark's FileStreamSink metadata
+    probe stat the glob string itself and log a benign-but-noisy
+    FileNotFoundException stack trace at WARN (the undiagnosed trace in
+    the round-3 bench artifact); loading the existing directory avoids
+    the probe failure entirely."""
+    reader = spark.read.format("binaryFile")
+    head, sep, tail = path_glob.rpartition("/")
+    if sep and ("*" in tail or "?" in tail) and "*" not in head and "?" not in head:
+        reader = reader.option("pathGlobFilter", tail)
+        path_glob = head
+    binary = reader.load(path_glob)
 
     def parse(batches):
         for pdf in batches:
