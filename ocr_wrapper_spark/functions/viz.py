@@ -144,39 +144,78 @@ def _blend_mask(img: np.ndarray, mask: np.ndarray, rgb, alpha: float) -> None:
     ).astype(np.uint8)
 
 
-def _polygon_mask(h: int, w: int, quad: np.ndarray) -> np.ndarray:
-    """Even-odd scanline fill of a quad — vectorized per edge."""
-    ys, xs = np.mgrid[0:h, 0:w]
+def _quad_window(h: int, w: int, quad: np.ndarray, pad: int = 0) -> tuple[int, int, int, int]:
+    """Clipped integer bbox (y0, y1, x0, x1) of a quad — masks are built
+    on this subrectangle only, so per-box cost scales with the box, not
+    the page (a 1224x1584 page with hundreds of word quads must not
+    allocate hundreds of full-page grids)."""
+    xs, ys = quad[0::2], quad[1::2]
+    x0 = max(0, int(np.floor(xs.min())) - pad)
+    x1 = min(w, int(np.ceil(xs.max())) + pad + 1)
+    y0 = max(0, int(np.floor(ys.min())) - pad)
+    y1 = min(h, int(np.ceil(ys.max())) + pad + 1)
+    return y0, max(y0, y1), x0, max(x0, x1)
+
+
+def _polygon_mask_window(h: int, w: int, quad: np.ndarray):
+    """Even-odd scanline fill of a quad — vectorized per edge, computed
+    and returned on the quad's clipped bounding window (y0, y1, x0, x1,
+    sub-mask). Per-box cost scales with the box, not the page."""
+    wy0, wy1, wx0, wx1 = _quad_window(h, w, quad)
+    if wy1 <= wy0 or wx1 <= wx0:
+        return wy0, wy1, wx0, wx1, np.zeros((0, 0), dtype=bool)
+    ys = np.arange(wy0, wy1, dtype=np.float64)[:, None] + 0.5
+    xs = np.arange(wx0, wx1, dtype=np.float64)[None, :] + 0.5
     cx, cy = quad[0::2], quad[1::2]
-    inside = np.zeros((h, w), dtype=bool)
+    sub = np.zeros((wy1 - wy0, wx1 - wx0), dtype=bool)
     n = len(cx)
     for i in range(n):
         x0, y0 = cx[i], cy[i]
         x1, y1 = cx[(i + 1) % n], cy[(i + 1) % n]
         if y0 == y1:
             continue
-        cond = ((ys + 0.5 >= np.minimum(y0, y1)) & (ys + 0.5 < np.maximum(y0, y1)))
-        xint = x0 + (ys + 0.5 - y0) * (x1 - x0) / (y1 - y0)
-        inside ^= cond & (xs + 0.5 < xint)
+        cond = (ys >= np.minimum(y0, y1)) & (ys < np.maximum(y0, y1))
+        xint = x0 + (ys - y0) * (x1 - x0) / (y1 - y0)
+        sub ^= cond & (xs < xint)
+    return wy0, wy1, wx0, wx1, sub
+
+
+def _polygon_mask(h: int, w: int, quad: np.ndarray) -> np.ndarray:
+    """Full-page mask wrapper around ``_polygon_mask_window`` (kept for
+    direct callers/tests; draw_bboxes uses the window form)."""
+    inside = np.zeros((h, w), dtype=bool)
+    y0, y1, x0, x1, sub = _polygon_mask_window(h, w, quad)
+    inside[y0:y1, x0:x1] = sub
     return inside
 
 
-def _stroke_mask(h: int, w: int, quad: np.ndarray, width: int) -> np.ndarray:
-    """Outline mask: sample each edge densely, stamp width x width
-    squares — deterministic, no AA."""
-    mask = np.zeros((h, w), dtype=bool)
+def _stroke_points(h: int, w: int, quad: np.ndarray, width: int):
+    """Outline pixel coordinates: sample each edge densely, stamp
+    width x width squares via a vectorized offset broadcast —
+    deterministic, no AA. Returns (ys, xs) index arrays."""
     cx, cy = quad[0::2], quad[1::2]
+    n = len(cx)
     r = max(0, (int(width) - 1) // 2)
-    r_hi = int(width) - 1 - r
-    for i in range(len(cx)):
+    offs = np.arange(-r, int(width) - r)  # width offsets around the sample
+    all_y, all_x = [], []
+    for i in range(n):
         x0, y0 = cx[i], cy[i]
-        x1, y1 = cx[(i + 1) % len(cx)], cy[(i + 1) % len(cy)]
+        x1, y1 = cx[(i + 1) % n], cy[(i + 1) % n]
         steps = int(max(abs(x1 - x0), abs(y1 - y0)) * 2) + 2
-        xs = np.clip(np.rint(np.linspace(x0, x1, steps)).astype(np.int64), 0, w - 1)
-        ys = np.clip(np.rint(np.linspace(y0, y1, steps)).astype(np.int64), 0, h - 1)
-        for dy in range(-r, r_hi + 1):
-            for dx in range(-r, r_hi + 1):
-                mask[np.clip(ys + dy, 0, h - 1), np.clip(xs + dx, 0, w - 1)] = True
+        exs = np.rint(np.linspace(x0, x1, steps)).astype(np.int64)
+        eys = np.rint(np.linspace(y0, y1, steps)).astype(np.int64)
+        shape = (steps, len(offs), len(offs))
+        sy = np.clip(eys[:, None, None] + offs[None, :, None], 0, h - 1)
+        sx = np.clip(exs[:, None, None] + offs[None, None, :], 0, w - 1)
+        all_y.append(np.broadcast_to(sy, shape).ravel())
+        all_x.append(np.broadcast_to(sx, shape).ravel())
+    return np.concatenate(all_y), np.concatenate(all_x)
+
+
+def _stroke_mask(h: int, w: int, quad: np.ndarray, width: int) -> np.ndarray:
+    mask = np.zeros((h, w), dtype=bool)
+    ys, xs = _stroke_points(h, w, quad, width)
+    mask[ys, xs] = True
     return mask
 
 
@@ -230,9 +269,12 @@ def draw_bboxes(
         fill_rgb = parse_color(fill_colors[i])
         opacity = float(fill_opacities[i])
         if fill_rgb is not None and opacity >= 0.01:
-            _blend_mask(out, _polygon_mask(h, w, quad), fill_rgb, opacity)
+            y0, y1, x0, x1, sub = _polygon_mask_window(h, w, quad)
+            if sub.size:
+                _blend_mask(out[y0:y1, x0:x1], sub, fill_rgb, opacity)
         if stroke_rgb is not None:
-            out[_stroke_mask(h, w, quad, int(strokewidths[i]))] = stroke_rgb
+            sy, sx = _stroke_points(h, w, quad, int(strokewidths[i]))
+            out[sy, sx] = stroke_rgb
 
         text = texts[i]
         if text:

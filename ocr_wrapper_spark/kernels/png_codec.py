@@ -121,6 +121,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     error row, never a task failure)."""
     if not is_png(payload):
         raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_checked(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib.error / struct.error / truncation
+        raise ValueError(f"corrupt PNG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_png_checked(payload: bytes) -> np.ndarray:
     pos = len(PNG_MAGIC)
     width = height = None
     colour = depth = interlace = None
@@ -161,7 +170,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if colour == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        return plte[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     if colour == 4:  # grey+alpha -> grey
         return img[:, :, 0]
     return img[:, :, :3]  # RGBA -> RGB

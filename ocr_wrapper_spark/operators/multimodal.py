@@ -101,10 +101,16 @@ def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
     from ..sources.media import RASTER_H, RASTER_W
 
     body = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
-    if is_png(body):
-        return _decode_png_bytes(body)
-    if is_png(payload):  # bare image file, no MM01 envelope
-        return _decode_png_bytes(payload)
+    png = body if is_png(body) else (payload if is_png(payload) else None)
+    if png is not None:  # body, or a bare image file with no MM01 envelope
+        try:
+            return _decode_png_bytes(png)
+        except Exception:
+            # corrupt PNG: degrade to the deterministic fake raster below
+            # (hostile inputs degrade, never kill the task); surface the
+            # failure only when the caller demanded a real decode
+            if not fake:
+                raise
     if len(body) == RASTER_W * RASTER_H:
         return np.frombuffer(body, dtype=np.uint8).reshape(RASTER_H, RASTER_W)
     # scan pages (sources/media.py synthesize_scans) carry true raster

@@ -320,12 +320,14 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from .schema import PAGES_SCHEMA
-    from .sources.pages import materialize_pages
+    from .sources.pages import PAGES_FORMAT_VERSION, materialize_pages
     from .streaming.dedup_stream import stream_dedup_first_seen
 
     base = materialize_pages(spark, sf_dir)
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    ddir = f"/tmp/spark_graft_stream_dedup/{sf_tag}"
+    # derived pages copy keyed on the generator format version, like
+    # every other /tmp materialization (stale-cache invariant)
+    ddir = f"/tmp/spark_graft_stream_dedup/v{PAGES_FORMAT_VERSION}_{sf_tag}"
     if not os.path.exists(ddir + "/_SUCCESS"):
         pages = spark.read.parquet(base)
         pages.write.mode("overwrite").parquet(ddir)

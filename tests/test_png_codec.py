@@ -125,6 +125,44 @@ def test_decode_rejects_garbage_and_unsupported():
         decode_png(png16)
 
 
+def test_decode_raises_valueerror_for_every_corruption_class():
+    """Contract: unsupported/corrupt input raises ValueError — never
+    zlib.error / struct.error / IndexError — so callers catching the
+    documented exception surface error rows, not task failures."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    corrupt_idat = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"\x01garbage") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(corrupt_idat)
+    # truncated mid-chunk (magic only + half a length field)
+    with pytest.raises(ValueError):
+        decode_png(PNG_MAGIC + b"\x00\x00")
+    # palette index beyond PLTE size
+    ihdr3 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    bad_pal = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr3)
+        + _chunk(b"PLTE", bytes([1, 2, 3]))  # one entry, index 5 used
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad_pal)
+
+
+def test_corrupt_png_payload_degrades_not_raises_in_decode_seam():
+    """A hostile MM01 payload whose body sniffs as PNG but is corrupt
+    must degrade to the deterministic fake raster (the media operators'
+    no-task-failure contract), and raise only when fake=False."""
+    from ocr_wrapper_spark.operators.multimodal import _decode_image
+
+    hostile = b"MM01 image 160 120 0 0 1\n" + PNG_MAGIC + b"garbage-idat"
+    a = _decode_image(hostile)
+    b = _decode_image(hostile)
+    assert a.shape == (8, 8) and (a == b).all()
+    with pytest.raises(Exception):
+        _decode_image(hostile, fake=False)
+
+
 def test_media_payloads_are_compressed_and_decode_lossless():
     """The generator's image payloads now carry real PNGs; the decode
     seam must reproduce the rendered raster exactly (oracles depend on
