@@ -35,7 +35,7 @@ from ..schema import PAGES_SCHEMA
 # bytes: /tmp materializations (materialize_pages, warc.materialize_warc)
 # key their cache paths on it, so generator edits can never silently
 # reuse stale files.
-PAGES_FORMAT_VERSION = 2  # v2: +textract dialect (doc_id % 10 == 7)
+PAGES_FORMAT_VERSION = 3  # v2: +textract dialect; v3: doc-unique json uri
 
 N_HOSTS = 40
 ZIPF_S = 1.1
@@ -149,6 +149,11 @@ def build_json(doc_id: int, text: str, lang: str) -> bytes:
             "width": width,
             "height": height,
             "lang": lang,
+            # document uri, like real documentai responses carry: keeps
+            # payload bytes unique per doc even when texts collide, so
+            # content-hash dedup semantics ("this exact response") hold
+            # at any replication factor
+            "uri": f"doc://{doc_id}",
             "pages": [{"id": 0, "spans": spans}],
         }
     }
