@@ -69,13 +69,21 @@ print(json.dumps({"cores": int(cores), "n_docs": n, "sec": best,
 
 SPINNER = r"""
 import os, sys, multiprocessing as mp
-def spin():
+def spin(ppid):
     os.nice(19)
     x = 1
     while True:
-        x = (x * 1103515245 + 12345) % (1 << 31)
+        for _ in range(2_000_000):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        # self-terminate if the spinner parent died: SIGKILL on the
+        # parent skips daemon cleanup, and a leaked spinner fleet loads
+        # the host for hours (this exact leak poisoned a whole session's
+        # health probes — round-3 postmortem)
+        if os.getppid() != ppid:
+            sys.exit(0)
 if __name__ == "__main__":
-    ps = [mp.Process(target=spin, daemon=True) for _ in range(int(sys.argv[1]))]
+    me = os.getpid()
+    ps = [mp.Process(target=spin, args=(me,), daemon=True) for _ in range(int(sys.argv[1]))]
     [p.start() for p in ps]
     import time; time.sleep(36000)
 """
@@ -135,15 +143,26 @@ class _BackgroundLoad:
     use, so per-core frequency matches a fully-loaded node."""
 
     def __init__(self, first_core: int, last_core: int):
+        # own session => one process group covering parent AND children,
+        # so stop() can kill the whole fleet. kill()ing only the parent
+        # orphans the daemon spinners (SIGKILL skips daemon cleanup) —
+        # that leak ran 24 spinners for 4 h and made every host-health
+        # probe read sick (round-3/4 postmortem).
         self.proc = subprocess.Popen(
             ["taskset", "-c", f"{first_core}-{last_core}", sys.executable,
              "-c", SPINNER, str(last_core - first_core + 1)],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
         )
         time.sleep(1.0)
 
     def stop(self):
-        self.proc.kill()
+        import signal
+
+        try:
+            os.killpg(self.proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
         self.proc.wait()
 
 
