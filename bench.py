@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_repetition_filter",
     "ann_topk_int8",
     "pipeline_warc_extract",
+    "pipeline_textract_extract",  # fifth dialect (r4)
 ]
 
 
