@@ -363,11 +363,15 @@ def order_spans_udf(spans: pd.Series, width: pd.Series, height: pd.Series) -> pd
     return pd.Series(out)
 
 
-def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
+def extract_documents_fused(spark, sf_dir: str, mode: str = "single", docs_filter=None):
     """documents.parquet -> extraction results in ONE Python stage:
     page synthesis (test scaffolding) and extraction run in the same
     Arrow batch, skipping the intermediate pages hop and the span-array
     serialization (correctness queries don't read spans).
+
+    ``docs_filter`` (optional Column predicate) is applied BEFORE the
+    repartition so slice queries push it into the parquet scan instead
+    of extracting everything and discarding 90% afterwards.
 
     Production reads a real pages table (see plans/pipeline.py); this is
     the fast path for the documents-derived correctness/bench queries.
@@ -383,6 +387,8 @@ def extract_documents_fused(spark, sf_dir: str, mode: str = "single"):
     from ..sources.pages import build_page_rows
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs_filter is not None:
+        docs = docs.filter(docs_filter)
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
 
     def op(batches):

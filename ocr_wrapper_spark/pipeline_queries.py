@@ -196,10 +196,11 @@ def pipeline_textract_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize/order path."""
     from .operators.extract import extract_documents_fused
 
-    result = extract_documents_fused(spark, sf_dir)
-    return result.filter(F.col("doc_id") % 10 == 7).select(
-        "doc_id", "extracted_text", "n_spans", "provider"
-    )
+    # slice predicate pushed below the extraction stage: only the
+    # textract docs are synthesized/extracted (10x less work than
+    # filtering the extraction output)
+    result = extract_documents_fused(spark, sf_dir, docs_filter=F.col("doc_id") % 10 == 7)
+    return result.select("doc_id", "extracted_text", "n_spans", "provider")
 
 
 @register(
