@@ -35,7 +35,7 @@ from ..schema import PAGES_SCHEMA
 # bytes: /tmp materializations (materialize_pages, warc.materialize_warc)
 # key their cache paths on it, so generator edits can never silently
 # reuse stale files.
-PAGES_FORMAT_VERSION = 3  # v2: +textract dialect; v3: doc-unique json uri
+PAGES_FORMAT_VERSION = 4  # v2: +textract; v3: json doc uri; v4: pdf %D id
 
 N_HOSTS = 40
 ZIPF_S = 1.1
@@ -300,6 +300,10 @@ def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
 
     lines = [
         "%PDF-GRAFT1.0",
+        f"%D {doc_id}",  # document id, like the PDF trailer /ID — keeps
+        # payload bytes unique per doc (empty or duplicate texts would
+        # otherwise produce byte-identical scans and content-hash dedup
+        # would correctly fold them, breaking per-doc oracles at 10x)
         f"%W {page_w} {page_h}",
         f"%L {lang}",
         f"%R {rotation}",
