@@ -144,16 +144,16 @@ def _blend_mask(img: np.ndarray, mask: np.ndarray, rgb, alpha: float) -> None:
     ).astype(np.uint8)
 
 
-def _quad_window(h: int, w: int, quad: np.ndarray, pad: int = 0) -> tuple[int, int, int, int]:
+def _quad_window(h: int, w: int, quad: np.ndarray) -> tuple[int, int, int, int]:
     """Clipped integer bbox (y0, y1, x0, x1) of a quad — masks are built
     on this subrectangle only, so per-box cost scales with the box, not
     the page (a 1224x1584 page with hundreds of word quads must not
     allocate hundreds of full-page grids)."""
     xs, ys = quad[0::2], quad[1::2]
-    x0 = max(0, int(np.floor(xs.min())) - pad)
-    x1 = min(w, int(np.ceil(xs.max())) + pad + 1)
-    y0 = max(0, int(np.floor(ys.min())) - pad)
-    y1 = min(h, int(np.ceil(ys.max())) + pad + 1)
+    x0 = max(0, int(np.floor(xs.min())))
+    x1 = min(w, int(np.ceil(xs.max())) + 1)
+    y0 = max(0, int(np.floor(ys.min())))
+    y1 = min(h, int(np.ceil(ys.max())) + 1)
     return y0, max(y0, y1), x0, max(x0, x1)
 
 
@@ -180,19 +180,11 @@ def _polygon_mask_window(h: int, w: int, quad: np.ndarray):
     return wy0, wy1, wx0, wx1, sub
 
 
-def _polygon_mask(h: int, w: int, quad: np.ndarray) -> np.ndarray:
-    """Full-page mask wrapper around ``_polygon_mask_window`` (kept for
-    direct callers/tests; draw_bboxes uses the window form)."""
-    inside = np.zeros((h, w), dtype=bool)
-    y0, y1, x0, x1, sub = _polygon_mask_window(h, w, quad)
-    inside[y0:y1, x0:x1] = sub
-    return inside
-
-
 def _stroke_points(h: int, w: int, quad: np.ndarray, width: int):
-    """Outline pixel coordinates: sample each edge densely, stamp
-    width x width squares via a vectorized offset broadcast —
-    deterministic, no AA. Returns (ys, xs) index arrays."""
+    """Outline pixel coordinates: sample each edge densely (clamped to
+    the page like the original renderer), then stamp width x width
+    offset squares, clipped — deterministic, no AA. Returns (ys, xs)
+    index arrays."""
     cx, cy = quad[0::2], quad[1::2]
     n = len(cx)
     r = max(0, (int(width) - 1) // 2)
@@ -202,21 +194,16 @@ def _stroke_points(h: int, w: int, quad: np.ndarray, width: int):
         x0, y0 = cx[i], cy[i]
         x1, y1 = cx[(i + 1) % n], cy[(i + 1) % n]
         steps = int(max(abs(x1 - x0), abs(y1 - y0)) * 2) + 2
-        exs = np.rint(np.linspace(x0, x1, steps)).astype(np.int64)
-        eys = np.rint(np.linspace(y0, y1, steps)).astype(np.int64)
+        # clamp the SAMPLE first, offset second: an edge on (or past)
+        # the page border still renders the full stroke width inward
+        exs = np.clip(np.rint(np.linspace(x0, x1, steps)).astype(np.int64), 0, w - 1)
+        eys = np.clip(np.rint(np.linspace(y0, y1, steps)).astype(np.int64), 0, h - 1)
         shape = (steps, len(offs), len(offs))
         sy = np.clip(eys[:, None, None] + offs[None, :, None], 0, h - 1)
         sx = np.clip(exs[:, None, None] + offs[None, None, :], 0, w - 1)
         all_y.append(np.broadcast_to(sy, shape).ravel())
         all_x.append(np.broadcast_to(sx, shape).ravel())
     return np.concatenate(all_y), np.concatenate(all_x)
-
-
-def _stroke_mask(h: int, w: int, quad: np.ndarray, width: int) -> np.ndarray:
-    mask = np.zeros((h, w), dtype=bool)
-    ys, xs = _stroke_points(h, w, quad, width)
-    mask[ys, xs] = True
-    return mask
 
 
 def draw_bboxes(
@@ -265,6 +252,10 @@ def draw_bboxes(
 
     for i in range(n):
         quad = _augment_quad(quads[i] * scale, max_augment, seed=i)
+        if not np.isfinite(quad).all():
+            # hostile geometry (NaN/Inf span coords) renders nothing —
+            # degrade, never kill the task
+            continue
         stroke_rgb = parse_color(colors[i])
         fill_rgb = parse_color(fill_colors[i])
         opacity = float(fill_opacities[i])

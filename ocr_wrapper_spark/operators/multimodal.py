@@ -315,7 +315,11 @@ def with_image_phash(df: DataFrame, payload_col: str = "payload", grid: int = 8)
             hashes = []
             for p in pdf[payload_col]:
                 try:
-                    hashes.append(image_ahash(_decode_image(p), grid))
+                    # fake=False: an undecodable payload must yield a
+                    # NULL phash (never merged) — the degrade-to-fake
+                    # raster path would hand corrupt payloads a real,
+                    # groupable hash
+                    hashes.append(image_ahash(_decode_image(p, fake=False), grid))
                 except Exception:
                     hashes.append(None)
             out = pdf.drop(columns=[payload_col]).copy()

@@ -32,6 +32,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")

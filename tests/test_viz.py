@@ -109,6 +109,49 @@ def test_draw_bboxes_deterministic_with_augment_and_text():
     assert not (a == img).all()
 
 
+def test_draw_bboxes_hostile_geometry_degrades():
+    """NaN/Inf span coords render nothing — never a crash (the repo's
+    hostile-inputs contract)."""
+    img = np.full((20, 30), 9, dtype=np.uint8)
+    quads = np.array(
+        [
+            [np.nan] * 8,
+            [0.1, np.inf, 0.2, 0.1, 0.2, 0.2, 0.1, 0.2],
+            [0.1, 0.1, 0.5, 0.1, 0.5, 0.5, 0.1, 0.5],  # one valid box
+        ]
+    )
+    out = draw_bboxes(img, quads, fill_colors="#00ff00", fill_opacities=0.5, colors=None)
+    assert out.shape == (20, 30, 3)
+    assert (out[3, 8] != [9, 9, 9]).any()  # the valid box did render
+
+
+def test_draw_bboxes_border_stroke_keeps_full_width():
+    """An edge-hugging quad renders the full stroke width inward
+    (sample clamped before the offset stamp, like the original
+    renderer), not a collapsed 1px line."""
+    img = np.zeros((50, 60), dtype=np.uint8)
+    full = np.array([[0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0]])
+    out = draw_bboxes(img, full, colors="#ffffff", strokewidths=3)
+    # right border: columns w-1 and w-2 both painted (offset stamps inward)
+    assert out[25, 59].tolist() == [255, 255, 255]
+    assert out[25, 58].tolist() == [255, 255, 255]
+
+
+def test_phash_null_for_corrupt_png_payload(spark):
+    """Undecodable image payloads must get a NULL phash (never merged),
+    even when the body sniffs as PNG but is corrupt."""
+    from ocr_wrapper_spark.operators.multimodal import with_image_phash
+    from ocr_wrapper_spark.sources.media import build_media_payload
+
+    good = build_media_payload(6)
+    corrupt = b"MM01 image 160 120 0 0 1\n\x89PNG\r\n\x1a\ngarbage"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r.phash for r in with_image_phash(df).collect()}
+    assert rows[1] is not None and rows[2] is None
+
+
 def test_draw_bboxes_spans_roundtrip_png():
     """Engine-shaped usage: render span quads over a decoded page raster
     and PNG-roundtrip the result losslessly."""
