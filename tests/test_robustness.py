@@ -165,6 +165,19 @@ def test_real_web_hostile_battery(spark):
             "<div class='ocr_page' title='bbox 0 0 100 100'>"
             "<span class='ocrx_word' title='bbox 99999999 0 100000000 10; x_wconf 1'>far</span>"
             "</div></body></html>").encode()),
+        # hostile Textract dialect: truncated JSON, junk/malformed blocks
+        # mixed with one valid WORD, wrong-typed Blocks
+        _page("textract_trunc", b'{"DocumentMetadata": {"Pages": 1}, "Blocks": [{"BlockType": "WORD"'),
+        _page("textract_junk_blocks", (
+            b'{"DocumentMetadata": {"Pages": 1}, "ImageSize": {"Width": 100, "Height": 100},'
+            b'"Blocks": ['
+            b'{"BlockType": "PAGE"},'
+            b'{"BlockType": "WORD", "Text": "kept", "Confidence": 50,'
+            b' "Geometry": {"Polygon": [{"X":0.1,"Y":0.1},{"X":0.3,"Y":0.1},{"X":0.3,"Y":0.2},{"X":0.1,"Y":0.2}]}},'
+            b'{"BlockType": "WORD", "Text": "nopoly"},'
+            b'{"BlockType": "WORD", "Geometry": {"Polygon": []}},'
+            b'{"BlockType": "LINE", "Text": "a line"}]}')),
+        _page("textract_types", b'{"DocumentMetadata": {"Pages": 1}, "Blocks": "not a list"}'),
     ]
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     out = {r.url: r for r in run_extraction(spark, df).collect()}
@@ -180,6 +193,9 @@ def test_real_web_hostile_battery(spark):
     assert out["hocr_zero_page"].error is None and out["hocr_zero_page"].n_spans == 2
     assert out["hocr_trunc"].error is None and out["hocr_trunc"].n_spans == 1
     assert out["hocr_huge_bbox"].error is None and out["hocr_huge_bbox"].n_spans == 1
+    assert out["textract_trunc"].error is not None  # malformed JSON -> error row
+    assert out["textract_junk_blocks"].error is None and out["textract_junk_blocks"].n_spans == 1
+    assert out["textract_types"].error is not None  # wrong-typed Blocks -> error row
     for r in out.values():
         assert r.error is None or isinstance(r.error, str)
 
