@@ -43,6 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_PRIORITY = [
     # new this round (round 4: never in any snapshot)
     "pipeline_textract_extract",
+    "corpus_incremental_dedup",
+    "doc_tfidf_topk",
+    "crawl_frontier_slots",
     "doc_dup_span_coverage",  # r4 semantics change: empty docs now kept
     # stale set: newest green row is the r2 snapshot — touched-this-round
     # surfaces first (5-dialect mix, compressed-PNG media payloads)

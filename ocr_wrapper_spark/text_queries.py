@@ -1324,3 +1324,180 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
     )
     return d.select(split).groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+POLITENESS_BATCH = 16  # fetch-slot width per host (crawl scheduling)
+TFIDF_TOP_K = 5
+
+
+@register(
+    "corpus_incremental_dedup",
+    # new crawl = doc_id % 5 == 4 slice; old corpus = the rest. A new
+    # doc is kept iff its content fingerprint is unseen in the old
+    # corpus AND it is the first holder of that fingerprint within the
+    # new batch (min doc_id wins) — the recurring-crawl production op.
+    r"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+      FROM documents),
+    old AS (SELECT DISTINCT fp_md5 FROM fp WHERE doc_id % 5 <> 4),
+    new AS (
+      SELECT doc_id, fp_md5,
+             min(doc_id) OVER (PARTITION BY fp_md5) AS first_id
+      FROM fp WHERE doc_id % 5 = 4)
+    SELECT n.doc_id, n.fp_md5,
+           CASE WHEN o.fp_md5 IS NOT NULL THEN 'dup_of_old'
+                WHEN n.doc_id <> n.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM new n LEFT JOIN old o ON o.fp_md5 = n.fp_md5
+    """,
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-over-crawl dedup: classify every document of a
+    new crawl batch against the existing corpus by content fingerprint
+    (dup_of_old via a fingerprint-keyed left join, dup_in_batch via a
+    min-id window within the batch, else kept). Both shuffles are keyed
+    on the fingerprint — at 10^12 rows the old side is a bucketed
+    fingerprint table and the join stays co-located; nothing is
+    collected. The production shape for recurring Common-Crawl ingests:
+    only `kept` rows proceed to extraction, so the cost of a re-crawl
+    is one hash join, not a re-extraction."""
+    d = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = d.select("doc_id", F.md5(normalized).alias("fp_md5"))
+    old = fp.filter(F.col("doc_id") % 5 != 4).select("fp_md5").distinct()
+    new = fp.filter(F.col("doc_id") % 5 == 4).withColumn(
+        "first_id", F.min("doc_id").over(Window.partitionBy("fp_md5"))
+    )
+    joined = new.join(old.withColumn("_in_old", F.lit(1)), "fp_md5", "left")
+    status = (
+        F.when(F.col("_in_old").isNotNull(), "dup_of_old")
+        .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+        .otherwise("kept")
+    )
+    return joined.select("doc_id", "fp_md5", status.alias("status"))
+
+
+@register(
+    "doc_tfidf_topk",
+    # relevance = tf * N / df — the rational tf-idf surrogate: one IEEE
+    # division on integer inputs is bit-identical across engines,
+    # unlike ln() whose libm differs between DuckDB and the JVM. Ties
+    # break on the term string, so ranks are engine-independent.
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term
+      FROM documents WHERE text <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents WHERE text <> ''),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (SELECT n FROM n) / CAST(df.df AS DOUBLE), 6) AS relevance
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, relevance, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY relevance DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf x N/df
+    relevance (corpus-analysis primitive — e.g. building topic filters
+    or dedup-resistant doc signatures). Two keyed aggregations (term
+    frequencies per doc, document frequencies per term), one equi-join
+    on the term, a per-doc window for the top-k — every shuffle keyed,
+    map-side combinable, no global sort. The df table is the corpus
+    vocabulary (bounded); at 10^12 docs it broadcast-joins."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    # corpus size as a 1-row broadcast cross join (no eager collect —
+    # the lazy analogue of the scalar subquery, same pattern as
+    # scalar_subquery_above_avg in relational.py)
+    n_docs = F.broadcast(d.agg(F.count("*").alias("n_docs")))
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_t, "term").crossJoin(n_docs).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("n_docs") / F.col("df").cast("double"), 6).alias("relevance"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("relevance").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "relevance", "rank")
+    )
+
+
+@register(
+    "crawl_frontier_slots",
+    # politeness scheduling: per-host fetch order (stable by doc_id),
+    # grouped into fixed-width fetch slots — the crawl-frontier
+    # partitioning story at 10^12 urls (one host never hammered by
+    # more than POLITENESS_BATCH concurrent fetches per slot)
+    f"""
+    WITH hosted AS (
+      SELECT doc_id,
+             len(list_filter({{cdf}},
+                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+             AS host_idx
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, host_idx,
+             row_number() OVER (PARTITION BY host_idx ORDER BY doc_id) - 1 AS fetch_rank
+      FROM hosted)
+    SELECT doc_id,
+           concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,
+           CAST(fetch_rank AS BIGINT)                        AS fetch_rank,
+           CAST(fetch_rank // {POLITENESS_BATCH} AS BIGINT)  AS slot
+    FROM ordered
+    """,
+)
+def crawl_frontier_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: per-host fetch order
+    (deterministic by doc_id) bucketed into fixed-width slots, so no
+    host receives more than POLITENESS_BATCH fetches per scheduling
+    round. One window partitioned by host — the host-keyed shuffle is
+    exactly the skew-salted exchange pipeline_host_stats exercises, and
+    at 10^12 urls the slot column IS the micro-batch id a frontier
+    executor consumes."""
+    from .sources import pages as pages_src
+
+    from .operators.sampling import knuth_u
+
+    d = _t(spark, sf_dir, "documents")
+    u = knuth_u(F.col("doc_id"))  # overflow-safe at full int64 id range
+    cdf = pages_src._host_cdf()
+    host_idx = F.aggregate(
+        F.array(*[F.lit(float(c)) for c in cdf]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
+    )
+    w = Window.partitionBy("host_idx").orderBy("doc_id")
+    return (
+        d.select("doc_id", host_idx.alias("host_idx"))
+        .withColumn("fetch_rank", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("host"),
+                F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            "fetch_rank",
+            (F.col("fetch_rank") / POLITENESS_BATCH).cast("long").alias("slot"),
+        )
+    )
+
+
+# crawl_frontier_slots oracle needs the Zipf cdf literal (same pattern
+# as pipeline_host_stats); splice it in after registration
+from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
+
+_ORACLES["crawl_frontier_slots"] = _ORACLES["crawl_frontier_slots"].replace(
+    "{cdf}", _cdf_sql_fn()
+)
