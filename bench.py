@@ -128,18 +128,21 @@ def main() -> None:
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     # headline throughput: extraction over a MATERIALIZED pages table (the
-    # north_rule input shape), 8x replicated so every core has work; warm
-    # worker pool; best of 2 passes
+    # north_rule input shape), 32x replicated (same input scaling_bench
+    # measures): at replicate=8 (r1-r3 benches) a pass is ~2 s and per-job
+    # overhead eats ~half the wall clock, understating docs/sec ~2x —
+    # compare r<=3 headlines via headline_cpu_ms_per_doc, not docs/sec
     from ocr_wrapper_spark.plans.pipeline import run_extraction
     from ocr_wrapper_spark.sources.pages import materialize_pages
 
     # synthetic pages compress ~6x denser than real web html: shrink the
-    # split size so the scan yields one task per written file. 256 small
-    # files -> 8 balanced task waves at 32 cores (64 fat files = 2 ragged
-    # waves and a straggler tail that reads as variance)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "256k")
-    spark.conf.set("spark.sql.files.openCostInBytes", "256k")
-    pages_path = materialize_pages(spark, sf_dir, replicate=8, partitions=256)
+    # split size so 256 written files yield balanced task waves at 32
+    # cores (64 fat files = 2 ragged waves and a straggler tail that
+    # reads as variance)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    HEADLINE_REPLICATE = 32
+    pages_path = materialize_pages(spark, sf_dir, replicate=HEADLINE_REPLICATE, partitions=256)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     run_extraction(spark, pages.limit(4096)).count()  # warm workers
@@ -172,6 +175,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "n_docs": n_pages,
                 "headline_wall_sec": total,
+                "headline_replicate": HEADLINE_REPLICATE,
                 "headline_cpu_ms_per_doc": cpu_ms_per_doc,
                 "host_probe": host_probe,
             }
