@@ -102,8 +102,11 @@ def token_count_cols(text_col: Column) -> list[Column]:
 def fingerprint_col(text_col: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized text
     (lowercased, whitespace collapsed) — content-defined identity for
-    shard-stable dedup keys."""
-    normalized = F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+    shard-stable dedup keys. The whitespace class matches
+    text_queries.FP_WS_RE (written out because Java \\s includes \\x0B,
+    RE2 \\s does not) so the xxhash64 and md5 fingerprints agree on
+    what "same content" means."""
+    normalized = F.lower(F.regexp_replace(F.trim(text_col), r"[ \t\n\x0B\f\r]+", " "))
     return F.xxhash64(normalized)
 
 

@@ -419,18 +419,31 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *textstats.token_count_cols(F.col("text")))
 
 
+# Content fingerprint: md5 of whitespace-normalized lowercase text —
+# the single definition every fingerprint consumer shares. The
+# whitespace class is written out explicitly because Java regex \s
+# includes vertical tab \x0B while DuckDB's RE2 \s does not: with
+# '\s+' a document containing \x0B fingerprints differently in the two
+# engines, which would flip dup/kept classifications downstream.
+FP_WS_RE = r"[ \t\n\x0B\f\r]+"
+FP_MD5_SQL = r"md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))"
+
+
+def fp_md5_col(text_col):
+    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), FP_WS_RE, " ")))
+
+
 @register(
     "doc_fingerprint",
-    r"""
+    f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+           {FP_MD5_SQL} AS fp_md5
     FROM documents
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    return d.select("doc_id", F.md5(normalized).alias("fp_md5"))
+    return d.select("doc_id", fp_md5_col(F.col("text")).alias("fp_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -1336,9 +1349,9 @@ TFIDF_TOP_K = 5
     # doc is kept iff its content fingerprint is unseen in the old
     # corpus AND it is the first holder of that fingerprint within the
     # new batch (min doc_id wins) — the recurring-crawl production op.
-    r"""
+    f"""
     WITH fp AS (
-      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+      SELECT doc_id, {FP_MD5_SQL} AS fp_md5
       FROM documents),
     old AS (SELECT DISTINCT fp_md5 FROM fp WHERE doc_id % 5 <> 4),
     new AS (
@@ -1363,8 +1376,7 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only `kept` rows proceed to extraction, so the cost of a re-crawl
     is one hash join, not a re-extraction."""
     d = _t(spark, sf_dir, "documents")
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = d.select("doc_id", F.md5(normalized).alias("fp_md5"))
+    fp = d.select("doc_id", fp_md5_col(F.col("text")).alias("fp_md5"))
     old = fp.filter(F.col("doc_id") % 5 != 4).select("fp_md5").distinct()
     new = fp.filter(F.col("doc_id") % 5 == 4).withColumn(
         "first_id", F.min("doc_id").over(Window.partitionBy("fp_md5"))
@@ -1380,10 +1392,15 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_tfidf_topk",
-    # relevance = tf * N / df — the rational tf-idf surrogate: one IEEE
-    # division on integer inputs is bit-identical across engines,
-    # unlike ln() whose libm differs between DuckDB and the JVM. Ties
-    # break on the term string, so ranks are engine-independent.
+    # relevance_ppm = floor(tf*N * 1e6 / df) — the integer tf-idf
+    # surrogate: tf*N is exact int64 (tf<=1e5 doc tokens x N<=1e12 docs
+    # stays under 2^63), the *1e6 and the division are the same IEEE
+    # double ops in both engines (any >2^53 rounding is identical), and
+    # floor of the shared double is engine-exact — unlike ln() (libm
+    # differs) or round(double, 6) (Spark HALF_UPs the shortest decimal
+    # repr, DuckDB rounds the scaled double — half-boundary values
+    # diverge, and relevance is also the rank ORDER key). Ties break on
+    # the term string, so ranks are engine-independent.
     f"""
     WITH t AS (
       SELECT doc_id, unnest(str_split(text, ' ')) AS term
@@ -1393,11 +1410,12 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n FROM documents WHERE text <> ''),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             round(tf.tf * (SELECT n FROM n) / CAST(df.df AS DOUBLE), 6) AS relevance
+             CAST(floor(CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) * 1000000.0
+                        / CAST(df.df AS DOUBLE)) AS BIGINT) AS relevance_ppm
       FROM tf JOIN df USING (term))
-    SELECT doc_id, term, tf, df, relevance, CAST(rank AS INT) AS rank
+    SELECT doc_id, term, tf, df, relevance_ppm, CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                 ORDER BY relevance DESC, term) AS rank
+                 ORDER BY relevance_ppm DESC, term) AS rank
           FROM scored)
     WHERE rank <= {TFIDF_TOP_K}
     """,
@@ -1418,18 +1436,23 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    rel_ppm = F.floor(
+        (F.col("tf") * F.col("n_docs")).cast("double")
+        * F.lit(1000000.0)
+        / F.col("df").cast("double")
+    )
     scored = tf.join(df_t, "term").crossJoin(n_docs).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        F.round(F.col("tf") * F.col("n_docs") / F.col("df").cast("double"), 6).alias("relevance"),
+        rel_ppm.alias("relevance_ppm"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("relevance").desc(), "term")
+    w = Window.partitionBy("doc_id").orderBy(F.col("relevance_ppm").desc(), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "tf", "df", "relevance", "rank")
+        .select("doc_id", "term", "tf", "df", "relevance_ppm", "rank")
     )
 
 
@@ -1443,7 +1466,7 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hosted AS (
       SELECT doc_id,
              len(list_filter({{cdf}},
-                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+                 c -> c < ({_U_SQL})))
              AS host_idx
       FROM documents),
     ordered AS (
@@ -1489,7 +1512,9 @@ def crawl_frontier_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(".example.com"),
             ).alias("host"),
             "fetch_rank",
-            (F.col("fetch_rank") / POLITENESS_BATCH).cast("long").alias("slot"),
+            # int64 `div`, not double-divide-and-cast: at 10^15 fetch
+            # ranks the double quotient can misround the boundary
+            F.expr(f"fetch_rank div {POLITENESS_BATCH}").alias("slot"),
         )
     )
 

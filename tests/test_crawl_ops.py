@@ -1,0 +1,74 @@
+"""Round-4 crawl-ops guarantees that the generated corpus can't exercise:
+
+* the content-fingerprint normalization is engine-exact on hostile
+  whitespace (vertical tab: Java regex \\s includes \\x0B, RE2 \\s does
+  not — the explicit class FP_WS_RE/FP_MD5_SQL must agree)
+* the xxhash64 and md5 fingerprints share one normalization
+* crawl-frontier slot assignment uses exact int64 division (a double
+  quotient misrounds near 2^53)
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+HOSTILE_TEXTS = [
+    "a\x0bb",              # vertical tab: the Java-vs-RE2 \s divergence
+    "  A\tB\nC  ",
+    "a\x0b\x0b  b\fc\rd",
+    "plain text",
+    "",
+    "\x0b",
+]
+
+
+def _duckdb_fp(texts):
+    from ocr_wrapper_spark.text_queries import FP_MD5_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    return [r[0] for r in con.execute(f"SELECT {FP_MD5_SQL} FROM documents").fetchall()]
+
+
+def test_fp_md5_engine_exact_on_hostile_whitespace(spark):
+    from ocr_wrapper_spark.text_queries import fp_md5_col
+
+    df = spark.createDataFrame([(t,) for t in HOSTILE_TEXTS], "text string")
+    got = [r.fp for r in df.select(fp_md5_col(F.col("text")).alias("fp")).collect()]
+    assert got == _duckdb_fp(HOSTILE_TEXTS)
+
+
+def test_xxhash_and_md5_fingerprints_share_normalization(spark):
+    """Docs equal under one fingerprint must be equal under the other."""
+    from ocr_wrapper_spark.operators.textstats import fingerprint_col
+    from ocr_wrapper_spark.text_queries import fp_md5_col
+
+    texts = HOSTILE_TEXTS + ["a b", "a\x0bb\tc", "a b\tc"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        fp_md5_col(F.col("text")).alias("md5fp"),
+        fingerprint_col(F.col("text")).alias("xxfp"),
+    ).collect()
+    md5_to_xx = {}
+    for r in rows:
+        assert md5_to_xx.setdefault(r.md5fp, r.xxfp) == r.xxfp
+
+
+def test_frontier_slot_division_exact_at_large_ranks(spark):
+    """`div` must match Python // where a double quotient misrounds."""
+    from ocr_wrapper_spark.text_queries import POLITENESS_BATCH
+
+    ranks = [0, 15, 16, 2**53 - 1, 2**54 - 1, 2**60 + 7]
+    df = spark.createDataFrame([(r,) for r in ranks], "fetch_rank long")
+    got = {
+        r.fetch_rank: r.slot
+        for r in df.select(
+            "fetch_rank", F.expr(f"fetch_rank div {POLITENESS_BATCH}").alias("slot")
+        ).collect()
+    }
+    assert got == {r: r // POLITENESS_BATCH for r in ranks}
+    # the replaced formulation really does misround up there
+    bad = int((2**54 - 1) / POLITENESS_BATCH)
+    assert bad != (2**54 - 1) // POLITENESS_BATCH
