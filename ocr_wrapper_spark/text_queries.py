@@ -1456,6 +1456,40 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zipf host assignment shared by the crawl-scheduling/reputation
+# queries: host_idx = count of cdf entries below the doc's uniform
+# Knuth hash (mirrors sources/pages.py host_for_doc). One Spark
+# definition + one SQL CTE; `{cdf}` is spliced post-registration.
+_HOSTED_CTE_SQL = f"""hosted AS (
+      SELECT doc_id, text,
+             len(list_filter({{cdf}},
+                 c -> c < ({_U_SQL})))
+             AS host_idx
+      FROM documents)"""
+_HOST_NAME_SQL = "concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com')"
+
+
+def _host_idx_col():
+    from .operators.sampling import knuth_u
+    from .sources import pages as pages_src
+
+    u = knuth_u(F.col("doc_id"))  # overflow-safe at full int64 id range
+    cdf = pages_src._host_cdf()
+    return F.aggregate(
+        F.array(*[F.lit(float(c)) for c in cdf]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
+    )
+
+
+def _host_name_col():
+    return F.concat(
+        F.lit("host"),
+        F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+
+
 @register(
     "crawl_frontier_slots",
     # politeness scheduling: per-host fetch order (stable by doc_id),
@@ -1463,18 +1497,13 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning story at 10^12 urls (one host never hammered by
     # more than POLITENESS_BATCH concurrent fetches per slot)
     f"""
-    WITH hosted AS (
-      SELECT doc_id,
-             len(list_filter({{cdf}},
-                 c -> c < ({_U_SQL})))
-             AS host_idx
-      FROM documents),
+    WITH {_HOSTED_CTE_SQL},
     ordered AS (
       SELECT doc_id, host_idx,
              row_number() OVER (PARTITION BY host_idx ORDER BY doc_id) - 1 AS fetch_rank
       FROM hosted)
     SELECT doc_id,
-           concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,
+           {_HOST_NAME_SQL} AS host,
            CAST(fetch_rank AS BIGINT)                        AS fetch_rank,
            CAST(fetch_rank // {POLITENESS_BATCH} AS BIGINT)  AS slot
     FROM ordered
@@ -1488,29 +1517,14 @@ def crawl_frontier_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the skew-salted exchange pipeline_host_stats exercises, and
     at 10^12 urls the slot column IS the micro-batch id a frontier
     executor consumes."""
-    from .sources import pages as pages_src
-
-    from .operators.sampling import knuth_u
-
     d = _t(spark, sf_dir, "documents")
-    u = knuth_u(F.col("doc_id"))  # overflow-safe at full int64 id range
-    cdf = pages_src._host_cdf()
-    host_idx = F.aggregate(
-        F.array(*[F.lit(float(c)) for c in cdf]),
-        F.lit(0),
-        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
-    )
     w = Window.partitionBy("host_idx").orderBy("doc_id")
     return (
-        d.select("doc_id", host_idx.alias("host_idx"))
+        d.select("doc_id", _host_idx_col().alias("host_idx"))
         .withColumn("fetch_rank", (F.row_number().over(w) - 1).cast("long"))
         .select(
             "doc_id",
-            F.concat(
-                F.lit("host"),
-                F.lpad(F.col("host_idx").cast("string"), 2, "0"),
-                F.lit(".example.com"),
-            ).alias("host"),
+            _host_name_col().alias("host"),
             "fetch_rank",
             # int64 `div`, not double-divide-and-cast: at 10^15 fetch
             # ranks the double quotient can misround the boundary
@@ -1519,10 +1533,125 @@ def crawl_frontier_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# crawl_frontier_slots oracle needs the Zipf cdf literal (same pattern
-# as pipeline_host_stats); splice it in after registration
+QC_BUCKETS = 1024  # hashing-trick feature dimension (fasttext-style)
+
+# per-token weight in ppm: bucket = first 32 md5 bits mod QC_BUCKETS,
+# weight = floor(knuth_u(bucket) * 2e6) - 1e6 in [-1e6, 1e6). All-integer
+# scoring: doubles appear only in knuth_u's exact power-of-two division
+# and the *2e6 product (32+14 significand bits < 53 — exact), so the sum
+# is an int64 both engines agree on bit-for-bit; no libm, no rounding.
+_QC_BUCKET_SQL = f"CAST(CAST(('0x' || left(md5(t), 8)) AS UBIGINT) % {QC_BUCKETS} AS BIGINT)"
+_QC_WEIGHT_SQL = (
+    f"CAST(floor(({KNUTH_U_SQL.format(k=_QC_BUCKET_SQL)}) * 2000000) AS BIGINT) - 1000000"
+)
+
+
+@register(
+    "doc_quality_classifier",
+    f"""
+    SELECT doc_id,
+           CASE WHEN text = '' THEN 0
+                ELSE CAST(len(str_split(text, ' ')) AS INT) END AS n_tokens,
+           CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(list_sum(list_transform(str_split(text, ' '),
+                          t -> {_QC_WEIGHT_SQL})) AS BIGINT) END AS score_ppm,
+           CASE WHEN text = '' THEN TRUE
+                ELSE CAST(list_sum(list_transform(str_split(text, ' '),
+                          t -> {_QC_WEIGHT_SQL})) AS BIGINT) > 0 END AS keep
+    FROM documents
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a hashed-linear (fasttext-style)
+    classifier scored entirely JVM-side — the CCNet/fineweb production
+    shape where a learned linear model over hashed bag-of-words features
+    gates which documents enter training. Tokens hash into QC_BUCKETS
+    features (first 32 md5 bits), each feature carries a deterministic
+    integer ppm weight, and the doc score is the exact int64 sum via
+    `F.aggregate` over the split array: NO shuffle, NO explode, NO
+    Python — a narrow map at any scale. Real learned weights drop in as
+    a broadcast bucket->weight map without changing the plan. Empty
+    docs get an explicit n_tokens=0/keep=true verdict rather than being
+    dropped (same contract as with_repetition_stats)."""
+    from .operators.sampling import knuth_u
+
+    def weight_ppm(tok):
+        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % QC_BUCKETS
+        return F.floor(knuth_u(bucket) * 2000000) - 1000000
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        F.transform(toks, weight_ppm), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    empty = F.col("text") == ""
+    return d.select(
+        "doc_id",
+        F.when(empty, F.lit(0)).otherwise(F.size(toks)).alias("n_tokens"),
+        F.when(empty, F.lit(0).cast("long")).otherwise(score).alias("score_ppm"),
+        F.when(empty, F.lit(True)).otherwise(score > 0).alias("keep"),
+    )
+
+
+MIN_HOST_SHARE_PCT = 1  # keep docs only from hosts holding >= 1% of the corpus
+MAX_HOST_EMPTY_X20 = 1  # ... and whose empty-doc count * 20 <= host doc count
+
+
+@register(
+    "host_reputation_filter",
+    # C4/UT1-style domain filtering: a document's fate depends on its
+    # host's aggregate behavior. Integer comparisons only (share via
+    # host_docs*100 >= total, empty-rate via host_empty*20 <= host_docs).
+    f"""
+    WITH {_HOSTED_CTE_SQL},
+    stats AS (
+      SELECT host_idx, CAST(count(*) AS BIGINT) AS host_docs,
+             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS host_empty
+      FROM hosted GROUP BY host_idx),
+    total AS (SELECT count(*) AS total FROM documents)
+    SELECT h.doc_id,
+           {_HOST_NAME_SQL} AS host,
+           s.host_docs, s.host_empty,
+           (s.host_docs * 100 >= (SELECT total FROM total)
+            AND s.host_empty * 20 <= s.host_docs) AS keep
+    FROM hosted h JOIN stats s USING (host_idx)
+    """,
+)
+def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation document filter (C4/UT1-style domain rules): a
+    doc is kept iff its host carries >= 1% of the corpus AND <= 5% empty
+    documents. Shape chosen for 10^12 rows: a map-side-combinable
+    groupBy over ~|hosts| keys produces a tiny reputation table that
+    BROADCAST-joins back to the docs — deliberately NOT a window over
+    host partitions, which would sort the full Zipf-skewed host
+    partition (the top host alone is ~13% of the corpus). The corpus
+    total rides the same broadcast as a 1-row cross join."""
+    d = _t(spark, sf_dir, "documents")
+    hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx"))
+    stats = hosted.groupBy("host_idx").agg(
+        F.count("*").alias("host_docs"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
+    )
+    total = F.broadcast(d.agg(F.count("*").alias("total")))
+    keep = (F.col("host_docs") * 100 >= F.col("total")) & (
+        F.col("host_empty") * 20 <= F.col("host_docs")
+    )
+    return (
+        hosted.join(F.broadcast(stats), "host_idx")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            _host_name_col().alias("host"),
+            "host_docs",
+            "host_empty",
+            keep.alias("keep"),
+        )
+    )
+
+
+# host-mapped oracles need the Zipf cdf literal (same pattern as
+# pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
-_ORACLES["crawl_frontier_slots"] = _ORACLES["crawl_frontier_slots"].replace(
-    "{cdf}", _cdf_sql_fn()
-)
+for _name in ("crawl_frontier_slots", "host_reputation_filter"):
+    _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())

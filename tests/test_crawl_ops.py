@@ -72,3 +72,34 @@ def test_frontier_slot_division_exact_at_large_ranks(spark):
     # the replaced formulation really does misround up there
     bad = int((2**54 - 1) / POLITENESS_BATCH)
     assert bad != (2**54 - 1) // POLITENESS_BATCH
+
+
+def test_quality_classifier_keeps_empty_docs_with_verdict(spark, tmp_path):
+    """Empty docs get an explicit n_tokens=0/keep=true row, not a drop
+    (the with_repetition_stats contract from the round-3 advice). The
+    generated corpus has no empty docs, so synthesize them."""
+    from ocr_wrapper_spark.text_queries import doc_quality_classifier
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "some ordinary words"), (1, ""), (2, "more text here"), (3, "")],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = doc_quality_classifier(spark, sf_dir).collect()
+    assert len(rows) == 4
+    empties = [r for r in rows if r.doc_id in (1, 3)]
+    assert all(r.n_tokens == 0 and r.keep and r.score_ppm == 0 for r in empties)
+    assert all(r.n_tokens > 0 for r in rows if r.doc_id in (0, 2))
+
+
+def test_host_reputation_plan_broadcasts_no_sort_merge(spark):
+    """The reputation table must broadcast back to docs — a sort-merge
+    join (or a window over host partitions) would shuffle/sort the full
+    Zipf-skewed corpus by host at 10^12 rows."""
+    from ocr_wrapper_spark.text_queries import host_reputation_filter
+
+    plan = host_reputation_filter(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
