@@ -48,6 +48,7 @@ _VERIFY_PRIORITY = [
     "crawl_frontier_slots",
     "doc_quality_classifier",
     "host_reputation_filter",
+    "crawl_ingest_funnel",
     "doc_dup_span_coverage",  # r4 semantics change: empty docs now kept
     # stale set: newest green row is the r2 snapshot — touched-this-round
     # surfaces first (5-dialect mix, compressed-PNG media payloads)

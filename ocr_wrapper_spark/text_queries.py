@@ -1544,21 +1544,38 @@ _QC_BUCKET_SQL = f"CAST(CAST(('0x' || left(md5(t), 8)) AS UBIGINT) % {QC_BUCKETS
 _QC_WEIGHT_SQL = (
     f"CAST(floor(({KNUTH_U_SQL.format(k=_QC_BUCKET_SQL)}) * 2000000) AS BIGINT) - 1000000"
 )
+_QC_SCORE_SQL = (
+    f"CAST(list_sum(list_transform(str_split(text, ' '), t -> {_QC_WEIGHT_SQL})) AS BIGINT)"
+)
+
+
+def _qc_weight_ppm(tok):
+    from .operators.sampling import knuth_u
+
+    bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % QC_BUCKETS
+    return F.floor(knuth_u(bucket) * 2000000) - 1000000
+
+
+def _qc_score_col(toks):
+    return F.aggregate(
+        F.transform(toks, _qc_weight_ppm), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 @register(
     "doc_quality_classifier",
     f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END AS score_ppm
+      FROM documents)
     SELECT doc_id,
            CASE WHEN text = '' THEN 0
                 ELSE CAST(len(str_split(text, ' ')) AS INT) END AS n_tokens,
-           CASE WHEN text = '' THEN CAST(0 AS BIGINT)
-                ELSE CAST(list_sum(list_transform(str_split(text, ' '),
-                          t -> {_QC_WEIGHT_SQL})) AS BIGINT) END AS score_ppm,
-           CASE WHEN text = '' THEN TRUE
-                ELSE CAST(list_sum(list_transform(str_split(text, ' '),
-                          t -> {_QC_WEIGHT_SQL})) AS BIGINT) > 0 END AS keep
-    FROM documents
+           score_ppm,
+           (text = '' OR score_ppm > 0) AS keep
+    FROM scored
     """,
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,17 +1590,9 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast bucket->weight map without changing the plan. Empty
     docs get an explicit n_tokens=0/keep=true verdict rather than being
     dropped (same contract as with_repetition_stats)."""
-    from .operators.sampling import knuth_u
-
-    def weight_ppm(tok):
-        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % QC_BUCKETS
-        return F.floor(knuth_u(bucket) * 2000000) - 1000000
-
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    score = F.aggregate(
-        F.transform(toks, weight_ppm), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
+    score = _qc_score_col(toks)
     empty = F.col("text") == ""
     return d.select(
         "doc_id",
@@ -1649,9 +1658,119 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "crawl_ingest_funnel",
+    # the round-4 ops composed end-to-end: every new-crawl document is
+    # assigned its FIRST failing stage (dup_of_old > dup_in_batch >
+    # quality_cut > host_cut > kept) and the funnel is reported per
+    # host — the observability table a recurring-crawl ingest emits.
+    f"""
+    WITH {_HOSTED_CTE_SQL},
+    stats AS (
+      SELECT host_idx, CAST(count(*) AS BIGINT) AS host_docs,
+             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS host_empty
+      FROM hosted GROUP BY host_idx),
+    total AS (SELECT count(*) AS total FROM documents),
+    fp AS (
+      SELECT doc_id, host_idx, text, {FP_MD5_SQL} AS fp_md5 FROM hosted),
+    old AS (SELECT DISTINCT fp_md5 FROM fp WHERE doc_id % 5 <> 4),
+    new AS (
+      SELECT fp.*,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END AS score_ppm,
+             min(doc_id) OVER (PARTITION BY fp_md5) AS first_id
+      FROM fp WHERE doc_id % 5 = 4),
+    verdicts AS (
+      SELECT n.host_idx,
+             CASE WHEN o.fp_md5 IS NOT NULL THEN 'dup_of_old'
+                  WHEN n.doc_id <> n.first_id THEN 'dup_in_batch'
+                  WHEN NOT (n.text = '' OR n.score_ppm > 0) THEN 'quality_cut'
+                  WHEN NOT (s.host_docs * 100 >= (SELECT total FROM total)
+                            AND s.host_empty * 20 <= s.host_docs) THEN 'host_cut'
+                  ELSE 'kept' END AS verdict
+      FROM new n LEFT JOIN old o ON o.fp_md5 = n.fp_md5
+      JOIN stats s USING (host_idx))
+    SELECT {_HOST_NAME_SQL} AS host,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN verdict = 'dup_of_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_of_old,
+           CAST(sum(CASE WHEN verdict = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT) AS dup_in_batch,
+           CAST(sum(CASE WHEN verdict = 'quality_cut' THEN 1 ELSE 0 END) AS BIGINT) AS quality_cut,
+           CAST(sum(CASE WHEN verdict = 'host_cut' THEN 1 ELSE 0 END) AS BIGINT) AS host_cut,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM verdicts GROUP BY host_idx
+    """,
+)
+def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 crawl ops composed end-to-end: classify every
+    document of the new crawl batch into its first failing ingest stage
+    (already-seen fingerprint, duplicate within the batch, hashed-linear
+    quality cut, host-reputation cut, else kept) and report the funnel
+    per host. The production observability table for a recurring
+    Common-Crawl ingest: one glance shows which hosts are re-serving old
+    content vs shipping junk. Scale shape: every join is
+    fingerprint-keyed or a broadcast of the tiny host table; the final
+    rollup is a ~|hosts|-row aggregate; nothing collects."""
+    d = _t(spark, sf_dir, "documents")
+    hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx"))
+    stats = hosted.groupBy("host_idx").agg(
+        F.count("*").alias("host_docs"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
+    )
+    total = F.broadcast(d.agg(F.count("*").alias("total")))
+    fp = hosted.withColumn("fp_md5", fp_md5_col(F.col("text")))
+    old = fp.filter(F.col("doc_id") % 5 != 4).select("fp_md5").distinct()
+    new = (
+        fp.filter(F.col("doc_id") % 5 == 4)
+        .withColumn(
+            "score_ppm",
+            F.when(F.col("text") == "", F.lit(0).cast("long")).otherwise(
+                _qc_score_col(F.split(F.col("text"), " "))
+            ),
+        )
+        .withColumn("first_id", F.min("doc_id").over(Window.partitionBy("fp_md5")))
+    )
+    q_keep = (F.col("text") == "") | (F.col("score_ppm") > 0)
+    h_keep = (F.col("host_docs") * 100 >= F.col("total")) & (
+        F.col("host_empty") * 20 <= F.col("host_docs")
+    )
+    verdict = (
+        F.when(F.col("_in_old").isNotNull(), "dup_of_old")
+        .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+        .when(~q_keep, "quality_cut")
+        .when(~h_keep, "host_cut")
+        .otherwise("kept")
+    )
+    verdicts = (
+        new.join(old.withColumn("_in_old", F.lit(1)), "fp_md5", "left")
+        .join(F.broadcast(stats), "host_idx")
+        .crossJoin(total)
+        .select("host_idx", verdict.alias("verdict"))
+    )
+
+    def n(v):
+        return F.sum(F.when(F.col("verdict") == v, 1).otherwise(0)).alias(v)
+
+    return verdicts.groupBy("host_idx").agg(
+        F.count("*").alias("n_new"),
+        n("dup_of_old"),
+        n("dup_in_batch"),
+        n("quality_cut"),
+        n("host_cut"),
+        n("kept"),
+    ).select(
+        _host_name_col().alias("host"),
+        "n_new",
+        "dup_of_old",
+        "dup_in_batch",
+        "quality_cut",
+        "host_cut",
+        "kept",
+    )
+
+
 # host-mapped oracles need the Zipf cdf literal (same pattern as
 # pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
-for _name in ("crawl_frontier_slots", "host_reputation_filter"):
+for _name in ("crawl_frontier_slots", "host_reputation_filter", "crawl_ingest_funnel"):
     _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())
