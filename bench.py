@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "ann_topk_int8",
     "pipeline_warc_extract",
     "pipeline_textract_extract",  # fifth dialect (r4)
+    "doc_quality_classifier",  # hashed-linear scoring, zero-shuffle (r4)
+    "crawl_ingest_funnel",  # composed ingest pipeline (r4)
 ]
 
 

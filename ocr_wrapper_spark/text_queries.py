@@ -1602,27 +1602,56 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIN_HOST_SHARE_PCT = 1  # keep docs only from hosts holding >= 1% of the corpus
-MAX_HOST_EMPTY_X20 = 1  # ... and whose empty-doc count * 20 <= host doc count
+MIN_HOST_SHARE_PCT = 1  # keep docs only from hosts holding >= this % of the corpus
+MAX_HOST_EMPTY_PCT = 5  # ... and with <= this % empty documents
+
+# One definition of the reputation rule (integer comparisons only),
+# shared by host_reputation_filter and crawl_ingest_funnel in both
+# engines — editing a threshold cannot desync Spark vs oracle or
+# filter vs funnel. The stats/total CTE pair likewise: the corpus
+# total is the sum of the ~|hosts|-row stats table, not a third scan
+# of documents.
+_HOST_STATS_CTES_SQL = """stats AS (
+      SELECT host_idx, CAST(count(*) AS BIGINT) AS host_docs,
+             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS host_empty
+      FROM hosted GROUP BY host_idx),
+    total AS (SELECT CAST(sum(host_docs) AS BIGINT) AS total FROM stats)"""
+_HOST_KEEP_SQL = (
+    f"(s.host_docs * 100 >= (SELECT total FROM total) * {MIN_HOST_SHARE_PCT}"
+    f" AND s.host_empty * 100 <= s.host_docs * {MAX_HOST_EMPTY_PCT})"
+)
+
+
+def _host_stats_df(hosted: DataFrame) -> DataFrame:
+    """Per-host stats plus the corpus total, in ONE branch: the total is
+    a global window over the already-aggregated ~|hosts|-row table (a
+    single-partition window over 40 rows, free), NOT a second aggregate
+    branch of documents — a separate branch re-scans the corpus because
+    column pruning makes its exchange non-reusable."""
+    stats = hosted.groupBy("host_idx").agg(
+        F.count("*").alias("host_docs"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
+    )
+    return stats.withColumn("total", F.sum("host_docs").over(Window.partitionBy()))
+
+
+def _host_keep_col():
+    return (F.col("host_docs") * 100 >= F.col("total") * MIN_HOST_SHARE_PCT) & (
+        F.col("host_empty") * 100 <= F.col("host_docs") * MAX_HOST_EMPTY_PCT
+    )
 
 
 @register(
     "host_reputation_filter",
     # C4/UT1-style domain filtering: a document's fate depends on its
-    # host's aggregate behavior. Integer comparisons only (share via
-    # host_docs*100 >= total, empty-rate via host_empty*20 <= host_docs).
+    # host's aggregate behavior. Integer comparisons only.
     f"""
     WITH {_HOSTED_CTE_SQL},
-    stats AS (
-      SELECT host_idx, CAST(count(*) AS BIGINT) AS host_docs,
-             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS host_empty
-      FROM hosted GROUP BY host_idx),
-    total AS (SELECT count(*) AS total FROM documents)
+    {_HOST_STATS_CTES_SQL}
     SELECT h.doc_id,
            {_HOST_NAME_SQL} AS host,
            s.host_docs, s.host_empty,
-           (s.host_docs * 100 >= (SELECT total FROM total)
-            AND s.host_empty * 20 <= s.host_docs) AS keep
+           {_HOST_KEEP_SQL} AS keep
     FROM hosted h JOIN stats s USING (host_idx)
     """,
 )
@@ -1634,26 +1663,20 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST-joins back to the docs — deliberately NOT a window over
     host partitions, which would sort the full Zipf-skewed host
     partition (the top host alone is ~13% of the corpus). The corpus
-    total rides the same broadcast as a 1-row cross join."""
+    total is a window-sum over the stats table itself (~|hosts| rows),
+    so the whole query reads documents exactly twice (docs + stats
+    branch) and joins once."""
     d = _t(spark, sf_dir, "documents")
     hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx"))
-    stats = hosted.groupBy("host_idx").agg(
-        F.count("*").alias("host_docs"),
-        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
-    )
-    total = F.broadcast(d.agg(F.count("*").alias("total")))
-    keep = (F.col("host_docs") * 100 >= F.col("total")) & (
-        F.col("host_empty") * 20 <= F.col("host_docs")
-    )
+    stats = _host_stats_df(hosted)
     return (
         hosted.join(F.broadcast(stats), "host_idx")
-        .crossJoin(total)
         .select(
             "doc_id",
             _host_name_col().alias("host"),
             "host_docs",
             "host_empty",
-            keep.alias("keep"),
+            _host_keep_col().alias("keep"),
         )
     )
 
@@ -1666,11 +1689,7 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # host — the observability table a recurring-crawl ingest emits.
     f"""
     WITH {_HOSTED_CTE_SQL},
-    stats AS (
-      SELECT host_idx, CAST(count(*) AS BIGINT) AS host_docs,
-             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS host_empty
-      FROM hosted GROUP BY host_idx),
-    total AS (SELECT count(*) AS total FROM documents),
+    {_HOST_STATS_CTES_SQL},
     fp AS (
       SELECT doc_id, host_idx, text, {FP_MD5_SQL} AS fp_md5 FROM hosted),
     old AS (SELECT DISTINCT fp_md5 FROM fp WHERE doc_id % 5 <> 4),
@@ -1685,8 +1704,7 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN o.fp_md5 IS NOT NULL THEN 'dup_of_old'
                   WHEN n.doc_id <> n.first_id THEN 'dup_in_batch'
                   WHEN NOT (n.text = '' OR n.score_ppm > 0) THEN 'quality_cut'
-                  WHEN NOT (s.host_docs * 100 >= (SELECT total FROM total)
-                            AND s.host_empty * 20 <= s.host_docs) THEN 'host_cut'
+                  WHEN NOT {_HOST_KEEP_SQL} THEN 'host_cut'
                   ELSE 'kept' END AS verdict
       FROM new n LEFT JOIN old o ON o.fp_md5 = n.fp_md5
       JOIN stats s USING (host_idx))
@@ -1712,11 +1730,7 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a ~|hosts|-row aggregate; nothing collects."""
     d = _t(spark, sf_dir, "documents")
     hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx"))
-    stats = hosted.groupBy("host_idx").agg(
-        F.count("*").alias("host_docs"),
-        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
-    )
-    total = F.broadcast(d.agg(F.count("*").alias("total")))
+    stats = _host_stats_df(hosted)
     fp = hosted.withColumn("fp_md5", fp_md5_col(F.col("text")))
     old = fp.filter(F.col("doc_id") % 5 != 4).select("fp_md5").distinct()
     new = (
@@ -1730,9 +1744,7 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("first_id", F.min("doc_id").over(Window.partitionBy("fp_md5")))
     )
     q_keep = (F.col("text") == "") | (F.col("score_ppm") > 0)
-    h_keep = (F.col("host_docs") * 100 >= F.col("total")) & (
-        F.col("host_empty") * 20 <= F.col("host_docs")
-    )
+    h_keep = _host_keep_col()
     verdict = (
         F.when(F.col("_in_old").isNotNull(), "dup_of_old")
         .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
@@ -1743,7 +1755,6 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts = (
         new.join(old.withColumn("_in_old", F.lit(1)), "fp_md5", "left")
         .join(F.broadcast(stats), "host_idx")
-        .crossJoin(total)
         .select("host_idx", verdict.alias("verdict"))
     )
 
