@@ -103,3 +103,24 @@ def test_host_reputation_plan_broadcasts_no_sort_merge(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ingest_funnel_stages_reconcile(spark):
+    """Per host, the staged verdicts must partition the new batch:
+    n_new == dup_of_old + dup_in_batch + quality_cut + host_cut + kept,
+    and summed over hosts n_new == |new batch|."""
+    from pyspark.sql import functions as FF
+
+    from ocr_wrapper_spark.text_queries import crawl_ingest_funnel
+
+    sf = "/root/testdata/sf0.001"
+    rows = crawl_ingest_funnel(spark, sf).collect()
+    for r in rows:
+        assert r.n_new == r.dup_of_old + r.dup_in_batch + r.quality_cut + r.host_cut + r.kept
+    n_new_total = sum(r.n_new for r in rows)
+    expected = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(FF.col("doc_id") % 5 == 4)
+        .count()
+    )
+    assert n_new_total == expected
