@@ -49,6 +49,7 @@ _VERIFY_PRIORITY = [
     "doc_quality_classifier",
     "host_reputation_filter",
     "crawl_ingest_funnel",
+    "streaming_incremental_dedup",
     "doc_dup_span_coverage",  # r4 semantics change: empty docs now kept
     # stale set: newest green row is the r2 snapshot — touched-this-round
     # surfaces first (5-dialect mix, compressed-PNG media payloads)

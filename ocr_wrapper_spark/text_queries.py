@@ -1779,6 +1779,63 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_incremental_dedup",
+    # stream-static join: the new-crawl batch arrives as a stream and is
+    # classified against the STATIC corpus fingerprint table — the
+    # streaming form of corpus_incremental_dedup's first stage. The
+    # result must equal the batch left join exactly.
+    f"""
+    WITH fp AS (
+      SELECT doc_id, {FP_MD5_SQL} AS fp_md5 FROM documents),
+    old AS (SELECT DISTINCT fp_md5 FROM fp WHERE doc_id % 5 <> 4)
+    SELECT n.doc_id, n.fp_md5, (o.fp_md5 IS NOT NULL) AS dup_of_old
+    FROM (SELECT * FROM fp WHERE doc_id % 5 = 4) n
+    LEFT JOIN old o ON o.fp_md5 = n.fp_md5
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under Structured Streaming: new-crawl
+    documents arrive as micro-batches and are classified against the
+    static corpus fingerprint table by a left outer join (append mode,
+    no watermark needed — the static side never changes mid-query).
+    This is how a continuously-arriving crawl runs incremental dedup in
+    production: the static side is the bucketed corpus fingerprint
+    table, each micro-batch joins against it, and only unseen docs flow
+    to extraction. In-batch duplicates are the stateful operator's job
+    (streaming_stateful_dedup); this query covers the corpus-history
+    stage. Drained with availableNow into a memory sink."""
+    import os
+    import uuid
+
+    d = _t(spark, sf_dir, "documents")
+    old = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(fp_md5_col(F.col("text")).alias("fp_md5"))
+        .distinct()
+    )
+    # stream source: a /tmp parquet copy of the documents table
+    # (readStream needs a directory it can list); static testdata, so
+    # the cache cannot go stale
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    ddir = f"/tmp/spark_graft_stream_docs/{sf_tag}"
+    if not os.path.exists(ddir + "/_SUCCESS"):
+        d.write.mode("overwrite").parquet(ddir)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .parquet(ddir)
+        .filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", fp_md5_col(F.col("text")).alias("fp_md5"))
+    )
+    joined = stream.join(
+        old.withColumn("_in_old", F.lit(1)), "fp_md5", "left"
+    ).select("doc_id", "fp_md5", F.col("_in_old").isNotNull().alias("dup_of_old"))
+    name = f"stream_increment_{uuid.uuid4().hex[:10]}"
+    q = joined.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # host-mapped oracles need the Zipf cdf literal (same pattern as
 # pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
