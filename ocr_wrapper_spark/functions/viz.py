@@ -180,19 +180,59 @@ def _polygon_mask_window(h: int, w: int, quad: np.ndarray):
     return wy0, wy1, wx0, wx1, sub
 
 
+def _clip_segment(x0, y0, x1, y1, xmin, xmax, ymin, ymax):
+    """Liang-Barsky segment/rect clip. Returns clipped endpoints or
+    None when the segment misses the rect entirely. In-rect segments
+    come back unchanged (t0=0, t1=1), so clipping is a no-op for
+    ordinary page geometry."""
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0 - xmin), (dx, xmax - x0), (-dy, y0 - ymin), (dy, ymax - y0)):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
+
+
 def _stroke_points(h: int, w: int, quad: np.ndarray, width: int):
     """Outline pixel coordinates: sample each edge densely (clamped to
     the page like the original renderer), then stamp width x width
     offset squares, clipped — deterministic, no AA. Returns (ys, xs)
-    index arrays."""
+    index arrays.
+
+    Each edge is first clipped to the page window padded by the stroke
+    width, so sample count is bounded by the page perimeter no matter
+    how large the (finite) quad coordinates are — a hostile span with
+    1e8-pixel corners samples at most the on-page portion instead of
+    allocating arrays proportional to the raw edge length. The pad
+    keeps the existing border behavior: an edge on or just past the
+    page border still renders the full stroke width inward."""
     cx, cy = quad[0::2], quad[1::2]
     n = len(cx)
     r = max(0, (int(width) - 1) // 2)
     offs = np.arange(-r, int(width) - r)  # width offsets around the sample
+    pad = float(int(width) + 2)
     all_y, all_x = [], []
     for i in range(n):
-        x0, y0 = cx[i], cy[i]
-        x1, y1 = cx[(i + 1) % n], cy[(i + 1) % n]
+        seg = _clip_segment(
+            cx[i], cy[i], cx[(i + 1) % n], cy[(i + 1) % n],
+            -pad, w - 1 + pad, -pad, h - 1 + pad,
+        )
+        if seg is None:
+            continue
+        x0, y0, x1, y1 = seg
         steps = int(max(abs(x1 - x0), abs(y1 - y0)) * 2) + 2
         # clamp the SAMPLE first, offset second: an edge on (or past)
         # the page border still renders the full stroke width inward
@@ -203,6 +243,9 @@ def _stroke_points(h: int, w: int, quad: np.ndarray, width: int):
         sx = np.clip(exs[:, None, None] + offs[None, None, :], 0, w - 1)
         all_y.append(np.broadcast_to(sy, shape).ravel())
         all_x.append(np.broadcast_to(sx, shape).ravel())
+    if not all_y:  # every edge clipped away (box far off-page)
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty
     return np.concatenate(all_y), np.concatenate(all_x)
 
 

@@ -25,6 +25,13 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decode-side hostile-payload bounds: the engine's synthetic pages top
+# out around 1224x1584, so 16k per side / 256 MB decoded is generous
+# headroom for real scans while keeping a crafted IHDR (or a 1000:1
+# deflate bomb) from allocating gigabytes inside an Arrow batch.
+MAX_DIM = 1 << 14
+MAX_DECODED_BYTES = 1 << 28
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -158,8 +165,20 @@ def _decode_png_checked(payload: bytes) -> np.ndarray:
     ch = _CHANNELS.get(colour)
     if ch is None:
         raise ValueError(f"unsupported PNG colour type {colour}")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # Bomb guard: size-check the IHDR *before* inflating, and cap the
+    # inflate at the declared raster size — a crafted payload (absurd
+    # IHDR dims, or a ~1000:1 deflate ratio) must fail cheaply instead
+    # of materializing hundreds of MB per row inside an Arrow batch.
+    if width == 0 or height == 0:
+        raise ValueError(f"PNG dims {width}x{height} out of range")
     expect = height * (1 + width * ch)
+    if width > MAX_DIM or height > MAX_DIM or expect > MAX_DECODED_BYTES:
+        raise ValueError(f"PNG dims {width}x{height} out of range")
+    dec = zlib.decompressobj()
+    data = dec.decompress(bytes(idat), expect + 1)
+    if len(data) > expect:
+        raise ValueError(f"PNG data size >{expect} exceeds expected {expect}")
+    raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size != expect:
         raise ValueError(f"PNG data size {raw.size} != expected {expect}")
     img = _unfilter(raw, height, width, ch).reshape(height, width, ch)

@@ -1779,6 +1779,27 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_signature(sf_dir: str) -> str:
+    """Content signature for /tmp materializations of ``documents``:
+    md5 over the resolved sf_dir path plus every parquet part's
+    (relpath, size, mtime). Rebuilding the source in place changes the
+    signature, so stale /tmp copies are impossible by construction."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{os.path.relpath(os.path.join(root, f), src)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 @register(
     "streaming_incremental_dedup",
     # stream-static join: the new-crawl batch arrives as a stream and is
@@ -1815,10 +1836,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # stream source: a /tmp parquet copy of the documents table
-    # (readStream needs a directory it can list); static testdata, so
-    # the cache cannot go stale
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    ddir = f"/tmp/spark_graft_stream_docs/{sf_tag}"
+    # (readStream needs a directory it can list). Keyed on a content
+    # signature of the source parquet (full path + per-file size+mtime)
+    # — not just the sf_dir basename — so two sf_dirs sharing a
+    # basename, or a replica rebuilt in place by make_replica.py, never
+    # reuse a stale copy (the versioned-cache discipline of
+    # materialize_pages/materialize_warc).
+    ddir = f"/tmp/spark_graft_stream_docs/{_docs_signature(sf_dir)}"
     if not os.path.exists(ddir + "/_SUCCESS"):
         d.write.mode("overwrite").parquet(ddir)
     stream = (

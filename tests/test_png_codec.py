@@ -189,3 +189,32 @@ def test_media_payloads_are_compressed_and_decode_lossless():
     expect_scan = (build_scan_raster(4) * 255).astype(np.uint8)
     assert is_png(sp.split(b"\n", 1)[1])
     assert (_decode_image(sp) == expect_scan).all()
+
+
+def test_decode_rejects_decompression_bombs_cheaply():
+    """A crafted IHDR declaring absurd dims, or a high-ratio deflate
+    stream behind small declared dims, must raise ValueError BEFORE
+    materializing the inflated raster (bomb guard: dims sanity check
+    first, then a zlib.decompressobj inflate capped at expected+1)."""
+    import time
+
+    # IHDR declares 1e9 x 1e9 greyscale: rejected on dims alone
+    huge = struct.pack(">IIBBBBB", 10**9, 10**9, 8, 0, 0, 0, 0)
+    bomb1 = PNG_MAGIC + _chunk(b"IHDR", huge) + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bomb1)
+
+    # dims say 2x2 but the stream inflates to 64 MB of zeros (~60000:1):
+    # the capped inflate stops at expected+1 bytes, never 64 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    bomb2 = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", blob) + _chunk(b"IEND", b"")
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="data size"):
+        decode_png(bomb2)
+    assert time.monotonic() - t0 < 1.0
+
+    # zero-dim IHDR is rejected too
+    zero = struct.pack(">IIBBBBB", 0, 5, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(PNG_MAGIC + _chunk(b"IHDR", zero) + _chunk(b"IEND", b""))

@@ -162,3 +162,37 @@ def test_draw_bboxes_spans_roundtrip_png():
     colors = get_label2color_dict(["word"])["word"]
     out = draw_bboxes(img, quads, colors=colors, strokewidths=1)
     assert (decode_png(encode_png(out)) == out).all()
+
+
+def test_draw_bboxes_huge_finite_coords_bounded():
+    """Hostile-but-finite geometry (e.g. an hOCR bbox of 1e8 scaling to
+    ~1e10 page pixels) must render in bounded memory: edges are clipped
+    to the padded page window before sampling, so sample count tracks
+    the page perimeter, not the raw edge length."""
+    import resource
+    import time
+
+    img = np.full((100, 100), 9, dtype=np.uint8)
+    quads = np.array(
+        [
+            [1e8, 1e8, 2e8, 1e8, 2e8, 2e8, 1e8, 2e8],  # far off-page: no-op
+            [-1e8, 0.5, 1e8, 0.5, 1e8, 0.6, -1e8, 0.6],  # crosses the page
+            [0.1, 0.1, 0.5, 0.1, 0.5, 0.5, 0.1, 0.5],  # ordinary box
+        ]
+    )
+    t0 = time.monotonic()
+    out = draw_bboxes(img, quads, colors="#ff0000", strokewidths=3, fill_opacities=0.0)
+    assert time.monotonic() - t0 < 5.0
+    assert resource.getrusage(resource.RUSAGE_SELF).ru_maxrss < 4 * 1024 * 1024  # <4 GB
+    assert out.shape == (100, 100, 3)
+    assert (out[50, 50] == [255, 0, 0]).all()  # crossing edge did render
+    assert (out[10, 30] == [255, 0, 0]).all()  # ordinary box's top edge did render
+
+
+def test_clip_is_noop_for_in_page_geometry():
+    """The padded-window clip must not change rendering for ordinary
+    in-page quads: identical pixels to a quad that needs no clipping."""
+    from ocr_wrapper_spark.functions.viz import _clip_segment
+
+    assert _clip_segment(3.0, 4.0, 50.0, 40.0, -5.0, 104.0, -5.0, 104.0) == (3.0, 4.0, 50.0, 40.0)
+    assert _clip_segment(-900.0, 10.0, -800.0, 10.0, -5.0, 104.0, -5.0, 104.0) is None
