@@ -41,62 +41,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
-    # new this round (round 4: never in any snapshot)
-    "pipeline_textract_extract",
-    "corpus_incremental_dedup",
-    "doc_tfidf_topk",
-    "crawl_frontier_slots",
-    "doc_quality_classifier",
-    "host_reputation_filter",
-    "crawl_ingest_funnel",
-    "streaming_incremental_dedup",
-    "doc_dup_span_coverage",  # r4 semantics change: empty docs now kept
-    # stale set: newest green row is the r2 snapshot — touched-this-round
-    # surfaces first (5-dialect mix, compressed-PNG media payloads)
-    "pipeline_extract",
-    "pipeline_dual_extract",
-    "pipeline_consensus_extract",
-    "pipeline_streaming_extract",
-    "pipeline_error_free",
-    "media_meta",
-    "media_resize_plan",
-    "media_frame_sample",
-    "media_features",
-    "media_raster_tilt",
-    "spans_layoutlm_export",
-    # remaining r2-stale queries (driver snapshot window is ~50)
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_relation",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q22_sales_opportunity",
-    "cube_orders",
-    "window_rank_family",
-    "lag_lead_user_events",
-    "running_user_value",
-    "sessionize_events",
-    "host_skew_topk",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_orders",
-    "broadcast_dim_join",
-    "distinct_agg_users",
-    "doc_exact_dedup",
-    "doc_token_stats",
-    "events_value_percentiles",
-    "json_props_extract",
-    "scalar_subquery_above_avg",
-    "setop_nations_cust_supp",
-    "top10_orders_by_price",
+    # round-5 plan rewrites + cache-key change: re-verify first
+    "doc_sequence_packing",  # r5: two-pass bucketed prefix sum
+    "crawl_frontier_slots",  # r5: salted two-phase rank
+    "crawl_ingest_funnel",  # r5: persisted hosted projection
+    "streaming_incremental_dedup",  # r5: content-keyed stream cache
+    "streaming_watermark_join",  # r5: new stream-stream join
+    # only queries whose newest green row is the r2 snapshot
     "topk_parts_per_brand",
     "union_all_parties",
+    # r3-stale (everything else is green in the r4 snapshot)
+    "ann_topk_cosine",
+    "ann_topk_int8",
+    "ann_topk_ivf",
+    "ann_topk_ivf_lloyd",
+    "ann_topk_lsh",
+    "asof_purchase_last_click",
+    "corpus_curation",
+    "corpus_curation_v2",
+    "corpus_decontamination",
+    "corpus_source_mix",
+    "corpus_vocabulary",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_pii_redaction",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_token_chunks",
+    "doc_token_counts",
+    "doc_train_split",
+    "events_tumbling_window",
+    "host_profile_grouped_map",
+    "host_top10_exact",
+    "lsh_dropped_buckets",
+    "media_phash_dedup",
+    "media_qr_decode",
+    "ngram_dropped_shingles",
+    "pipeline_checkbox_extract",
+    "pipeline_consensus3_extract",
+    "pipeline_host_stats",
+    "pipeline_qr_extract",
+    "pipeline_spans_integrity",
+    "pipeline_tilt_histogram",
+    "pipeline_warc_extract",
+    "pivot_events_by_type",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "range_join_shipments",
+    "rollup_order_priority",
+    "streaming_stateful_dedup",
+    "streaming_window_counts",
+    "url_canonical_dedup",
 ]
 
 

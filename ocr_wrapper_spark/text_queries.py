@@ -1191,6 +1191,10 @@ _ORACLES["dedup_simhash"] = _simhash_oracle()
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48  # 16-token overlap
 PACK_CAPACITY = 2048
+# doc_id-range bucket width for the packing prefix sum's pass 1; at
+# corpus scale tune toward sqrt(N) so pass-1 windows and the pass-2
+# totals table stay balanced (64 keeps >1 bucket even at sf0.001)
+PACK_BUCKET_WIDTH = 64
 
 
 @register(
@@ -1245,15 +1249,51 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing: documents fill fixed-capacity
     training bins in doc_id order (bin = prefix-token-count / capacity).
-    Deterministic and SQL-mirrorable; at corpus scale the same window
-    runs per url-hash bucket so no global sort is needed — the global
-    orderBy here is the small-data exposition of the shape."""
+
+    Distributed two-pass prefix sum — the global running total is NEVER
+    computed with an unpartitioned window (which would sort the whole
+    corpus in one task). Pass 1: cumulative token count *within*
+    doc_id-range buckets (``doc_id div PACK_BUCKET_WIDTH`` is monotone
+    in doc_id, so bucket-local order composes into global order) — one
+    parallel window per bucket. Pass 2: per-bucket token totals
+    (~|docs|/width rows) get their own exclusive prefix sum on the tiny
+    totals table, and each bucket's offset is broadcast back. Global
+    prefix = bucket offset + within-bucket prefix, exactly the single
+    global window's value, so the oracle is unchanged. At 10^12 docs,
+    width ~ sqrt(N) keeps both the per-bucket windows and the totals
+    table at ~10^6 rows each."""
     d = _t(spark, sf_dir, "documents")
     n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    docs = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET_WIDTH}").alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    # exclusive prefix over the totals table: |buckets| rows. The
+    # partition key `bucket % 1` is constant 0 but non-foldable, so the
+    # spec survives Catalyst (a bare lit(0) gets constant-folded away)
+    # and the deliberate single-partition sort of the TINY table is
+    # visible in the plan instead of tripping WindowExec's
+    # whole-input-collapse warning.
+    wo = (
+        Window.partitionBy(F.col("bucket") % 1)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(wo), F.lit(0)).alias("bucket_offset"),
+    )
+    before = F.col("bucket_offset") + within
     return (
-        d.select("doc_id", n.cast("long").alias("n_tokens"))
+        docs.join(F.broadcast(offsets), "bucket")
         .select(
             "doc_id",
             "n_tokens",
@@ -1340,6 +1380,9 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 POLITENESS_BATCH = 16  # fetch-slot width per host (crawl scheduling)
+# salt fan-out for the skew-safe frontier rank: the hottest (Zipf-top)
+# host's rank sorts in FRONTIER_SALTS parallel tasks instead of one
+FRONTIER_SALTS = 16
 TFIDF_TOP_K = 5
 
 
@@ -1513,15 +1556,51 @@ def crawl_frontier_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness scheduling: per-host fetch order
     (deterministic by doc_id) bucketed into fixed-width slots, so no
     host receives more than POLITENESS_BATCH fetches per scheduling
-    round. One window partitioned by host — the host-keyed shuffle is
-    exactly the skew-salted exchange pipeline_host_stats exercises, and
-    at 10^12 urls the slot column IS the micro-batch id a frontier
-    executor consumes."""
+    round; at 10^12 urls the slot column IS the micro-batch id a
+    frontier executor consumes.
+
+    Skew-safe salted two-phase rank. The host distribution is
+    deliberately Zipfian (top host ~13% of the corpus), so a plain
+    ``row_number() over (partition by host)`` would sort 13% of all
+    rows in ONE task — a straggler no AQE setting fixes (AQE cannot
+    split a window partition the way it splits a join side). Phase 1:
+    rank within (host, salt), where salt = doc_id div width for a width
+    derived from max(doc_id)/FRONTIER_SALTS — monotone in doc_id, so
+    salt-local order composes into per-host global order, and the top
+    host's rows spread over FRONTIER_SALTS parallel tasks. Phase 2:
+    per-(host, salt) row counts (≤ |hosts|·FRONTIER_SALTS rows) get an
+    exclusive prefix sum over salts within each host and are broadcast
+    back as rank offsets. Output is identical to the single host
+    window, so the oracle is unchanged; max(doc_id) arrives via a
+    1-row broadcast, no collect."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("host_idx").orderBy("doc_id")
-    return (
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    docs = (
         d.select("doc_id", _host_idx_col().alias("host_idx"))
-        .withColumn("fetch_rank", (F.row_number().over(w) - 1).cast("long"))
+        .crossJoin(F.broadcast(mx))
+        # int64 div end-to-end; width = ceil-ish split of the id range
+        # keeps salt in [0, FRONTIER_SALTS] with no multiply overflow
+        .withColumn("salt", F.expr(f"doc_id div ((max_id div {FRONTIER_SALTS}) + 1)"))
+        .drop("max_id")
+    )
+    ws = Window.partitionBy("host_idx", "salt").orderBy("doc_id")
+    counts = docs.groupBy("host_idx", "salt").count()
+    wo = (
+        Window.partitionBy("host_idx")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host_idx",
+        "salt",
+        F.coalesce(F.sum("count").over(wo), F.lit(0)).alias("rank_offset"),
+    )
+    return (
+        docs.join(F.broadcast(offsets), ["host_idx", "salt"])
+        .withColumn(
+            "fetch_rank",
+            (F.row_number().over(ws) - 1 + F.col("rank_offset")).cast("long"),
+        )
         .select(
             "doc_id",
             _host_name_col().alias("host"),
@@ -1627,12 +1706,18 @@ def _host_stats_df(hosted: DataFrame) -> DataFrame:
     a global window over the already-aggregated ~|hosts|-row table (a
     single-partition window over 40 rows, free), NOT a second aggregate
     branch of documents — a separate branch re-scans the corpus because
-    column pruning makes its exchange non-reusable."""
+    column pruning makes its exchange non-reusable. The window key
+    ``host_idx % 1`` is constant 0 but non-foldable, so the deliberate
+    single-partition spec survives Catalyst and WindowExec's
+    whole-input-collapse warning cannot fire (same idiom as
+    doc_sequence_packing's totals pass)."""
     stats = hosted.groupBy("host_idx").agg(
         F.count("*").alias("host_docs"),
         F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("host_empty"),
     )
-    return stats.withColumn("total", F.sum("host_docs").over(Window.partitionBy()))
+    return stats.withColumn(
+        "total", F.sum("host_docs").over(Window.partitionBy(F.col("host_idx") % 1))
+    )
 
 
 def _host_keep_col():
@@ -1727,9 +1812,19 @@ def crawl_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common-Crawl ingest: one glance shows which hosts are re-serving old
     content vs shipping junk. Scale shape: every join is
     fingerprint-keyed or a broadcast of the tiny host table; the final
-    rollup is a ~|hosts|-row aggregate; nothing collects."""
+    rollup is a ~|hosts|-row aggregate; nothing collects. The narrow
+    (doc_id, text, host_idx) projection is persisted once
+    (MEMORY_AND_DISK): its three consumers — host stats, old-corpus
+    fingerprints, new-batch scoring — would otherwise each re-scan
+    documents (exchange reuse is blocked by their differing column
+    pruning), and at 100 TB one spill-safe materialization of the
+    pruned projection is cheaper than two extra full scans."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx"))
+    hosted = d.select("doc_id", "text", _host_idx_col().alias("host_idx")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = _host_stats_df(hosted)
     fp = hosted.withColumn("fp_md5", fp_md5_col(F.col("text")))
     old = fp.filter(F.col("doc_id") % 5 != 4).select("fp_md5").distinct()
@@ -1860,9 +1955,91 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+RECRAWL_WINDOW_S = 64  # same-host co-fetch audit window (seconds)
+
+
+@register(
+    "streaming_watermark_join",
+    # stream-stream inner join under event-time watermarks: pair every
+    # new-crawl fetch with the recent-crawl fetches of the SAME host in
+    # the preceding RECRAWL_WINDOW_S seconds. Event time is synthesized
+    # 1:1 from doc_id, so the oracle states the time-range condition as
+    # integer arithmetic — identical pair set.
+    f"""
+    WITH {_HOSTED_CTE_SQL},
+    n AS (SELECT doc_id, host_idx FROM hosted WHERE doc_id % 5 = 4),
+    r AS (SELECT doc_id, host_idx FROM hosted WHERE doc_id % 5 = 3),
+    pairs AS (
+      SELECT n.doc_id AS new_id, r.doc_id AS recent_id,
+             n.host_idx AS host_idx, n.doc_id - r.doc_id AS lag_s
+      FROM n JOIN r ON r.host_idx = n.host_idx
+       AND n.doc_id - r.doc_id BETWEEN 0 AND {RECRAWL_WINDOW_S})
+    SELECT new_id, recent_id, {_HOST_NAME_SQL} AS host,
+           CAST(lag_s AS BIGINT) AS lag_s
+    FROM pairs
+    """,
+)
+def streaming_watermark_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — the sixth Structured
+    Streaming surface (after extract / tumbling windows / sessions /
+    keyed state / stream-static): a politeness-audit pairing of each
+    new-crawl fetch with the same host's recent-crawl fetches within
+    the last RECRAWL_WINDOW_S seconds of event time. Both sides carry
+    ``withWatermark`` and the join carries an event-time range bound,
+    so Spark can evict join state older than the watermark — the thing
+    that makes an unbounded two-stream join runnable forever at crawl
+    scale (state is O(rows inside the window), not O(stream)). Event
+    time is doc_id seconds from epoch, so results equal the batch
+    integer-delta join the oracle states; drained with availableNow
+    into a memory sink."""
+    import os
+    import uuid
+
+    d = _t(spark, sf_dir, "documents")
+    ddir = f"/tmp/spark_graft_stream_docs/{_docs_signature(sf_dir)}"
+    if not os.path.exists(ddir + "/_SUCCESS"):
+        d.write.mode("overwrite").parquet(ddir)
+
+    def side(slice_rem: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(d.schema)
+            .parquet(ddir)
+            .filter(F.col("doc_id") % 5 == slice_rem)
+            .select(
+                F.col("doc_id").alias(f"{prefix}_id"),
+                _host_idx_col().alias(f"{prefix}_host"),
+                F.timestamp_seconds(F.col("doc_id")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", f"{2 * RECRAWL_WINDOW_S} seconds")
+        )
+
+    new, recent = side(4, "new"), side(3, "recent")
+    joined = new.join(
+        recent,
+        (F.col("new_host") == F.col("recent_host"))
+        & (F.col("recent_ts") >= F.col("new_ts") - F.expr(f"interval {RECRAWL_WINDOW_S} seconds"))
+        & (F.col("recent_ts") <= F.col("new_ts")),
+    ).select(
+        "new_id",
+        "recent_id",
+        F.col("new_host").alias("host_idx"),
+        (F.unix_timestamp("new_ts") - F.unix_timestamp("recent_ts")).cast("long").alias("lag_s"),
+    )
+    out = joined.select("new_id", "recent_id", _host_name_col().alias("host"), "lag_s")
+    name = f"stream_recrawl_{uuid.uuid4().hex[:10]}"
+    q = out.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # host-mapped oracles need the Zipf cdf literal (same pattern as
 # pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
-for _name in ("crawl_frontier_slots", "host_reputation_filter", "crawl_ingest_funnel"):
+for _name in (
+    "crawl_frontier_slots",
+    "host_reputation_filter",
+    "crawl_ingest_funnel",
+    "streaming_watermark_join",
+):
     _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())

@@ -124,3 +124,101 @@ def test_ingest_funnel_stages_reconcile(spark):
         .count()
     )
     assert n_new_total == expected
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_sequence_packing_window_is_bucket_partitioned(spark):
+    """The packing prefix sum must never collapse the corpus into one
+    window partition: pass 1 partitions on the doc_id-range bucket
+    (plan shows the bucket exchange feeding the window), pass 2 runs
+    only on the tiny per-bucket totals table, and >1 bucket exists even
+    at the smallest SF."""
+    from ocr_wrapper_spark.relational import QUERIES
+    from ocr_wrapper_spark.text_queries import PACK_BUCKET_WIDTH
+
+    df = QUERIES["doc_sequence_packing"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bucket" in plan  # pass-1 window exchange
+    # every Window node carries a partition spec: the corpus-sized one
+    # on `bucket`, the totals one on the non-foldable `bucket % 1`
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^,]+(?:, [^,]+)?),", plan):
+        assert "bucket" in spec, f"unpartitioned window in plan: {spec}"
+    n_buckets = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .selectExpr(f"doc_id div {PACK_BUCKET_WIDTH} as b")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_sequence_packing_matches_single_global_window(spark):
+    """Two-pass bucketed prefix sum == the single global window it
+    replaced, row for row."""
+    from pyspark.sql import Window
+    from ocr_wrapper_spark.relational import QUERIES
+    from ocr_wrapper_spark.text_queries import PACK_CAPACITY
+
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in QUERIES["doc_sequence_packing"](spark, SF_SMOKE).collect()
+    }
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ref = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in d.select("doc_id", n.cast("long").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(before / PACK_CAPACITY).cast("long").alias("bin_id"),
+            (before % PACK_CAPACITY).alias("bin_offset"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_frontier_rank_window_carries_salt_key(spark):
+    """The frontier rank exchange must partition on (host, salt), not
+    host alone — the Zipf-top host (~13% of the corpus) has to spread
+    over FRONTIER_SALTS tasks — and the salted two-phase rank must equal
+    the plain per-host window."""
+    from pyspark.sql import Window
+    from ocr_wrapper_spark.relational import QUERIES
+    from ocr_wrapper_spark import text_queries  # noqa: F401 — triggers registration
+
+    df = QUERIES["crawl_frontier_slots"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(host_idx" in plan
+    import re
+
+    big_rank_specs = [
+        s for s in re.findall(r"windowspecdefinition\(([^)]+?), doc_id", plan)
+    ]
+    assert big_rank_specs and all("salt" in s for s in big_rank_specs), plan[:2000]
+
+    got = {(r.doc_id): (r.host, r.fetch_rank, r.slot) for r in df.collect()}
+    from ocr_wrapper_spark.text_queries import POLITENESS_BATCH, _host_idx_col, _host_name_col
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = Window.partitionBy("host_idx").orderBy("doc_id")
+    ref = {
+        r.doc_id: (r.host, r.fetch_rank, r.slot)
+        for r in d.select("doc_id", _host_idx_col().alias("host_idx"))
+        .withColumn("fetch_rank", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id",
+            _host_name_col().alias("host"),
+            "fetch_rank",
+            F.expr(f"fetch_rank div {POLITENESS_BATCH}").alias("slot"),
+        )
+        .collect()
+    }
+    assert got == ref

@@ -165,3 +165,57 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_watermark_join_matches_batch_and_runs_on_rocksdb(spark):
+    """The watermarked stream-stream recrawl join equals the batch
+    integer-delta join, and the same plan runs unchanged on the RocksDB
+    state store (the store a 1000-executor deployment would use for
+    O(window) join state)."""
+    from ocr_wrapper_spark.relational import QUERIES
+    from ocr_wrapper_spark.text_queries import (  # noqa: F401 — registers
+        RECRAWL_WINDOW_S,
+        _host_idx_col,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", _host_idx_col().alias("host_idx")
+    )
+    n = d.filter(F.col("doc_id") % 5 == 4).selectExpr("doc_id as new_id", "host_idx")
+    r = d.filter(F.col("doc_id") % 5 == 3).selectExpr("doc_id as recent_id", "host_idx as rh")
+    batch = {
+        (x.new_id, x.recent_id)
+        for x in n.join(
+            r,
+            (F.col("host_idx") == F.col("rh"))
+            & (F.col("new_id") - F.col("recent_id") >= 0)
+            & (F.col("new_id") - F.col("recent_id") <= RECRAWL_WINDOW_S),
+        ).collect()
+    }
+    assert batch  # non-trivial pair set at sf0.001
+
+    got = {
+        (x.new_id, x.recent_id): x.lag_s
+        for x in QUERIES["streaming_watermark_join"](spark, sf).collect()
+    }
+    assert set(got) == batch
+    assert all(0 <= v <= RECRAWL_WINDOW_S for v in got.values())
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            (x.new_id, x.recent_id)
+            for x in QUERIES["streaming_watermark_join"](spark, sf).collect()
+        }
+        assert rocks == batch
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
