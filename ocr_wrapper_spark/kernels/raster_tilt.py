@@ -12,8 +12,12 @@ closes the reference's raster kernels:
   convolution is a direct numpy shift-sum; the EXTRA_ANGLE pre-rotation
   trick (tilt_correction_numpy.py:236-247) is skipped because it exists
   to counter integer-pixel aliasing of PIL's raster rotation near 0°,
-  which the stretch factor already handles at our raster sizes; images
-  are not downsized (nb_pixel cap) because embedded rasters are small.
+  which the stretch factor already handles at our raster sizes. The
+  reference's nb_pixel downsize cap (tilt_correction_numpy.py:186-198:
+  NEAREST-resample any raster above ~5e5 pixels before detection) IS
+  implemented (``downsize_raster``) — it is what keeps the scan both
+  fast and on-grid for realistic scan sizes (a 300-dpi letter page is
+  8.4 MP; the fat-page profile measures 1024x768+ rasters).
 * ``rotate_raster``     — reference utils.py rotate_image (C5), 90°
   steps as numpy rot90 (exact, no resampling).
 * ``denoise_raster``    — role of image_pre_processing.py:48-61
@@ -32,6 +36,7 @@ from math import pi
 import numpy as np
 
 MIN_NB_DARK_PIXEL = 100  # reference :27
+NB_PIXEL = 500_000  # reference :64 nb_pixel default (downsize cap)
 NB_PRE_SCAN = 120  # reference nb_pre_scan default
 GRID_HALF_SIZE = 20
 NB_FINE_SCAN = 5
@@ -66,11 +71,27 @@ def _convolve5x5_valid(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     return out
 
 
+def downsize_raster(image: np.ndarray, nb_pixel: int = NB_PIXEL) -> np.ndarray:
+    """Reference nb_pixel cap (tilt_correction_numpy.py:186-198): any
+    raster above ``nb_pixel`` pixels is NEAREST-resampled down so
+    detection cost is bounded by the cap, not the scan resolution.
+    Implemented as index sampling — exactly PIL's NEAREST mapping
+    (output pixel (i, j) reads input (floor(i/rf), floor(j/rf)))."""
+    h, w = image.shape
+    rf = (nb_pixel / (w * h)) ** 0.5
+    if rf >= 1:
+        return image
+    yi = np.minimum((np.arange(int(h * rf)) / rf).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(int(w * rf)) / rf).astype(np.int64), w - 1)
+    return image[yi][:, xi]
+
+
 def find_tilt_angle(image: np.ndarray) -> float:
     """Estimated tilt angle in degrees of a text raster (positive =
     text lines rise left-to-right in image coordinates, matching the
     layout engine's tilt_fraction sign)."""
-    t = _convolve5x5_valid(np.asarray(image, dtype=np.float32), CONTRAST_KERNEL)
+    image = downsize_raster(np.asarray(image, dtype=np.float32))
+    t = _convolve5x5_valid(image, CONTRAST_KERNEL)
     t = np.square(np.maximum(0, t))
     if t.size == 0:
         return 0.0
@@ -169,15 +190,26 @@ def render_text_raster(
     word_w: int = 8,
     gap: int = 3,
     margin: int = 10,
+    stagger: bool = False,
 ) -> np.ndarray:
     """Deterministic synthetic page raster: word-like dark dashes along
     text lines tilted by ``tilt_deg``. The encode side of the media
-    tables' image payloads (decode = multimodal._decode_image)."""
+    tables' image payloads (decode = multimodal._decode_image).
+
+    ``stagger`` offsets each line's word phase (like real text, where
+    word starts don't align into columns). Default off to keep the
+    media tables' payload bytes stable; the fat-page profile turns it
+    on — a shared phase puts a page-wide vertical lattice into wide
+    rasters, an artifact no real document has, and the ±90° column
+    projection then out-gains the true line angle."""
     img = np.zeros((height, width), dtype=np.float32)
     xs = np.arange(margin, width - margin)
     word_mask = (xs - margin) % (word_w + gap) < word_w
     slope = np.tan(np.deg2rad(tilt_deg))
-    for base in range(margin, height - margin, line_h):
+    for k, base in enumerate(range(margin, height - margin, line_h)):
+        if stagger:
+            phase = (k * 7919) % (word_w + gap)
+            word_mask = (xs - margin + phase) % (word_w + gap) < word_w
         # positive tilt: lines rise left-to-right => y decreases with x
         ys = np.round(base - (xs - width / 2) * slope).astype(np.int64)
         for t in range(thickness):

@@ -78,6 +78,32 @@ _BOILER_ADS = ["buy now click here", "sale ends soon", "subscribe today", "hot d
 _BOILER_FOOT = ["privacy", "terms", "imprint", "sitemap", "help", "status"]
 
 
+_BOILER_VOCAB = _BOILER_NAV + _BOILER_FOOT + [
+    "widget", "gadget", "shipping", "returns", "newsletter", "cookie",
+    "policy", "support", "download", "partners", "press", "investors",
+]
+
+
+def _pad_words(doc_id: int, salt: int, n_bytes: int) -> str:
+    """Deterministic boilerplate-vocabulary filler of ~``n_bytes`` bytes.
+
+    Used by the fat-page profile (BENCH/BASELINE.md §1d) to inflate
+    payloads to realistic Common-Crawl sizes. Varied per (doc_id, salt)
+    so fat pages compress like repetitive-but-not-constant chrome, not
+    like a single run-length blob."""
+    if n_bytes <= 0:
+        return ""
+    state = (doc_id * 2654435761 + salt * 40503 + 12345) % (2**31)
+    out: list[str] = []
+    total = 0
+    while total < n_bytes:
+        state = (state * 1103515245 + 12345) % (2**31)
+        w = _BOILER_VOCAB[state % len(_BOILER_VOCAB)]
+        out.append(w)
+        total += len(w) + 1
+    return " ".join(out)
+
+
 def _paragraphs(words: list[str], size: int = 40, min_tail: int = 15) -> list[list[str]]:
     """Chunk words into paragraphs; merge a short tail into the previous
     chunk so every paragraph clears the extractor's MIN_BLOCK_CHARS."""
@@ -88,9 +114,13 @@ def _paragraphs(words: list[str], size: int = 40, min_tail: int = 15) -> list[li
     return chunks
 
 
-def build_html(doc_id: int, text: str, lang: str) -> bytes:
+def build_html(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     """Boilerplate-wrapped page; main content == ``text`` byte-for-byte
-    after the extractor's token join."""
+    after the extractor's token join.
+
+    ``fat_pad`` > 0 adds ~that many bytes of extra link-dense boilerplate
+    (nav-style link walls: link_density 1.0, so the text-density strip
+    drops every block) — the fat-page profile's realistic-size knob."""
     rng = (doc_id * 6364136223846793005 + 1442695040888963407) % (2**63)
     nav_n = 3 + rng % 5
     nav = "".join(
@@ -114,6 +144,16 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         if doc_id % QR_MOD == QR_REM
         else ""
     )
+    pad = ""
+    if fat_pad > 0:
+        # each pad word wrapped in <a>: link_density 1.0 per block, so the
+        # extractor's MAX_LINK_DENSITY cut drops it no matter how long
+        links = "".join(
+            f'<li><a href="/p/{w}">{w}</a></li>'
+            # markup ~5.4 bytes per budget byte ((2L+26)/(L+1) at L~6)
+            for w in _pad_words(doc_id, 1, max(0, fat_pad - 40) * 2 // 11).split(" ")
+        )
+        pad = f'<nav class="mega"><ul>{links}</ul></nav>'
     html = (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>Doc {doc_id}</title>'
         f"<style>body{{margin:0}}</style>"
@@ -122,17 +162,21 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         f"<header><h1>Doc {doc_id}</h1></header>"
         f'<aside class="ad">{ad}</aside>'
         f'<main><div class="content">{paras}</div></main>'
-        f"{form}{qr}"
+        f"{form}{qr}{pad}"
         f"<footer>{foot}</footer>"
         f"</body></html>"
     )
     return html.encode("utf-8")
 
 
-def build_json(doc_id: int, text: str, lang: str) -> bytes:
+def build_json(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     """JSON-layout payload (kernels/json_extract.py dialect): the same
     deterministic word layout as the HTML branch, serialized as a
-    documentai-style span document. Upright (rotation/tilt stay 0)."""
+    documentai-style span document. Upright (rotation/tilt stay 0).
+
+    ``fat_pad`` > 0 adds ~that many bytes in a top-level ``pad`` key the
+    parser never reads (parse_json_payload only walks ``layout``) —
+    stands in for the raw-response envelope real providers echo back."""
     import json
 
     words = text.split(" ") if text else []
@@ -157,14 +201,20 @@ def build_json(doc_id: int, text: str, lang: str) -> bytes:
             "pages": [{"id": 0, "spans": spans}],
         }
     }
+    if fat_pad > 0:
+        doc["pad"] = _pad_words(doc_id, 2, fat_pad)
     return json.dumps(doc, separators=(",", ":")).encode("utf-8")
 
 
-def build_hocr(doc_id: int, text: str, lang: str) -> bytes:
+def build_hocr(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     """hOCR payload (kernels/hocr_extract.py dialect, fourth provider
     branch): the same deterministic word layout serialized as the public
     tesseract-style XHTML microformat. Word boxes are integer pixel
-    bboxes (floor/ceil of the float layout), as real hOCR emits."""
+    bboxes (floor/ceil of the float layout), as real hOCR emits.
+
+    ``fat_pad`` > 0 adds ~that many bytes of XML comment inside the body
+    (the word regex never matches comments) — stands in for the layout
+    debug chatter real tesseract output carries."""
     words = text.split(" ") if text else []
     rtl = lang in {"ar", "he", "fa", "ur"}
     coords_px, width, height = layout.layout_words(words, rtl=rtl)
@@ -191,12 +241,14 @@ def build_hocr(doc_id: int, text: str, lang: str) -> bytes:
         " </head>\n <body>\n"
         f"  <div class='ocr_page' id='page_1' "
         f"title='image \"doc_{doc_id}.png\"; bbox 0 0 {width} {height}; ppageno 0'>\n"
-        f"   {spans}</div>\n </body>\n</html>\n"
+        f"   {spans}</div>\n"
+        + (f"  <!-- {_pad_words(doc_id, 3, fat_pad)} -->\n" if fat_pad > 0 else "")
+        + " </body>\n</html>\n"
     )
     return doc.encode("utf-8")
 
 
-def build_textract(doc_id: int, text: str, lang: str) -> bytes:
+def build_textract(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     """Textract-style Blocks JSON payload (kernels/textract_extract.py
     dialect, fifth provider branch — reference AwsOCR, aws.py:51-60):
     PAGE + LINE + WORD blocks with ``Geometry.Polygon`` vertices and
@@ -251,6 +303,25 @@ def build_textract(doc_id: int, text: str, lang: str) -> bytes:
                 "Geometry": {"Polygon": poly(quads[i])},
             }
         )
+    if fat_pad > 0:
+        # fat-page knob: extra LINE blocks (~90 bytes of envelope each) —
+        # dropped by the converter's WORD-only cut (F3), like the real
+        # service's LINE duplication of every WORD
+        filled = 0
+        i = 0
+        while filled < fat_pad:
+            t = _pad_words(doc_id, 4 + i, 160)
+            blocks.append(
+                {
+                    "BlockType": "LINE",
+                    "Id": f"{doc_id:08x}-pad-{i:04d}",
+                    "Page": 1,
+                    "Text": t,
+                    "Confidence": TEXTRACT_CONFIDENCE * 100,
+                }
+            )
+            filled += len(t) + 90
+            i += 1
     doc = {
         "DocumentMetadata": {"Pages": 1},
         "ImageSize": {"Width": width, "Height": height},
@@ -260,9 +331,13 @@ def build_textract(doc_id: int, text: str, lang: str) -> bytes:
     return json.dumps(doc, separators=(",", ":")).encode("utf-8")
 
 
-def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
+def build_pdf(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     """Synthetic PDF-like payload (kernels/pdf_extract.py format) with a
-    deterministic rotation or on-grid tilt variant."""
+    deterministic rotation or on-grid tilt variant.
+
+    ``fat_pad`` > 0 appends ~that many bytes of ``%`` comment lines the
+    parser skips (parse_pdf_payload only acts on %W/%L/P/S prefixes) —
+    stands in for the embedded-font/xref bulk of real PDFs."""
     words = text.split(" ") if text else []
     variant = (doc_id // PDF_MOD) % 2
     rotation = 0
@@ -314,10 +389,18 @@ def build_pdf(doc_id: int, text: str, lang: str) -> bytes:
         for i, w in enumerate(pw):
             c = " ".join(f"{v:.8f}" for v in raw[i])
             lines.append(f"S {c} {PDF_CONFIDENCE} {w}")
+    if fat_pad > 0:
+        filled = 0
+        i = 0
+        while filled < fat_pad:
+            t = _pad_words(doc_id, 16 + i, 200)
+            lines.append(f"% {t}")
+            filled += len(t) + 3
+            i += 1
     return "\n".join(lines).encode("utf-8")
 
 
-def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+def build_page_rows(pdf: pd.DataFrame, fat_pad: int = 0) -> pd.DataFrame:
     """pandas batch -> pages batch (vectorized where it matters)."""
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     hosts = host_for_doc(doc_ids)
@@ -353,7 +436,7 @@ def build_page_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         "html": build_html,
     }
     payloads = [
-        builders[ext](int(did), text, lang)
+        builders[ext](int(did), text, lang, fat_pad)
         for did, text, lang, ext in zip(doc_ids, texts, langs, exts)
     ]
     return pd.DataFrame(
@@ -372,6 +455,7 @@ def synthesize_pages(
     sf_dir: str,
     replicate: int = 1,
     partitions: int | None = None,
+    fat_pad: int = 0,
 ) -> DataFrame:
     """documents.parquet -> pages DataFrame (distributed, Arrow-batched).
 
@@ -397,7 +481,7 @@ def synthesize_pages(
 
     def gen(batches):
         for pdf in batches:
-            yield build_page_rows(pdf)
+            yield build_page_rows(pdf, fat_pad)
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
@@ -408,6 +492,7 @@ def materialize_pages(
     base_dir: str = "/tmp/spark_graft_pages",
     replicate: int = 1,
     partitions: int | None = None,
+    fat_pad: int = 0,
 ) -> str:
     """Write (once) and return the path of a materialized pages table —
     the benchmarking input shape (the north_rule input is a table, not an
@@ -416,9 +501,10 @@ def materialize_pages(
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n_parts = partitions or 64
-    path = f"{base_dir}/v{PAGES_FORMAT_VERSION}_{sf_tag}_r{replicate}_p{n_parts}"
+    fat_tag = f"_f{fat_pad}" if fat_pad else ""
+    path = f"{base_dir}/v{PAGES_FORMAT_VERSION}_{sf_tag}_r{replicate}_p{n_parts}{fat_tag}"
     if not os.path.exists(path + "/_SUCCESS"):
-        synthesize_pages(spark, sf_dir, replicate=replicate, partitions=n_parts).write.mode(
-            "overwrite"
-        ).parquet(path)
+        synthesize_pages(
+            spark, sf_dir, replicate=replicate, partitions=n_parts, fat_pad=fat_pad
+        ).write.mode("overwrite").parquet(path)
     return path

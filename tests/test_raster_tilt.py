@@ -73,3 +73,37 @@ def test_fifteen_angle_sweep_reference_style(angle):
     renderer quantizes strokes to pixels so the tolerance is 0.15."""
     detected = find_tilt_angle(render_text_raster(float(angle), width=320, height=240))
     assert abs(detected - angle) < 0.15
+
+
+def test_downsize_cap_bounds_pixels_and_keeps_small_untouched():
+    from ocr_wrapper_spark.kernels.raster_tilt import NB_PIXEL, downsize_raster
+
+    small = render_text_raster(2)
+    assert downsize_raster(small) is small  # <= cap: identity, no copy
+    big = np.zeros((1536, 2048), dtype=np.float32)
+    out = downsize_raster(big)
+    assert out.size <= NB_PIXEL
+    # aspect ratio preserved to within a pixel of rounding
+    assert abs(out.shape[1] / out.shape[0] - 2048 / 1536) < 0.01
+
+
+@pytest.mark.parametrize("angle", [-8, -2, 0, 4])
+def test_detects_angle_on_scan_size_raster_through_cap(angle):
+    """A 1024x768 'scan' (realistic line pitch, staggered words like real
+    text) goes through the reference's nb_pixel NEAREST downsize inside
+    find_tilt_angle and still detects exactly."""
+    lh = 768 // 13
+    img = render_text_raster(
+        float(angle), width=1024, height=768, line_h=lh,
+        thickness=lh // 4, word_w=lh, gap=lh // 3, margin=64, stagger=True,
+    )
+    detected = find_tilt_angle(denoise_raster(img))
+    assert abs(detected - angle) < 0.2
+
+
+def test_stagger_is_deterministic_and_angle_preserving():
+    a = render_text_raster(4, stagger=True)
+    b = render_text_raster(4, stagger=True)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, render_text_raster(4))
+    assert abs(find_tilt_angle(a) - 4) < 0.1
