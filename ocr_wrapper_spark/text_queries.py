@@ -318,9 +318,17 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary rollup (tokenizer-training primitive): global
     term and document frequencies, top 50 by count. explode -> two-level
-    aggregate; the term-count shuffle combines map-side, and only the
-    (tiny) top-k crosses the final single-partition window — the
-    standard global top-k shape from host_top10_exact."""
+    aggregate; the term-count shuffle combines map-side, and only a
+    per-partition top-50 crosses the final single-partition window.
+
+    The window key ``n_occurrences % 1`` is constant 0 but non-foldable
+    — and here that is not just the warning-silencing idiom: Spark 4's
+    InferWindowGroupLimit only fires for windows WITH a partition spec,
+    so the constant key is what gets the rank<=50 filter pushed down to
+    a per-partition WindowGroupLimit before the exchange (verified in
+    test_vocabulary_topk_has_group_limit). With a bare global
+    ``Window.orderBy`` the ENTIRE vocabulary — hundreds of millions of
+    terms at the brief's scale — would sort in one task."""
     d = _t(spark, sf_dir, "documents")
     terms = d.filter(F.col("text") != "").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -329,7 +337,9 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    w = Window.partitionBy(F.col("n_occurrences") % 1).orderBy(
+        F.col("n_occurrences").desc(), "term"
+    )
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 50)

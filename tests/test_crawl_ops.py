@@ -222,3 +222,18 @@ def test_frontier_rank_window_carries_salt_key(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_vocabulary_topk_has_group_limit(spark):
+    """corpus_vocabulary's rank<=50 must reach a per-partition
+    WindowGroupLimit BEFORE the single-partition exchange — Spark 4's
+    InferWindowGroupLimit only fires for windows WITH a partition spec,
+    so the non-foldable constant key is load-bearing here: without it
+    the whole vocabulary sorts in one task."""
+    from ocr_wrapper_spark.relational import QUERIES
+
+    df = QUERIES["corpus_vocabulary"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[1][:200] or \
+        plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) stage present
