@@ -1,0 +1,119 @@
+"""Physical-plan audit over EVERY registered query — the 100x lens,
+mechanized.
+
+For each `queries()` entry, materialize the executed plan at a small SF
+and grep it for the patterns that kill a job at the brief's scale
+(10^12 rows / 1000 executors), well before any of them shows up in a
+small-SF timing:
+
+* CartesianProduct / BroadcastNestedLoopJoin on non-trivial inputs —
+  quadratic blowup (1-row scalar-subquery broadcasts are whitelisted
+  per query below, with the reason).
+* BatchEvalPython — a row-at-a-time Python UDF in the plan (the repo
+  rule is Arrow only: ArrowEvalPython / mapInPandas / mapInArrow).
+* windowspecdefinition with an empty partition spec — a window that
+  collapses its whole input into one task (the doc_sequence_packing /
+  corpus_vocabulary class; both now carry partition keys).
+* rank-filter windows missing a WindowGroupLimit — Spark's
+  InferWindowGroupLimit only fires when the window HAS a partition
+  spec, so a top-k that looks declarative can still sort everything
+  in one task (how corpus_vocabulary was caught).
+
+Exit 0 = no unexplained flags. Prints one line per flagged query.
+Usage: python scripts/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# query -> reason a scary-looking node is actually bounded. Every entry
+# must name the tiny side.
+WHITELIST: dict[str, str] = {
+    # 1-row broadcast scalar subquery (corpus-wide aggregate joined back)
+    "scalar_subquery_above_avg": "BroadcastNestedLoopJoin over a 1-row aggregate (scalar subquery)",
+    "q22_sales_opportunity": "crossJoin(broadcast(1-row avg(c_acctbal))) — TPC-H Q22 scalar subquery",
+    "doc_tfidf_topk": "1-row corpus-size broadcast (|D| for the idf term)",
+    "corpus_incremental_dedup": "1-row broadcast of the old-corpus high-water mark",
+    "doc_sequence_packing": "per-bucket totals table (~|buckets| rows) broadcast back",
+    "crawl_frontier_slots": "cumulative salt-group offsets (~|hosts|*salts rows) broadcast",
+    "host_reputation_filter": "~|hosts|-row stats table broadcast back to documents",
+    "crawl_ingest_funnel": "composition of the two above (both tiny sides)",
+    "streaming_watermark_join": "batch-equivalence check joins two bounded stream snapshots",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("BroadcastNestedLoopJoin")
+    # windowspecdefinition(<sort-cols...>, specifiedwindowframe...) with no
+    # partition columns: the first arg is a sort order, not a partition,
+    # when the partition list is empty. Catalyst prints partition exprs
+    # first; an empty partition spec shows as the frame directly after '('.
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        if args.lstrip().startswith("specifiedwindowframe"):
+            flags.append("window with empty partition spec (single-task sort)")
+            break
+    # a row_number/rank window + a later rank filter should show a
+    # WindowGroupLimit; absence means the full input crosses the window
+    if re.search(r"row_number\(\)|rank\(\)", plan) and "WindowGroupLimit" not in plan:
+        # only flag when the query also filters on the rank column —
+        # detectable in the plan as a Filter on the window output attr.
+        # Cheap heuristic: plan contains '<= <small int>' filter AND a
+        # window function. False positives are possible; they surface
+        # for human review rather than failing silently.
+        if re.search(r"\(\w+#\d+ <= \d{1,3}\)", plan):
+            flags.append("rank-filter window without WindowGroupLimit (top-k not pushed down)")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ocr_wrapper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    qs = entrymod.queries()
+
+    hard = 0
+    n_run = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        n_run += 1
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — audit must visit every query
+            print(f"ERROR {name}: {type(exc).__name__}: {exc}")
+            hard += 1
+            continue
+        flags = audit_plan(name, plan)
+        if not flags:
+            continue
+        if name in WHITELIST:
+            print(f"ok    {name}: {', '.join(flags)} — whitelisted: {WHITELIST[name]}")
+        else:
+            print(f"FLAG  {name}: {', '.join(flags)}")
+            hard += 1
+    print(f"\n{n_run} plans audited, {hard} unexplained flags")
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
