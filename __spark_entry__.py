@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_PRIORITY = [
     # round-5 plan rewrites + cache-key change: re-verify first
     "doc_sequence_packing",  # r5: two-pass bucketed prefix sum
+    "corpus_vocabulary",  # r5: partitioned window -> WindowGroupLimit pushdown
     "crawl_frontier_slots",  # r5: salted two-phase rank
     "crawl_ingest_funnel",  # r5: persisted hosted projection
     "streaming_incremental_dedup",  # r5: content-keyed stream cache
@@ -61,7 +62,6 @@ _VERIFY_PRIORITY = [
     "corpus_curation_v2",
     "corpus_decontamination",
     "corpus_source_mix",
-    "corpus_vocabulary",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
