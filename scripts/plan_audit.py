@@ -65,6 +65,25 @@ def audit_plan(name: str, plan: str) -> list[str]:
         if args.lstrip().startswith("specifiedwindowframe"):
             flags.append("window with empty partition spec (single-task sort)")
             break
+    # Exchange SinglePartition is the correct final stage of a global
+    # aggregate ONLY when its child is a partial aggregate (then just
+    # |partitions| pre-reduced rows cross). A single-partition exchange
+    # fed by anything else moves the full input to one task.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        ok_child = (
+            "partial_" in child  # partial aggregate: tiny rows cross
+            or "WindowGroupLimit" in child  # per-partition top-k already cut
+            or "LocalLimit" in child  # limit pushed below the exchange
+        )
+        if not ok_child:
+            flags.append(
+                f"SinglePartition exchange fed by non-reduced input ({child.strip()[:60]})"
+            )
+            break
     # a row_number/rank window + a later rank filter should show a
     # WindowGroupLimit; absence means the full input crosses the window
     if re.search(r"row_number\(\)|rank\(\)", plan) and "WindowGroupLimit" not in plan:

@@ -64,3 +64,18 @@ def test_tricky_registered_plans_clean_or_whitelisted(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags = audit_plan(name, plan)
     assert not flags or name in WHITELIST, f"{name}: {flags}"
+
+
+def test_detects_unreduced_single_partition_exchange():
+    bad = (
+        "Sort [x#1 ASC]\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- Project [x#1, y#2]\n"
+    )
+    assert any("SinglePartition" in f for f in audit_plan("x", bad))
+    good = (
+        "HashAggregate(keys=[], functions=[sum(s#3)])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- HashAggregate(keys=[], functions=[partial_sum(v#1)])\n"
+    )
+    assert audit_plan("x", good) == []
