@@ -57,3 +57,23 @@ def test_fat_pages_byte_identity_end_to_end(spark):
         assert bad == 0
     finally:
         pages.unpersist()
+
+
+# property: ANY fat_pad size preserves extraction on every dialect
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pad=st.integers(min_value=0, max_value=120_000),
+    case=st.sampled_from(_CASES),
+    n_words=st.integers(min_value=0, max_value=150),
+)
+def test_fat_pad_identity_property(pad, case, n_words):
+    builder, did, name = case
+    text = " ".join(f"w{i}" for i in range(n_words))
+    r = extract_document(builder(did, text, "en", pad), "en")
+    expect = extract_document(builder(did, text, "en"), "en")
+    assert r.error == expect.error
+    assert r.extracted_text == expect.extracted_text
