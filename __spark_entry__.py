@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-3 additions: never snapshotted
+    "crawl_link_graph",
+    "crawl_pagerank",
+    "paragraph_dedup",
+    "paragraph_dup_ratio",
     # round-5 plan rewrites + cache-key change: re-verify first
     "doc_sequence_packing",  # r5: two-pass bucketed prefix sum
     "corpus_vocabulary",  # r5: partitioned window -> WindowGroupLimit pushdown
@@ -109,14 +114,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import media_queries, pipeline_queries, text_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import media_queries, pipeline_queries, text_queries  # noqa: F401
+    from ocr_wrapper_spark import graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

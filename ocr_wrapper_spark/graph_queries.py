@@ -1,0 +1,332 @@
+"""Web-graph and paragraph-level curation queries.
+
+The Common-Crawl ops the crawl family (text_queries.py) doesn't cover
+yet: the host-level link graph (outlink aggregation -> PageRank-style
+host authority) and CCNet-shape paragraph-level dedup. Registered into
+the same queries()/oracle_sql() registry; every query carries an exact
+DuckDB oracle.
+
+Outlinks are synthesized deterministically from doc_id through the same
+overflow-safe Knuth hash + Zipf host cdf that assigns each document its
+OWN host (sources/pages.py host_for_doc) — the link graph is therefore a
+pure function of the documents table, reproducible in SQL, with the
+realistic property that popular (low-index Zipf) hosts also attract the
+most inlinks.
+
+All integer arithmetic is ppm/floor-div (BIGINT end to end): floats on
+an ORDER or value column are not cross-engine-safe, and floor division
+of non-negative int64 is identical in Spark (`div`) and DuckDB (`//`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.sampling import KNUTH_U_SQL, MOD, knuth_u
+from .relational import ORACLES as _ORACLES
+from .relational import register
+from .sources import pages as pages_src
+
+# ---------------------------------------------------------------------------
+# host-level link graph
+# ---------------------------------------------------------------------------
+
+OUTLINKS_PER_DOC = 4
+# per-link key: mix the link slot into the doc id before the Knuth hash.
+# pmod(doc_id, 2^32) keeps the multiply < 2^37 (overflow-safe at full
+# int64 id range); 31/7/13 de-correlate the link slots from the doc's
+# own host draw (key = doc_id itself) without colliding k=0 into it.
+_LINK_KEY_SQL = "((({d}) % 4294967296 + 4294967296) % 4294967296) * 31 + ({k}) * 7 + 13"
+
+# PageRank constants (integer ppm)
+PAGERANK_ITERS = 3
+DAMP_PPM = 850_000  # classic d = 0.85
+N_HOSTS = pages_src.N_HOSTS
+PR_INIT_PPM = 1_000_000 // N_HOSTS
+PR_BASE_PPM = (1_000_000 - DAMP_PPM) // N_HOSTS
+
+
+def _zipf_host(u):
+    """Zipf host index for a uniform-[0,1) draw: count of cdf entries
+    below u — same mapping as text_queries._host_idx_col / sources
+    pages.host_for_doc, parameterized by the draw."""
+    cdf = pages_src._host_cdf()
+    return F.aggregate(
+        F.array(*[F.lit(float(c)) for c in cdf]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
+    )
+
+
+def _host_name(idx_col):
+    return F.concat(
+        F.lit("host"),
+        F.lpad(idx_col.cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+
+
+def _host_name_sql(idx: str) -> str:
+    return f"concat('host', lpad(CAST({idx} AS VARCHAR), 2, '0'), '.example.com')"
+
+
+def _outlinked(d: DataFrame) -> DataFrame:
+    """(doc_id, src_host, dst_host): every document exploded into its
+    OUTLINKS_PER_DOC outlinks. Pure JVM expressions (hash + explode +
+    higher-order aggregate over the 40-entry cdf literal) — narrow, no
+    shuffle, whole-stage codegen keeps it in one scan stage."""
+    src = _zipf_host(knuth_u(F.col("doc_id")))
+    k = F.explode(F.sequence(F.lit(0), F.lit(OUTLINKS_PER_DOC - 1))).alias("k")
+    key = F.pmod(F.col("doc_id"), F.lit(MOD)) * 31 + F.col("k") * 7 + 13
+    return (
+        d.select("doc_id", src.alias("src_host"), k)
+        .withColumn("dst_host", _zipf_host(knuth_u(key)))
+        .drop("k")
+    )
+
+
+_LINKS_CTE_SQL = f"""links AS (
+      SELECT doc_id,
+             len(list_filter({{cdf}}, c -> c < ({KNUTH_U_SQL.format(k="doc_id")})))
+               AS src_host,
+             len(list_filter({{cdf}}, c -> c < (
+               {KNUTH_U_SQL.format(k=_LINK_KEY_SQL.format(d="doc_id", k="k"))})))
+               AS dst_host
+      FROM documents, unnest(range(0, {OUTLINKS_PER_DOC})) AS l(k))"""
+
+
+@register(
+    "crawl_link_graph",
+    f"""
+    WITH {_LINKS_CTE_SQL}
+    SELECT {_host_name_sql("src_host")} AS src,
+           {_host_name_sql("dst_host")} AS dst,
+           count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_src_docs
+    FROM links
+    GROUP BY src_host, dst_host
+    """,
+)
+def crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: every document's outlinks rolled up into
+    src-host -> dst-host edge weights (the hyperlink-graph build step of
+    a crawl pipeline — feeds frontier prioritization and the PageRank
+    query below). One narrow explode (4 rows/doc, no shuffle) followed
+    by ONE keyed aggregation on (src, dst): map-side partial combine
+    collapses each task's rows to <= |hosts|^2 partials, so the shuffle
+    carries ~1600 rows per task regardless of corpus size — the same
+    plan at 10^12 documents. countDistinct adds the standard two-phase
+    expand, still bounded by the tiny group count."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        _outlinked(d)
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_src_docs"),
+        )
+        .select(
+            _host_name(F.col("src_host")).alias("src"),
+            _host_name(F.col("dst_host")).alias("dst"),
+            "n_links",
+            "n_src_docs",
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled PAGERANK_ITERS-step integer-ppm PageRank as plain CTEs.
+    sum(BIGINT) is HUGEINT in DuckDB, so every aggregate is cast back —
+    values stay well inside int64 (pr_ppm <= 1e6, w <= corpus links)."""
+    prev = "pr0"
+    steps = [
+        f"""nodes AS (SELECT range AS v FROM range({N_HOSTS})),
+    pr0 AS (SELECT v, CAST({PR_INIT_PPM} AS BIGINT) AS ppm FROM nodes)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT n.v,
+             CAST({PR_BASE_PPM} + ({DAMP_PPM} * coalesce(i.inc, 0)) // 1000000
+                  AS BIGINT) AS ppm
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst_host AS v, CAST(sum((p.ppm * e.w) // e.od) AS BIGINT) AS inc
+        FROM ew e JOIN {prev} p ON p.v = e.src_host
+        GROUP BY e.dst_host) i ON i.v = n.v)"""
+        )
+        prev = f"pr{i}"
+    joined_steps = ",\n    ".join(steps)
+    return f"""
+    WITH {_LINKS_CTE_SQL},
+    edges AS (
+      SELECT src_host, dst_host, count(*) AS w
+      FROM links GROUP BY 1, 2),
+    outdeg AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY 1),
+    ew AS (SELECT e.src_host, e.dst_host, e.w, o.od
+           FROM edges e JOIN outdeg o USING (src_host)),
+    {joined_steps}
+    SELECT {_host_name_sql("p.v")} AS host,
+           p.ppm AS pr_ppm,
+           coalesce(o.od, 0) AS out_links
+    FROM {prev} p LEFT JOIN outdeg o ON o.src_host = p.v
+    """
+
+
+@register("crawl_pagerank", _pagerank_oracle())
+def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority: PAGERANK_ITERS synchronous PageRank iterations
+    over the host link graph, in exact integer ppm (d = 0.85; dangling
+    mass dropped, the classic simplification).
+
+    Scale shape: the corpus-size work is the ONE edge aggregation
+    (crawl_link_graph's keyed agg, <= |hosts|^2 partials per task); the
+    iteration then runs on the aggregated edge table — |hosts|^2 rows,
+    NOT corpus rows — with the rank vector (|hosts| rows) broadcast into
+    each step's join, so per-iteration cost is independent of corpus
+    size. The edge table is persisted once so iterations don't re-scan
+    documents. At web scale (10^8 hosts) the same loop holds with the
+    rank vector as a keyed table instead of a broadcast: both joins are
+    host-keyed shuffles of |edges| rows.
+
+    Integer contract (mirrored exactly in the oracle): pr_ppm <= 1e6 and
+    edge weight w <= total links, so pr*w <= 1e6 * |links| stays inside
+    int64 up to ~9e12 links; beyond that, weights rescale to ppm of the
+    src host's outdegree first."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        _outlinked(d)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+    )
+    outdeg = edges.groupBy("src_host").agg(F.sum("w").alias("od"))
+    ew = edges.join(outdeg, "src_host").persist()
+    nodes = spark.range(N_HOSTS).select(F.col("id").cast("int").alias("v"))
+    pr = nodes.select("v", F.lit(PR_INIT_PPM).cast("long").alias("ppm"))
+    for _ in range(PAGERANK_ITERS):
+        inc = (
+            ew.join(F.broadcast(pr), ew.src_host == pr.v)
+            .select("dst_host", F.expr("ppm * w div od").alias("c"))
+            .groupBy("dst_host")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = nodes.join(inc, nodes.v == inc.dst_host, "left").select(
+            "v",
+            # integer div end-to-end: a double division would lose
+            # exactness once DAMP_PPM * inc crosses 2^53
+            F.expr(
+                f"CAST({PR_BASE_PPM} + ({DAMP_PPM} * coalesce(inc, 0L)) div 1000000 AS BIGINT)"
+            ).alias("ppm"),
+        )
+    out = pr.join(outdeg, pr.v == outdeg.src_host, "left").select(
+        _host_name(F.col("v")).alias("host"),
+        F.col("ppm").alias("pr_ppm"),
+        F.coalesce(F.col("od"), F.lit(0)).alias("out_links"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet shape)
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 20  # fixed-width word paragraphs (synthetic docs carry no \n)
+PARA_DUP_MAX_PPM = 300_000  # quality cut: drop docs >30% duplicated paragraphs
+
+_PARAS_CTE_SQL = f"""t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
+      FROM documents WHERE text <> ''),
+    paras AS (
+      SELECT doc_id,
+             CAST(s / {PARA_WORDS} AS INT) AS para_idx,
+             md5(array_to_string(
+               tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {PARA_WORDS}], ' ')) AS fp_md5
+      FROM t, unnest(range(0, n, {PARA_WORDS})) AS r(s)),
+    marked AS (
+      SELECT doc_id, para_idx, fp_md5,
+             row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id, para_idx) = 1
+               AS is_first
+      FROM paras)"""
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH {_PARAS_CTE_SQL}
+    SELECT doc_id, para_idx, fp_md5, is_first FROM marked
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape paragraph-level dedup: documents split into fixed
+    PARA_WORDS-word paragraphs, each md5-fingerprinted, and only the
+    corpus-wide FIRST occurrence (by (doc_id, para_idx)) marked kept —
+    the paragraph analogue of doc_exact_dedup, and the granularity CCNet
+    actually dedups at (boilerplate repeats across pages even when whole
+    documents differ).
+
+    Scale shape: split/slice/md5 are narrow JVM expressions; the one
+    shuffle keys on the md5 fingerprint — uniform by construction, so no
+    skew — and each window group is one duplicate cluster (tiny). At
+    10^12 documents this is the same fingerprint-keyed exchange the
+    exact-dedup path uses, with ~n/PARA_WORDS times the rows."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
+    paras = d.select(
+        "doc_id", toks.alias("tk"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s") / PARA_WORDS).cast("int").alias("para_idx"),
+        F.md5(F.array_join(F.slice(F.col("tk"), F.col("s") + 1, PARA_WORDS), " ")).alias(
+            "fp_md5"
+        ),
+    )
+    w = Window.partitionBy("fp_md5").orderBy("doc_id", "para_idx")
+    return paras.withColumn("is_first", F.row_number().over(w) == 1)
+
+
+@register(
+    "paragraph_dup_ratio",
+    f"""
+    WITH {_PARAS_CTE_SQL}
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) * 1000000 // count(*)
+                AS BIGINT) AS dup_ppm,
+           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) * 1000000 // count(*)
+                AS BIGINT) <= {PARA_DUP_MAX_PPM} AS keep
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def paragraph_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-paragraph ratio, the CCNet/RefinedWeb
+    quality signal built on paragraph_dedup: a page whose paragraphs
+    mostly already exist elsewhere in the corpus is boilerplate or a
+    mirror, and is cut at PARA_DUP_MAX_PPM. Integer ppm (floor div) so
+    the keep verdict is cross-engine exact. Same fingerprint-keyed
+    shuffle as paragraph_dedup plus one doc-keyed rollup — both
+    map-side combinable, no skew (doc_id is unique, fp is uniform)."""
+    marked = paragraph_dedup(spark, sf_dir)
+    dup = F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        dup.cast("long").alias("n_dup"),
+    )
+    ppm = F.expr("n_dup * 1000000 div n_paras")
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_dup",
+        ppm.alias("dup_ppm"),
+        (ppm <= PARA_DUP_MAX_PPM).alias("keep"),
+    )
+
+
+# splice the Zipf cdf literal into the link-graph oracles (same pattern
+# as text_queries' host-mapped oracles)
+from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
+
+for _name in ("crawl_link_graph", "crawl_pagerank"):
+    _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())

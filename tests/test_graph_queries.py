@@ -1,0 +1,122 @@
+"""Link-graph + paragraph-dedup guarantees beyond the DuckDB crosscheck:
+
+* PageRank invariants the oracle can't see failing cheaply: edge-weight
+  totals, rank-mass conservation (up to floor losses + dangling drop),
+  Zipf-top host attracting the top rank.
+* paragraph_dedup first-occurrence semantics on a crafted corpus with
+  known duplicate paragraphs (the synthetic sf tables have few).
+* plan shape: the iteration joins broadcast the rank vector; the
+  paragraph window is fingerprint-partitioned (never a global window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_link_graph_totals_and_hosts(spark):
+    from ocr_wrapper_spark.graph_queries import OUTLINKS_PER_DOC, crawl_link_graph
+
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    g = crawl_link_graph(spark, SF_SMOKE)
+    rows = g.collect()
+    assert sum(r.n_links for r in rows) == OUTLINKS_PER_DOC * n_docs
+    for r in rows:
+        assert r.src.startswith("host") and r.src.endswith(".example.com")
+        assert 0 <= int(r.dst[4:6]) < 40
+        assert 1 <= r.n_src_docs <= r.n_links
+
+
+def test_pagerank_mass_and_zipf_top(spark):
+    from ocr_wrapper_spark.graph_queries import (
+        N_HOSTS,
+        OUTLINKS_PER_DOC,
+        crawl_pagerank,
+    )
+
+    pr = crawl_pagerank(spark, SF_SMOKE).collect()
+    assert len(pr) == N_HOSTS
+    total = sum(r.pr_ppm for r in pr)
+    # conservation: 1e6 minus floor losses — each of the <= N_HOSTS^2
+    # edges floors its contribution (< 1 ppm) and each node floors the
+    # damped sum, per iteration. Every host with >= 1 doc has outlinks,
+    # so no dangling mass beyond that.
+    assert 1_000_000 - 3 * (N_HOSTS * N_HOSTS + N_HOSTS) <= total <= 1_000_000
+    # the Zipf cdf makes host00 the most-linked-to destination; after 3
+    # damped iterations it must carry the top rank
+    top = max(pr, key=lambda r: r.pr_ppm)
+    assert top.host == "host00.example.com"
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.out_links for r in pr) == OUTLINKS_PER_DOC * n_docs
+
+
+def test_pagerank_iteration_broadcasts_rank_vector(spark):
+    from ocr_wrapper_spark.graph_queries import crawl_pagerank
+
+    plan = crawl_pagerank(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_first_occurrence(spark, tmp_path):
+    from ocr_wrapper_spark.graph_queries import PARA_WORDS, paragraph_dedup
+
+    para_a = " ".join(f"a{i}" for i in range(PARA_WORDS))
+    para_b = " ".join(f"b{i}" for i in range(PARA_WORDS))
+    docs = [
+        (1, f"{para_a} {para_b}", "en", "web", 0),
+        (2, f"{para_b} {para_a}", "en", "web", 0),  # both paras are dups
+        (3, para_a, "en", "web", 0),  # dup of doc 1 para 0
+        (4, "short tail", "en", "web", 0),  # partial paragraph, unique
+        (5, "", "en", "web", 0),  # empty: no paragraphs
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {(r.doc_id, r.para_idx): r for r in paragraph_dedup(spark, sf).collect()}
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (4, 0)}
+    assert out[(1, 0)].is_first and out[(1, 1)].is_first
+    assert not out[(2, 0)].is_first and not out[(2, 1)].is_first
+    assert not out[(3, 0)].is_first
+    assert out[(4, 0)].is_first
+    # exactly one first per fingerprint
+    firsts = [r for r in out.values() if r.is_first]
+    assert len({r.fp_md5 for r in firsts}) == len(firsts)
+    assert len({r.fp_md5 for r in out.values()}) == len(firsts)
+
+
+def test_paragraph_dup_ratio_keep_cut(spark, tmp_path):
+    from ocr_wrapper_spark.graph_queries import PARA_WORDS, paragraph_dup_ratio
+
+    para = " ".join(f"w{i}" for i in range(PARA_WORDS))
+    uniq = [" ".join(f"u{d}_{i}" for i in range(PARA_WORDS)) for d in range(3)]
+    docs = [
+        (1, para, "en", "web", 0),  # the original: 0% dup
+        (2, f"{para} {para}", "en", "web", 0),  # 100% dup -> cut
+        (3, f"{uniq[0]} {uniq[1]} {uniq[2]} {para}", "en", "web", 0),  # 25% -> keep
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in paragraph_dup_ratio(spark, sf).collect()}
+    assert got[1].keep and got[1].dup_ppm == 0
+    assert not got[2].keep and got[2].dup_ppm == 1_000_000
+    assert got[3].keep and got[3].dup_ppm == 250_000 and got[3].n_paras == 4
+
+
+def test_paragraph_window_is_fingerprint_partitioned(spark):
+    from ocr_wrapper_spark.graph_queries import paragraph_dedup
+
+    plan = (
+        paragraph_dedup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(fp_md5" in plan
