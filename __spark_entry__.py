@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-3 additions: never snapshotted
+    "html_anchor_stats",
     "crawl_link_graph",
     "crawl_pagerank",
     "paragraph_dedup",

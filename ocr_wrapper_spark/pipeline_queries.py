@@ -541,3 +541,75 @@ def host_profile_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.groupBy("host").applyInPandas(
         profile, schema="host string, n_docs long, avg_chars double"
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text mining over the RAW html payloads
+# ---------------------------------------------------------------------------
+
+# build_html's boilerplate LCG (sources/pages.py build_html): the nav and
+# footer link walls are deterministic in doc_id, so the oracle recomputes
+# the anchor multiset from `documents` alone — DuckDB does the 64-bit
+# multiply in HUGEINT and reduces mod 2^63 exactly like Python's % on
+# non-negative ints.
+_RNG63_SQL = (
+    "CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)"
+    " % 9223372036854775808 AS BIGINT)"
+)
+_NAV_LITS = ", ".join(f"'{w}'" for w in pages_src._BOILER_NAV)
+_FOOT_LITS = ", ".join(f"'{w}'" for w in pages_src._BOILER_FOOT)
+# the html dialect slice: doc_id % 5 in (0, 2) minus the Textract carve-out
+_HTML_SLICE_SQL = "(doc_id % 5 = 0 OR doc_id % 5 = 2) AND doc_id % 10 <> 7"
+
+
+@register(
+    "html_anchor_stats",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {_RNG63_SQL} AS rng
+      FROM documents WHERE {_HTML_SLICE_SQL}),
+    words AS (
+      SELECT doc_id, w
+      FROM h, unnest(list_slice([{_NAV_LITS}], 1, CAST(3 + rng % 5 AS INT))) AS n(w)
+      UNION ALL
+      SELECT doc_id, w
+      FROM h, unnest(list_slice([{_FOOT_LITS}], 1, CAST(3 + rng % 3 AS INT))) AS f(w))
+    SELECT w AS anchor, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+    FROM words GROUP BY w
+    """,
+)
+def html_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text mining over the RAW html payloads — the link-indexing
+    step of a crawl pipeline (anchor terms feed search relevance and the
+    link graph), run against the bytes the extractor itself reads, not a
+    derived column: decode the html binary, regexp-extract every
+    ``<a href="/word">`` target, aggregate per anchor term.
+
+    Scale shape: decode + regexp_extract_all + explode are narrow JVM
+    expressions over the page scan (no Python, no pre-shuffle); the one
+    exchange keys on the anchor term and is map-side combined down to
+    the boilerplate vocabulary size. Parquet pushdown prunes to the
+    html column + url. The oracle cross-checks the whole chain —
+    payload bytes, UTF-8 decode, regex — against the generator's
+    closed-form LCG, so a single flipped byte in any nav/footer wall
+    fails the hash."""
+    from .sources.pages import materialize_pages
+
+    pages = spark.read.parquet(materialize_pages(spark, sf_dir))
+    doc_id = F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
+    html_pages = pages.select(
+        doc_id.alias("doc_id"), F.col("html").cast("string").alias("page")
+    ).filter(
+        ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 5 == 2))
+        & (F.col("doc_id") % 10 != 7)
+    )
+    anchors = html_pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("page", F.lit(r'<a href="/([a-z]+)">'), F.lit(1))
+        ).alias("anchor"),
+    )
+    return anchors.groupBy("anchor").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

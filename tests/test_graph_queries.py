@@ -120,3 +120,24 @@ def test_paragraph_window_is_fingerprint_partitioned(spark):
         .toString()
     )
     assert "windowspecdefinition(fp_md5" in plan
+
+
+def test_anchor_stats_prunes_page_scan(spark):
+    """The anchor scan must read only (url, html) from the pages parquet
+    — dragging `text` (the widest column) through a 100 TB scan would
+    double the IO."""
+    from ocr_wrapper_spark.pipeline_queries import html_anchor_stats
+
+    plan = (
+        html_anchor_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "html"}, cols
+    assert "BatchEvalPython" not in plan
