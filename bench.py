@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "pipeline_textract_extract",  # fifth dialect (r4)
     "doc_quality_classifier",  # hashed-linear scoring, zero-shuffle (r4)
     "crawl_ingest_funnel",  # composed ingest pipeline (r4)
+    "paragraph_dedup",  # paragraph-granularity fp shuffle (r5)
+    "crawl_pagerank",  # iterative graph loop on aggregated edges (r5)
+    "html_anchor_stats",  # raw-payload regex mining over pages (r5)
 ]
 
 

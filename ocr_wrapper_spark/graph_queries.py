@@ -6,12 +6,16 @@ host authority) and CCNet-shape paragraph-level dedup. Registered into
 the same queries()/oracle_sql() registry; every query carries an exact
 DuckDB oracle.
 
-Outlinks are synthesized deterministically from doc_id through the same
-overflow-safe Knuth hash + Zipf host cdf that assigns each document its
-OWN host (sources/pages.py host_for_doc) — the link graph is therefore a
-pure function of the documents table, reproducible in SQL, with the
-realistic property that popular (low-index Zipf) hosts also attract the
-most inlinks.
+The link graph is PARSED FROM THE PAYLOAD BYTES: every html page embeds
+cross-host outlink anchors in its nav wall (sources/pages.py build_html,
+``_outlink_host``), src host comes from the page url, and the queries
+regexp-extract both from the materialized pages table. Because the
+generator draws those anchors deterministically (Knuth hash + Zipf host
+cdf, the same mapping that assigns each page its own host), the DuckDB
+oracle recomputes the exact edge multiset closed-form from ``documents``
+— a single flipped byte in any nav wall fails the hash. Popular
+(low-index Zipf) hosts also attract the most inlinks, as on the real
+web.
 
 All integer arithmetic is ppm/floor-div (BIGINT end to end): floats on
 an ORDER or value column are not cross-engine-safe, and floor division
@@ -23,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.sampling import KNUTH_U_SQL, MOD, knuth_u
+from .operators.sampling import KNUTH_U_SQL
 from .relational import ORACLES as _ORACLES
 from .relational import register
 from .sources import pages as pages_src
@@ -32,12 +36,15 @@ from .sources import pages as pages_src
 # host-level link graph
 # ---------------------------------------------------------------------------
 
-OUTLINKS_PER_DOC = 4
-# per-link key: mix the link slot into the doc id before the Knuth hash.
-# pmod(doc_id, 2^32) keeps the multiply < 2^37 (overflow-safe at full
-# int64 id range); 31/7/13 de-correlate the link slots from the doc's
-# own host draw (key = doc_id itself) without colliding k=0 into it.
+OUTLINKS_PER_DOC = pages_src.N_OUTLINKS
+# SQL mirror of pages._outlink_host's key: mix the link slot into the
+# doc id before the Knuth hash. pmod(doc_id, 2^32) keeps the multiply
+# < 2^37 (overflow-safe at full int64 id range); 31/7/13 de-correlate
+# the link slots from the doc's own host draw (key = doc_id itself).
 _LINK_KEY_SQL = "((({d}) % 4294967296 + 4294967296) % 4294967296) * 31 + ({k}) * 7 + 13"
+# only html-dialect pages carry anchors (PDF/JSON/hOCR/Textract do not)
+_HTML_SLICE_SQL = "(doc_id % 5 = 0 OR doc_id % 5 = 2) AND doc_id % 10 <> 7"
+_OUTLINK_RE = r"<a href=\"https://host(\d{2})\.example\.com/\">"
 
 # PageRank constants (integer ppm)
 PAGERANK_ITERS = 3
@@ -45,18 +52,6 @@ DAMP_PPM = 850_000  # classic d = 0.85
 N_HOSTS = pages_src.N_HOSTS
 PR_INIT_PPM = 1_000_000 // N_HOSTS
 PR_BASE_PPM = (1_000_000 - DAMP_PPM) // N_HOSTS
-
-
-def _zipf_host(u):
-    """Zipf host index for a uniform-[0,1) draw: count of cdf entries
-    below u — same mapping as text_queries._host_idx_col / sources
-    pages.host_for_doc, parameterized by the draw."""
-    cdf = pages_src._host_cdf()
-    return F.aggregate(
-        F.array(*[F.lit(float(c)) for c in cdf]),
-        F.lit(0),
-        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
-    )
 
 
 def _host_name(idx_col):
@@ -71,19 +66,30 @@ def _host_name_sql(idx: str) -> str:
     return f"concat('host', lpad(CAST({idx} AS VARCHAR), 2, '0'), '.example.com')"
 
 
-def _outlinked(d: DataFrame) -> DataFrame:
-    """(doc_id, src_host, dst_host): every document exploded into its
-    OUTLINKS_PER_DOC outlinks. Pure JVM expressions (hash + explode +
-    higher-order aggregate over the 40-entry cdf literal) — narrow, no
-    shuffle, whole-stage codegen keeps it in one scan stage."""
-    src = _zipf_host(knuth_u(F.col("doc_id")))
-    k = F.explode(F.sequence(F.lit(0), F.lit(OUTLINKS_PER_DOC - 1))).alias("k")
-    key = F.pmod(F.col("doc_id"), F.lit(MOD)) * 31 + F.col("k") * 7 + 13
-    return (
-        d.select("doc_id", src.alias("src_host"), k)
-        .withColumn("dst_host", _zipf_host(knuth_u(key)))
-        .drop("k")
+def _outlinked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, src_host, dst_host): every html page's outlink anchors
+    parsed back out of the RAW payload bytes — src host from the page
+    url, dst hosts regexp-extracted from the nav wall's absolute
+    anchors. Decode + two regexes + explode are narrow JVM expressions
+    over the page scan (no Python, no pre-shuffle); parquet pushdown
+    prunes the scan to (url, html)."""
+    pages = spark.read.parquet(pages_src.materialize_pages(spark, sf_dir))
+    doc_id = F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
+    html_pages = pages.select(
+        doc_id.alias("doc_id"),
+        F.regexp_extract(F.col("url"), r"host(\d{2})\.", 1).cast("int").alias("src_host"),
+        F.col("html").cast("string").alias("page"),
+    ).filter(
+        ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 5 == 2))
+        & (F.col("doc_id") % 10 != 7)
     )
+    return html_pages.select(
+        "doc_id",
+        "src_host",
+        F.explode(
+            F.regexp_extract_all("page", F.lit(_OUTLINK_RE), F.lit(1))
+        ).alias("dst_s"),
+    ).select("doc_id", "src_host", F.col("dst_s").cast("int").alias("dst_host"))
 
 
 _LINKS_CTE_SQL = f"""links AS (
@@ -93,7 +99,8 @@ _LINKS_CTE_SQL = f"""links AS (
              len(list_filter({{cdf}}, c -> c < (
                {KNUTH_U_SQL.format(k=_LINK_KEY_SQL.format(d="doc_id", k="k"))})))
                AS dst_host
-      FROM documents, unnest(range(0, {OUTLINKS_PER_DOC})) AS l(k))"""
+      FROM documents, unnest(range(0, {OUTLINKS_PER_DOC})) AS l(k)
+      WHERE {_HTML_SLICE_SQL})"""
 
 
 @register(
@@ -109,18 +116,21 @@ _LINKS_CTE_SQL = f"""links AS (
     """,
 )
 def crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level link graph: every document's outlinks rolled up into
-    src-host -> dst-host edge weights (the hyperlink-graph build step of
-    a crawl pipeline — feeds frontier prioritization and the PageRank
-    query below). One narrow explode (4 rows/doc, no shuffle) followed
-    by ONE keyed aggregation on (src, dst): map-side partial combine
-    collapses each task's rows to <= |hosts|^2 partials, so the shuffle
-    carries ~1600 rows per task regardless of corpus size — the same
-    plan at 10^12 documents. countDistinct adds the standard two-phase
-    expand, still bounded by the tiny group count."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Host-level link graph: every html page's outlink anchors parsed
+    from the RAW payload bytes and rolled up into src-host -> dst-host
+    edge weights (the hyperlink-graph build step of a crawl pipeline —
+    feeds frontier prioritization and the PageRank query below). One
+    narrow decode + regex + explode over the page scan (no Python, no
+    pre-shuffle) followed by ONE keyed aggregation on (src, dst):
+    map-side partial combine collapses each task's rows to <= |hosts|^2
+    partials, so the shuffle carries ~1600 rows per task regardless of
+    corpus size — the same plan at 10^12 documents. countDistinct adds
+    the standard two-phase expand, still bounded by the tiny group
+    count. The oracle recomputes the edge multiset closed-form from the
+    generator's hash (sources/pages.py _outlink_host), so the whole
+    byte-parse chain is exactness-checked."""
     return (
-        _outlinked(d)
+        _outlinked(spark, sf_dir)
         .groupBy("src_host", "dst_host")
         .agg(
             F.count("*").alias("n_links"),
@@ -179,7 +189,8 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the host link graph, in exact integer ppm (d = 0.85; dangling
     mass dropped, the classic simplification).
 
-    Scale shape: the corpus-size work is the ONE edge aggregation
+    Scale shape: the corpus-size work is the ONE pass that parses
+    outlinks from the page bytes and aggregates them into edges
     (crawl_link_graph's keyed agg, <= |hosts|^2 partials per task); the
     iteration then runs on the aggregated edge table — |hosts|^2 rows,
     NOT corpus rows — with the rank vector (|hosts| rows) broadcast into
@@ -193,9 +204,8 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge weight w <= total links, so pr*w <= 1e6 * |links| stays inside
     int64 up to ~9e12 links; beyond that, weights rescale to ppm of the
     src host's outdegree first."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     edges = (
-        _outlinked(d)
+        _outlinked(spark, sf_dir)
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("w"))
     )

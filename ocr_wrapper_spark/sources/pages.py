@@ -35,7 +35,7 @@ from ..schema import PAGES_SCHEMA
 # bytes: /tmp materializations (materialize_pages, warc.materialize_warc)
 # key their cache paths on it, so generator edits can never silently
 # reuse stale files.
-PAGES_FORMAT_VERSION = 4  # v2: +textract; v3: json doc uri; v4: pdf %D id
+PAGES_FORMAT_VERSION = 5  # v2: +textract; v3: json doc uri; v4: pdf %D id; v5: outlink anchors
 
 N_HOSTS = 40
 ZIPF_S = 1.1
@@ -84,6 +84,19 @@ _BOILER_VOCAB = _BOILER_NAV + _BOILER_FOOT + [
 ]
 
 
+N_OUTLINKS = 4  # cross-host outlink anchors per html page
+
+
+def _outlink_host(doc_id: int, k: int) -> int:
+    """Zipf partner-host index for outlink slot ``k`` of an html page:
+    the same Knuth-hash-to-cdf mapping as host_for_doc, keyed on
+    (doc_id mod 2^32)*31 + k*7 + 13 (mirrored in SQL by
+    graph_queries._LINK_KEY_SQL)."""
+    key = ((doc_id % 2**32) * 31 + k * 7 + 13) % 2**32
+    u = ((key * 2654435761) % 2**32) / 2**32
+    return int(np.searchsorted(_host_cdf(), u))
+
+
 def _pad_words(doc_id: int, salt: int, n_bytes: int) -> str:
     """Deterministic boilerplate-vocabulary filler of ~``n_bytes`` bytes.
 
@@ -125,6 +138,17 @@ def build_html(doc_id: int, text: str, lang: str, fat_pad: int = 0) -> bytes:
     nav_n = 3 + rng % 5
     nav = "".join(
         f'<li><a href="/{w}">{w}</a></li>' for w in (_BOILER_NAV * 2)[: int(nav_n)]
+    )
+    # cross-host outlinks (the hyperlink-graph carrier): N_OUTLINKS
+    # absolute anchors to Zipf-drawn partner hosts, deterministic in
+    # (doc_id, k) via the same Knuth hash that assigns the page its own
+    # host — graph_queries.crawl_link_graph parses these back out of the
+    # payload bytes and its DuckDB oracle recomputes them closed-form.
+    # They live in the nav wall (link_density 1.0), so the extractor's
+    # boilerplate strip drops them and extracted text is unchanged.
+    nav += "".join(
+        f'<li><a href="https://host{_outlink_host(doc_id, k):02d}.example.com/">site</a></li>'
+        for k in range(N_OUTLINKS)
     )
     ad = _BOILER_ADS[rng % len(_BOILER_ADS)]
     foot = " ".join(f'<a href="/{w}">{w}</a>' for w in _BOILER_FOOT[: 3 + rng % 3])

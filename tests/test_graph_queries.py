@@ -16,40 +16,65 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 
 
+def _n_html_docs(spark) -> int:
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return d.filter(
+        ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 5 == 2))
+        & (F.col("doc_id") % 10 != 7)
+    ).count()
+
+
 def test_link_graph_totals_and_hosts(spark):
+    """Every html page carries exactly OUTLINKS_PER_DOC parseable
+    anchors; non-html dialects carry none."""
     from ocr_wrapper_spark.graph_queries import OUTLINKS_PER_DOC, crawl_link_graph
 
-    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
-    g = crawl_link_graph(spark, SF_SMOKE)
-    rows = g.collect()
-    assert sum(r.n_links for r in rows) == OUTLINKS_PER_DOC * n_docs
+    rows = crawl_link_graph(spark, SF_SMOKE).collect()
+    assert sum(r.n_links for r in rows) == OUTLINKS_PER_DOC * _n_html_docs(spark)
     for r in rows:
         assert r.src.startswith("host") and r.src.endswith(".example.com")
         assert 0 <= int(r.dst[4:6]) < 40
         assert 1 <= r.n_src_docs <= r.n_links
 
 
-def test_pagerank_mass_and_zipf_top(spark):
+def test_pagerank_exactly_mirrors_reference_iteration(spark):
+    """All 40 ppm values must equal an independent in-test integer
+    PageRank over the edges crawl_link_graph itself reports — pinning
+    the distributed loop (broadcast join + keyed agg + floor div) to
+    the textbook sequential form, including dangling-mass drop for
+    hosts whose docs are all non-html."""
     from ocr_wrapper_spark.graph_queries import (
+        DAMP_PPM,
         N_HOSTS,
         OUTLINKS_PER_DOC,
+        PAGERANK_ITERS,
+        PR_BASE_PPM,
+        PR_INIT_PPM,
+        crawl_link_graph,
         crawl_pagerank,
     )
 
+    edges = [
+        (int(r.src[4:6]), int(r.dst[4:6]), r.n_links)
+        for r in crawl_link_graph(spark, SF_SMOKE).collect()
+    ]
+    outdeg = {}
+    for s, _, w in edges:
+        outdeg[s] = outdeg.get(s, 0) + w
+    ppm = {v: PR_INIT_PPM for v in range(N_HOSTS)}
+    for _ in range(PAGERANK_ITERS):
+        inc = {}
+        for s, t, w in edges:
+            inc[t] = inc.get(t, 0) + (ppm[s] * w) // outdeg[s]
+        ppm = {v: PR_BASE_PPM + (DAMP_PPM * inc.get(v, 0)) // 1_000_000 for v in range(N_HOSTS)}
+
     pr = crawl_pagerank(spark, SF_SMOKE).collect()
     assert len(pr) == N_HOSTS
-    total = sum(r.pr_ppm for r in pr)
-    # conservation: 1e6 minus floor losses — each of the <= N_HOSTS^2
-    # edges floors its contribution (< 1 ppm) and each node floors the
-    # damped sum, per iteration. Every host with >= 1 doc has outlinks,
-    # so no dangling mass beyond that.
-    assert 1_000_000 - 3 * (N_HOSTS * N_HOSTS + N_HOSTS) <= total <= 1_000_000
-    # the Zipf cdf makes host00 the most-linked-to destination; after 3
-    # damped iterations it must carry the top rank
-    top = max(pr, key=lambda r: r.pr_ppm)
-    assert top.host == "host00.example.com"
-    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
-    assert sum(r.out_links for r in pr) == OUTLINKS_PER_DOC * n_docs
+    got = {int(r.host[4:6]): r.pr_ppm for r in pr}
+    assert got == ppm
+    # the Zipf cdf makes host00 the most-linked-to destination
+    assert max(got, key=got.get) == 0
+    assert sum(r.out_links for r in pr) == OUTLINKS_PER_DOC * _n_html_docs(spark)
 
 
 def test_pagerank_iteration_broadcasts_rank_vector(spark):
