@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-4 additions: never snapshotted
+    "crawl_hits",
+    "host_degree_reciprocity",
     # round-5 session-3 additions: never snapshotted
     "html_anchor_stats",
     "crawl_link_graph",

@@ -237,6 +237,220 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities (integer ppm, L1-normalized)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+HITS_INIT_PPM = 1_000_000 // N_HOSTS
+
+# shared edge CTEs: weights normalized to ppm of the src host's
+# outdegree (wn <= 1e6), which keeps every later product inside int64
+# INDEPENDENT of corpus size — the rescaling crawl_pagerank's docstring
+# defers to "beyond ~9e12 links" is the default here.
+_EW_CTE_SQL = f"""edges AS (
+      SELECT src_host, dst_host, count(*) AS w
+      FROM links GROUP BY 1, 2),
+    outdeg AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY 1),
+    ew AS (SELECT e.src_host, e.dst_host,
+                  CAST(e.w * 1000000 // o.od AS BIGINT) AS wn
+           FROM edges e JOIN outdeg o USING (src_host)),
+    nodes AS (SELECT range AS v FROM range({N_HOSTS}))"""
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS_ITERS-step integer HITS as plain CTEs. Each edge
+    contribution floors independently (score * wn // 1e6), so the sum is
+    order-independent and cross-engine exact; each vector L1-normalizes
+    to ppm with a floor div."""
+    steps = [f"h0 AS (SELECT v, CAST({HITS_INIT_PPM} AS BIGINT) AS ppm FROM nodes)"]
+
+    def gather(out: str, src_tbl: str, join_on: str, group_by: str) -> None:
+        steps.append(
+            f"""{out}r AS (
+      SELECT n.v, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.{group_by} AS v,
+               CAST(sum(p.ppm * e.wn // 1000000) AS BIGINT) AS raw
+        FROM ew e JOIN {src_tbl} p ON p.v = e.{join_on}
+        GROUP BY 1) s ON s.v = n.v)"""
+        )
+        steps.append(
+            f"""{out} AS (
+      SELECT v, CAST(raw * 1000000 //
+             greatest((SELECT CAST(sum(raw) AS BIGINT) FROM {out}r), 1)
+             AS BIGINT) AS ppm FROM {out}r)"""
+        )
+
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        gather(f"a{i}", prev_h, "src_host", "dst_host")
+        gather(f"h{i}", f"a{i}", "dst_host", "src_host")
+        prev_h = f"h{i}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH {_LINKS_CTE_SQL},
+    {_EW_CTE_SQL},
+    {joined}
+    SELECT {_host_name_sql("a.v")} AS host,
+           a.ppm AS auth_ppm,
+           h.ppm AS hub_ppm
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (v)
+    """
+
+
+@register("crawl_hits", _hits_oracle())
+def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities: HITS_ITERS synchronous HITS iterations over
+    the host link graph in exact integer ppm — the second classic
+    crawl-ranking signal next to crawl_pagerank (authorities ~ pages
+    worth fetching, hubs ~ directories worth re-crawling for frontier
+    discovery).
+
+    Weighted variant: edge weights are first normalized to ppm of the
+    src host's outdegree (wn <= 1e6), then each step gathers
+    score * wn // 1e6 along the edge (per-edge floor — sums stay
+    order-independent, hence cross-engine exact) and L1-normalizes the
+    vector back to ppm. Because wn and every score are <= 1e6 and the
+    vector has |hosts| entries, all intermediates stay inside int64
+    regardless of corpus size — no rescaling caveat at 10^12 links.
+
+    Scale shape: identical to crawl_pagerank — the corpus-size work is
+    the one byte-parse + (src,dst) keyed agg; the iteration runs on the
+    aggregated edge table (<= |hosts|^2 rows) with the score vector
+    (|hosts| rows) broadcast into each step, and the L1 total is a
+    1-row broadcast scalar subquery. Per-iteration cost is independent
+    of corpus size; at web scale (10^8 hosts) both joins become
+    host-keyed shuffles of |edges| rows."""
+    edges = (
+        _outlinked(spark, sf_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+    )
+    outdeg = edges.groupBy("src_host").agg(F.sum("w").alias("od"))
+    ew = (
+        edges.join(outdeg, "src_host")
+        .select("src_host", "dst_host", F.expr("w * 1000000 div od").alias("wn"))
+        .persist()
+    )
+    nodes = spark.range(N_HOSTS).select(F.col("id").cast("int").alias("v"))
+
+    def gather(scores: DataFrame, join_on: str, group_by: str) -> DataFrame:
+        raw = (
+            ew.join(F.broadcast(scores), ew[join_on] == scores.v)
+            .select(F.col(group_by).alias("g"), F.expr("ppm * wn div 1000000").alias("c"))
+            .groupBy("g")
+            .agg(F.sum("c").alias("raw"))
+        )
+        raw = nodes.join(raw, nodes.v == raw.g, "left").select(
+            "v", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw")
+        )
+        total = raw.agg(F.sum("raw").cast("long").alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "v", F.expr("raw * 1000000 div greatest(t, 1L)").alias("ppm")
+        )
+
+    h = nodes.select("v", F.lit(HITS_INIT_PPM).cast("long").alias("ppm"))
+    for _ in range(HITS_ITERS):
+        a = gather(h, "src_host", "dst_host")
+        h = gather(a, "dst_host", "src_host")
+    return (
+        a.alias("a")
+        .join(h.alias("h"), "v")
+        .select(
+            _host_name(F.col("v")).alias("host"),
+            F.col("a.ppm").alias("auth_ppm"),
+            F.col("h.ppm").alias("hub_ppm"),
+        )
+    )
+
+
+@register(
+    "host_degree_reciprocity",
+    f"""
+    WITH {_LINKS_CTE_SQL},
+    edges AS (
+      SELECT src_host, dst_host, count(*) AS w
+      FROM links GROUP BY 1, 2),
+    recip AS (
+      SELECT e.src_host, CAST(count(*) AS BIGINT) AS n_recip
+      FROM edges e JOIN edges r
+        ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+      GROUP BY 1),
+    outs AS (SELECT src_host AS v, CAST(count(*) AS BIGINT) AS out_deg,
+                    CAST(sum(w) AS BIGINT) AS out_w
+             FROM edges GROUP BY 1),
+    ins AS (SELECT dst_host AS v, CAST(count(*) AS BIGINT) AS in_deg,
+                   CAST(sum(w) AS BIGINT) AS in_w
+            FROM edges GROUP BY 1)
+    SELECT {_host_name_sql("n.range")} AS host,
+           coalesce(o.out_deg, 0) AS out_deg,
+           coalesce(o.out_w, 0) AS out_w,
+           coalesce(i.in_deg, 0) AS in_deg,
+           coalesce(i.in_w, 0) AS in_w,
+           coalesce(r.n_recip, 0) AS n_recip,
+           CAST(coalesce(r.n_recip, 0) * 1000000 //
+                greatest(coalesce(o.out_deg, 0), 1) AS BIGINT) AS recip_ppm
+    FROM range({N_HOSTS}) n
+    LEFT JOIN outs o ON o.v = n.range
+    LEFT JOIN ins i ON i.v = n.range
+    LEFT JOIN recip r ON r.src_host = n.range
+    """,
+)
+def host_degree_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree profile of the link graph: distinct out/in
+    partners, total out/in link weight, and reciprocity (how many of a
+    host's out-partners link back — mutual-link density separates
+    organic linking from link farms, a classic crawl spam signal).
+    recip_ppm = reciprocated partners as ppm of out-degree.
+
+    Scale shape: the corpus-size work is the one (src,dst) keyed agg
+    (map-side combined to <= |hosts|^2 partials per task); everything
+    after — the self-join on the reversed edge key, the per-host
+    rollups, the |hosts|-row assembly — runs on the aggregated edge
+    table. At 10^8 hosts the self-join is an equi-join on (src,dst)
+    vs (dst,src), i.e. a keyed shuffle of |edges| rows, never a
+    cartesian."""
+    edges = (
+        _outlinked(spark, sf_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    recip = (
+        edges.join(rev, ["src_host", "dst_host"], "leftsemi")
+        .groupBy("src_host")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    outs = edges.groupBy("src_host").agg(
+        F.count("*").alias("out_deg"), F.sum("w").alias("out_w")
+    )
+    ins = edges.groupBy("dst_host").agg(
+        F.count("*").alias("in_deg"), F.sum("w").alias("in_w")
+    )
+    nodes = spark.range(N_HOSTS).select(F.col("id").cast("int").alias("v"))
+    out = (
+        nodes.join(outs, nodes.v == outs.src_host, "left")
+        .join(ins, nodes.v == ins.dst_host, "left")
+        .join(recip.withColumnRenamed("src_host", "rv"), nodes.v == F.col("rv"), "left")
+        .select(
+            _host_name(F.col("v")).alias("host"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_w", F.lit(0)).alias("in_w"),
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+            F.expr(
+                "coalesce(n_recip, 0L) * 1000000 div greatest(coalesce(out_deg, 0L), 1L)"
+            ).alias("recip_ppm"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # paragraph-level dedup (CCNet shape)
 # ---------------------------------------------------------------------------
 
@@ -338,5 +552,5 @@ def paragraph_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as text_queries' host-mapped oracles)
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
-for _name in ("crawl_link_graph", "crawl_pagerank"):
+for _name in ("crawl_link_graph", "crawl_pagerank", "crawl_hits", "host_degree_reciprocity"):
     _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())

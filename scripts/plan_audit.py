@@ -45,6 +45,7 @@ WHITELIST: dict[str, str] = {
     "host_reputation_filter": "~|hosts|-row stats table broadcast back to documents",
     "crawl_ingest_funnel": "composition of the two above (both tiny sides)",
     "streaming_watermark_join": "batch-equivalence check joins two bounded stream snapshots",
+    "crawl_hits": "1-row L1-normalization total broadcast over the |hosts|-row score vector",
 }
 
 

@@ -166,3 +166,77 @@ def test_anchor_stats_prunes_page_scan(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"url", "html"}, cols
     assert "BatchEvalPython" not in plan
+
+def test_hits_exactly_mirrors_reference_iteration(spark):
+    """All 40 (auth, hub) ppm pairs must equal an independent in-test
+    integer HITS over the edges crawl_link_graph reports — pinning the
+    distributed loop (outdegree-ppm weights, per-edge floor, L1 ppm
+    normalization) to the sequential textbook form."""
+    from ocr_wrapper_spark.graph_queries import (
+        HITS_INIT_PPM,
+        HITS_ITERS,
+        N_HOSTS,
+        crawl_hits,
+        crawl_link_graph,
+    )
+
+    edges = [
+        (int(r.src[4:6]), int(r.dst[4:6]), r.n_links)
+        for r in crawl_link_graph(spark, SF_SMOKE).collect()
+    ]
+    outdeg = {}
+    for s, _, w in edges:
+        outdeg[s] = outdeg.get(s, 0) + w
+    ew = [(s, t, (w * 1_000_000) // outdeg[s]) for s, t, w in edges]
+
+    def gather(scores, key_in):
+        raw = {v: 0 for v in range(N_HOSTS)}
+        for s, t, wn in ew:
+            src, dst = (s, t) if key_in == 0 else (t, s)
+            raw[dst] += (scores[src] * wn) // 1_000_000
+        total = max(sum(raw.values()), 1)
+        return {v: (r * 1_000_000) // total for v, r in raw.items()}
+
+    h = {v: HITS_INIT_PPM for v in range(N_HOSTS)}
+    for _ in range(HITS_ITERS):
+        a = gather(h, 0)
+        h = gather(a, 1)
+
+    got = {int(r.host[4:6]): (r.auth_ppm, r.hub_ppm) for r in crawl_hits(spark, SF_SMOKE).collect()}
+    assert len(got) == N_HOSTS
+    assert got == {v: (a[v], h[v]) for v in range(N_HOSTS)}
+    # Zipf: host00 is the strongest authority
+    assert max(got, key=lambda v: got[v][0]) == 0
+
+
+def test_degree_reciprocity_consistency(spark):
+    """Degrees/weights must reconcile with the edge table itself, and
+    reciprocity must match a set-based recomputation."""
+    from ocr_wrapper_spark.graph_queries import (
+        N_HOSTS,
+        crawl_link_graph,
+        host_degree_reciprocity,
+    )
+
+    edges = {
+        (int(r.src[4:6]), int(r.dst[4:6])): r.n_links
+        for r in crawl_link_graph(spark, SF_SMOKE).collect()
+    }
+    rows = {int(r.host[4:6]): r for r in host_degree_reciprocity(spark, SF_SMOKE).collect()}
+    assert len(rows) == N_HOSTS
+    for v, r in rows.items():
+        outs = {d: w for (s, d), w in edges.items() if s == v}
+        ins = {s: w for (s, d), w in edges.items() if d == v}
+        assert r.out_deg == len(outs) and r.out_w == sum(outs.values())
+        assert r.in_deg == len(ins) and r.in_w == sum(ins.values())
+        n_recip = sum(1 for d in outs if (d, v) in edges)
+        assert r.n_recip == n_recip
+        assert r.recip_ppm == (n_recip * 1_000_000) // max(r.out_deg, 1)
+
+
+def test_hits_iteration_broadcasts_score_vector(spark):
+    from ocr_wrapper_spark.graph_queries import crawl_hits
+
+    plan = crawl_hits(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
