@@ -43,7 +43,7 @@ OUTLINKS_PER_DOC = pages_src.N_OUTLINKS
 # the link slots from the doc's own host draw (key = doc_id itself).
 _LINK_KEY_SQL = "((({d}) % 4294967296 + 4294967296) % 4294967296) * 31 + ({k}) * 7 + 13"
 # only html-dialect pages carry anchors (PDF/JSON/hOCR/Textract do not)
-_HTML_SLICE_SQL = "(doc_id % 5 = 0 OR doc_id % 5 = 2) AND doc_id % 10 <> 7"
+_HTML_SLICE_SQL = pages_src.HTML_SLICE_SQL
 _OUTLINK_RE = r"<a href=\"https://host(\d{2})\.example\.com/\">"
 
 # PageRank constants (integer ppm)
@@ -74,15 +74,11 @@ def _outlinked(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the page scan (no Python, no pre-shuffle); parquet pushdown
     prunes the scan to (url, html)."""
     pages = spark.read.parquet(pages_src.materialize_pages(spark, sf_dir))
-    doc_id = F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
     html_pages = pages.select(
-        doc_id.alias("doc_id"),
+        pages_src.doc_id_from_url().alias("doc_id"),
         F.regexp_extract(F.col("url"), r"host(\d{2})\.", 1).cast("int").alias("src_host"),
         F.col("html").cast("string").alias("page"),
-    ).filter(
-        ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 5 == 2))
-        & (F.col("doc_id") % 10 != 7)
-    )
+    ).filter(pages_src.html_slice_filter(F.col("doc_id")))
     return html_pages.select(
         "doc_id",
         "src_host",
@@ -90,6 +86,20 @@ def _outlinked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("page", F.lit(_OUTLINK_RE), F.lit(1))
         ).alias("dst_s"),
     ).select("doc_id", "src_host", F.col("dst_s").cast("int").alias("dst_host"))
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated (src_host, dst_host, w) edge table, persisted: the
+    cached block is <= |hosts|^2 rows (tiny), so every downstream use —
+    iteration joins, degree rollups, the final out_links join — reads
+    the cache and the corpus-size pages scan happens exactly ONCE per
+    query, matching the single-scan contract the docstrings state."""
+    return (
+        _outlinked(spark, sf_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
 
 
 _LINKS_CTE_SQL = f"""links AS (
@@ -101,6 +111,14 @@ _LINKS_CTE_SQL = f"""links AS (
                AS dst_host
       FROM documents, unnest(range(0, {OUTLINKS_PER_DOC})) AS l(k)
       WHERE {_HTML_SLICE_SQL})"""
+
+# shared edge-table CTEs (one definition; every graph oracle composes
+# these so a change to edge derivation lands everywhere at once)
+_EDGES_CTE_SQL = """edges AS (
+      SELECT src_host, dst_host, count(*) AS w
+      FROM links GROUP BY 1, 2)"""
+_OUTDEG_CTE_SQL = """outdeg AS (
+      SELECT src_host, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY 1)"""
 
 
 @register(
@@ -169,10 +187,8 @@ def _pagerank_oracle() -> str:
     joined_steps = ",\n    ".join(steps)
     return f"""
     WITH {_LINKS_CTE_SQL},
-    edges AS (
-      SELECT src_host, dst_host, count(*) AS w
-      FROM links GROUP BY 1, 2),
-    outdeg AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY 1),
+    {_EDGES_CTE_SQL},
+    {_OUTDEG_CTE_SQL},
     ew AS (SELECT e.src_host, e.dst_host, e.w, o.od
            FROM edges e JOIN outdeg o USING (src_host)),
     {joined_steps}
@@ -204,13 +220,9 @@ def crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge weight w <= total links, so pr*w <= 1e6 * |links| stays inside
     int64 up to ~9e12 links; beyond that, weights rescale to ppm of the
     src host's outdegree first."""
-    edges = (
-        _outlinked(spark, sf_dir)
-        .groupBy("src_host", "dst_host")
-        .agg(F.count("*").alias("w"))
-    )
+    edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src_host").agg(F.sum("w").alias("od"))
-    ew = edges.join(outdeg, "src_host").persist()
+    ew = edges.join(outdeg, "src_host")
     nodes = spark.range(N_HOSTS).select(F.col("id").cast("int").alias("v"))
     pr = nodes.select("v", F.lit(PR_INIT_PPM).cast("long").alias("ppm"))
     for _ in range(PAGERANK_ITERS):
@@ -247,10 +259,8 @@ HITS_INIT_PPM = 1_000_000 // N_HOSTS
 # outdegree (wn <= 1e6), which keeps every later product inside int64
 # INDEPENDENT of corpus size — the rescaling crawl_pagerank's docstring
 # defers to "beyond ~9e12 links" is the default here.
-_EW_CTE_SQL = f"""edges AS (
-      SELECT src_host, dst_host, count(*) AS w
-      FROM links GROUP BY 1, 2),
-    outdeg AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY 1),
+_EW_CTE_SQL = f"""{_EDGES_CTE_SQL},
+    {_OUTDEG_CTE_SQL},
     ew AS (SELECT e.src_host, e.dst_host,
                   CAST(e.w * 1000000 // o.od AS BIGINT) AS wn
            FROM edges e JOIN outdeg o USING (src_host)),
@@ -321,16 +331,10 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast scalar subquery. Per-iteration cost is independent
     of corpus size; at web scale (10^8 hosts) both joins become
     host-keyed shuffles of |edges| rows."""
-    edges = (
-        _outlinked(spark, sf_dir)
-        .groupBy("src_host", "dst_host")
-        .agg(F.count("*").alias("w"))
-    )
+    edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src_host").agg(F.sum("w").alias("od"))
-    ew = (
-        edges.join(outdeg, "src_host")
-        .select("src_host", "dst_host", F.expr("w * 1000000 div od").alias("wn"))
-        .persist()
+    ew = edges.join(outdeg, "src_host").select(
+        "src_host", "dst_host", F.expr("w * 1000000 div od").alias("wn")
     )
     nodes = spark.range(N_HOSTS).select(F.col("id").cast("int").alias("v"))
 
@@ -368,13 +372,12 @@ def crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "host_degree_reciprocity",
     f"""
     WITH {_LINKS_CTE_SQL},
-    edges AS (
-      SELECT src_host, dst_host, count(*) AS w
-      FROM links GROUP BY 1, 2),
+    {_EDGES_CTE_SQL},
     recip AS (
       SELECT e.src_host, CAST(count(*) AS BIGINT) AS n_recip
       FROM edges e JOIN edges r
         ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+      WHERE e.src_host <> e.dst_host
       GROUP BY 1),
     outs AS (SELECT src_host AS v, CAST(count(*) AS BIGINT) AS out_deg,
                     CAST(sum(w) AS BIGINT) AS out_w
@@ -410,17 +413,16 @@ def host_degree_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. At 10^8 hosts the self-join is an equi-join on (src,dst)
     vs (dst,src), i.e. a keyed shuffle of |edges| rows, never a
     cartesian."""
-    edges = (
-        _outlinked(spark, sf_dir)
-        .groupBy("src_host", "dst_host")
-        .agg(F.count("*").alias("w"))
-        .persist()
-    )
+    edges = _edges(spark, sf_dir)
     rev = edges.select(
         F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
     )
+    # self-loops (a host linking to itself) are their own reverse and
+    # would count as "a partner that links back" with no second host
+    # involved — exclude them so recip_ppm measures MUTUAL links only
     recip = (
-        edges.join(rev, ["src_host", "dst_host"], "leftsemi")
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .join(rev, ["src_host", "dst_host"], "leftsemi")
         .groupBy("src_host")
         .agg(F.count("*").alias("n_recip"))
     )

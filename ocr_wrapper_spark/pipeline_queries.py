@@ -92,7 +92,7 @@ def pipeline_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir).filter(~F.col("url").endswith(".pdf"))
     out = with_dual_extraction(pages)
     return out.select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        pages_src.doc_id_from_url().alias("doc_id"),
         "extracted_text",
         "n_spans",
     )
@@ -166,7 +166,7 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = read_warc(spark, f"{path}/*.warc")
     out = with_extraction(pages)
     return out.select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        pages_src.doc_id_from_url().alias("doc_id"),
         "extracted_text",
         "n_spans",
         "provider",
@@ -223,7 +223,7 @@ def spans_layoutlm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir).filter(~F.col("url").endswith(".pdf"))
     result = run_extraction(spark, pages)
     sample = result.withColumn(
-        "doc_id", F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
+        "doc_id", pages_src.doc_id_from_url()
     ).filter(F.col("doc_id") % 7 == 0)
     return sample.select(
         "doc_id", F.size(spans_to_layoutlm(F.col("spans"))).alias("n_spans")
@@ -253,7 +253,7 @@ def pipeline_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages_path = materialize_pages(spark, sf_dir)
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_path)
     out = with_extraction(stream).select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        pages_src.doc_id_from_url().alias("doc_id"),
         "extracted_text",
         "n_spans",
     )
@@ -353,7 +353,7 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select(
-        F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint").alias("doc_id"),
+        pages_src.doc_id_from_url().alias("doc_id"),
         "n_occurrences",
     )
 
@@ -559,7 +559,7 @@ _RNG63_SQL = (
 _NAV_LITS = ", ".join(f"'{w}'" for w in pages_src._BOILER_NAV)
 _FOOT_LITS = ", ".join(f"'{w}'" for w in pages_src._BOILER_FOOT)
 # the html dialect slice: doc_id % 5 in (0, 2) minus the Textract carve-out
-_HTML_SLICE_SQL = "(doc_id % 5 = 0 OR doc_id % 5 = 2) AND doc_id % 10 <> 7"
+_HTML_SLICE_SQL = pages_src.HTML_SLICE_SQL
 
 
 @register(
@@ -596,13 +596,10 @@ def html_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pages import materialize_pages
 
     pages = spark.read.parquet(materialize_pages(spark, sf_dir))
-    doc_id = F.regexp_extract(F.col("url"), r"/(\d{10})\.", 1).cast("bigint")
+    doc_id = pages_src.doc_id_from_url()
     html_pages = pages.select(
         doc_id.alias("doc_id"), F.col("html").cast("string").alias("page")
-    ).filter(
-        ((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 5 == 2))
-        & (F.col("doc_id") % 10 != 7)
-    )
+    ).filter(pages_src.html_slice_filter(F.col("doc_id")))
     anchors = html_pages.select(
         "doc_id",
         F.explode(

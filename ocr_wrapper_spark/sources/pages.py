@@ -54,6 +54,27 @@ CHECKED_MOD = 3  # checkbox i is checked iff (doc_id + i) % 3 == 0
 QR_MOD, QR_REM = 4, 2  # html pages with doc_id % 4 == 2 carry one QR code
 EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
 
+# url anatomy: https://hostNN.example.com/{lang}/{doc_id:010d}.{ext} —
+# the id field is zero-padded to 10 digits but WIDENS past 1e10, so any
+# parse must accept 10+ digits (a bare {10} silently drops every page
+# once ids cross 10^10, e.g. replicated corpora or the brief's 10^12
+# rows). Shared by every url->doc_id parse in the query layer.
+DOC_ID_URL_RE = r"/(\d{10,})\."
+# the html dialect slice: doc_id % 5 in (0, 2) minus the Textract
+# carve-out — the only payloads that carry <a> anchors. Keep the SQL
+# and Spark forms in lockstep (both used by query/oracle pairs).
+HTML_SLICE_SQL = "(doc_id % 5 = 0 OR doc_id % 5 = 2) AND doc_id % 10 <> 7"
+
+
+def doc_id_from_url():
+    """Spark column: doc_id parsed back out of the page url."""
+    return F.regexp_extract(F.col("url"), DOC_ID_URL_RE, 1).cast("bigint")
+
+
+def html_slice_filter(doc_id_col):
+    """Spark predicate mirroring HTML_SLICE_SQL."""
+    return ((doc_id_col % 5 == 0) | (doc_id_col % 5 == 2)) & (doc_id_col % 10 != 7)
+
 _zipf_cdf: np.ndarray | None = None
 
 

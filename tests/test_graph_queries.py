@@ -27,13 +27,17 @@ def _n_html_docs(spark) -> int:
 def test_link_graph_totals_and_hosts(spark):
     """Every html page carries exactly OUTLINKS_PER_DOC parseable
     anchors; non-html dialects carry none."""
-    from ocr_wrapper_spark.graph_queries import OUTLINKS_PER_DOC, crawl_link_graph
+    from ocr_wrapper_spark.graph_queries import (
+        N_HOSTS,
+        OUTLINKS_PER_DOC,
+        crawl_link_graph,
+    )
 
     rows = crawl_link_graph(spark, SF_SMOKE).collect()
     assert sum(r.n_links for r in rows) == OUTLINKS_PER_DOC * _n_html_docs(spark)
     for r in rows:
         assert r.src.startswith("host") and r.src.endswith(".example.com")
-        assert 0 <= int(r.dst[4:6]) < 40
+        assert 0 <= int(r.dst[4:6]) < N_HOSTS
         assert 1 <= r.n_src_docs <= r.n_links
 
 
@@ -167,6 +171,29 @@ def test_anchor_stats_prunes_page_scan(spark):
     assert cols == {"url", "html"}, cols
     assert "BatchEvalPython" not in plan
 
+
+def test_graph_iterations_scan_pages_once(spark, monkeypatch):
+    """Each iterative graph query must derive EVERY corpus read —
+    iteration joins, degree rollups, the final out_links join — from
+    the one persisted edge table: a second _outlinked lineage would
+    re-scan and re-parse the corpus, doubling the corpus-size work at
+    100 TB (the regression the r5 review pass caught in pagerank's
+    out_links join)."""
+    import ocr_wrapper_spark.graph_queries as gq
+
+    calls = []
+    orig = gq._outlinked
+    monkeypatch.setattr(
+        gq, "_outlinked", lambda s, d: (calls.append(1), orig(s, d))[1]
+    )
+    for fn in (gq.crawl_pagerank, gq.crawl_hits):
+        calls.clear()
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert len(calls) == 1, (fn.__name__, len(calls))
+        # and the single lineage is served from the persisted cache
+        assert "InMemoryTableScan" in plan, fn.__name__
+
+
 def test_hits_exactly_mirrors_reference_iteration(spark):
     """All 40 (auth, hub) ppm pairs must equal an independent in-test
     integer HITS over the edges crawl_link_graph reports — pinning the
@@ -229,7 +256,8 @@ def test_degree_reciprocity_consistency(spark):
         ins = {s: w for (s, d), w in edges.items() if d == v}
         assert r.out_deg == len(outs) and r.out_w == sum(outs.values())
         assert r.in_deg == len(ins) and r.in_w == sum(ins.values())
-        n_recip = sum(1 for d in outs if (d, v) in edges)
+        # self-loops are their own reverse and must NOT count as mutual
+        n_recip = sum(1 for d in outs if d != v and (d, v) in edges)
         assert r.n_recip == n_recip
         assert r.recip_ppm == (n_recip * 1_000_000) // max(r.out_deg, 1)
 
@@ -240,3 +268,21 @@ def test_hits_iteration_broadcasts_score_vector(spark):
     plan = crawl_hits(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_id_parse_survives_wide_ids(spark):
+    """Urls zero-pad doc_id to 10 digits but WIDEN past 1e10 (replicated
+    corpora, the brief's 10^12 rows) — the shared parse must accept 10+
+    digits, not exactly 10."""
+    from ocr_wrapper_spark.sources.pages import doc_id_from_url
+
+    wide = 123_456_789_012  # 12 digits
+    df = spark.createDataFrame(
+        [
+            (f"https://host00.example.com/en/{wide:010d}.html",),
+            ("https://host01.example.com/en/0000000042.html",),
+        ],
+        "url string",
+    )
+    got = sorted(r[0] for r in df.select(doc_id_from_url()).collect())
+    assert got == [42, wide]
