@@ -41,6 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-5 additions: never snapshotted
+    "decontaminate_bloom",
+    "semantic_dedup",
+    "bloom_filter_stats",
+    "doc_bigram_lm_score",
+    "doc_quality_tiers",
+    "host_components",
     # round-5 session-4 additions: never snapshotted
     "crawl_hits",
     "host_degree_reciprocity",
@@ -118,14 +125,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import curation_queries, graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401
+    from ocr_wrapper_spark import curation_queries, graph_queries, media_queries, pipeline_queries, text_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

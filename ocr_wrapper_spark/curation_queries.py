@@ -1,0 +1,583 @@
+"""Corpus-curation queries: Bloom decontamination, LM fluency scoring,
+exact quality tiering, host-graph components, semantic dedup.
+
+The curation stages a web-scale training pipeline runs AFTER extraction
+and dedup: benchmark decontamination (Dolma/GPT-3 appendix-C shape),
+KenLM-style fluency filtering (CCNet), FineWeb-style quality tiering,
+and seed-site expansion over the host graph. Registered into the same
+queries()/oracle_sql() registry; every query carries an exact DuckDB
+oracle.
+
+All arithmetic is integer ppm / floor-div on non-negative int64 (the
+cross-engine-exact grain used repo-wide: Spark `div` truncates toward
+zero and DuckDB `//` floors, so operands are kept non-negative where
+they meet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import graph_queries as gq
+from .operators.components import connected_components
+from .relational import ORACLES as _ORACLES
+from .relational import register
+from .text_queries import (
+    FP_MD5_SQL,
+    _QC_SCORE_SQL,
+    _qc_score_col,
+    _t,
+    fp_md5_col,
+)
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+# Benchmark decontamination at corpus scale: the eval set's document
+# fingerprints populate a Bloom filter; every training document is
+# tested against it map-side. Kirsch-Mitzenmacher double hashing
+# (pos_j = (a + j*b) mod M) derives all K probe positions from two
+# independent 60-bit halves of the md5 fingerprint, so both engines
+# compute identical positions with two hex parses per row.
+BLOOM_M = 1 << 20  # filter bits (power of two: % is a mask)
+BLOOM_K = 5  # probes; a + 4b < 5 * 2^60 stays inside int64
+EVAL_MOD, EVAL_REM = 17, 3  # the held-out benchmark slice
+
+# 15 hex chars = 60 bits; Spark's conv() and DuckDB's 0x-cast agree on
+# the unsigned value because it never reaches the sign bit.
+_HEX_A_SQL = "CAST(CAST(('0x' || substr({fp}, 1, 15)) AS UBIGINT) AS BIGINT)"
+_HEX_B_SQL = "CAST(CAST(('0x' || substr({fp}, 16, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _hex_slice_col(fp_col, start: int):
+    return F.conv(F.substring(fp_col, start, 15), 16, 10).cast("long")
+
+
+def _bloom_probe_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, in_eval, pos_0..pos_{K-1}): every document's K Bloom
+    probe positions as plain columns — a narrow map over the scan, no
+    explode, so the corpus side never widens or shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    fp = fp_md5_col(F.col("text"))
+    probed = d.select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == EVAL_REM).alias("in_eval"),
+        _hex_slice_col(fp, 1).alias("_a"),
+        _hex_slice_col(fp, 16).alias("_b"),
+    )
+    for j in range(BLOOM_K):
+        probed = probed.withColumn(
+            f"pos_{j}", (F.col("_a") + F.lit(j) * F.col("_b")) % BLOOM_M
+        )
+    return probed.drop("_a", "_b")
+
+
+def _bloom_positions(probes: DataFrame) -> DataFrame:
+    """Distinct set bit positions of the eval-set Bloom filter —
+    <= |eval| * K rows, broadcastable at any corpus scale (eval
+    benchmarks are ~1e5 docs even when the corpus is 1e12)."""
+    return (
+        probes.filter(F.col("in_eval"))
+        .select(F.explode(F.array(*[f"pos_{j}" for j in range(BLOOM_K)])).alias("pos"))
+        .distinct()
+    )
+
+
+_BLOOM_ORACLE_HEAD = f"""
+    WITH fps AS (
+      SELECT doc_id, {FP_MD5_SQL} AS fp FROM documents),
+    hx AS (
+      SELECT doc_id,
+             {_HEX_A_SQL.format(fp="fp")} AS a,
+             {_HEX_B_SQL.format(fp="fp")} AS b
+      FROM fps),
+    pos AS (
+      SELECT DISTINCT (a + CAST(j AS BIGINT) * b) % {BLOOM_M} AS pos
+      FROM hx, unnest(range(0, {BLOOM_K})) AS r(j)
+      WHERE doc_id % {EVAL_MOD} = {EVAL_REM})"""
+
+_BLOOM_FLAG_SQL = " AND ".join(
+    f"((a + {j} * b) % {BLOOM_M} IN (SELECT pos FROM pos))" for j in range(BLOOM_K)
+)
+
+
+@register(
+    "decontaminate_bloom",
+    f"""{_BLOOM_ORACLE_HEAD}
+    SELECT doc_id,
+           (doc_id % {EVAL_MOD} = {EVAL_REM}) AS in_eval,
+           ({_BLOOM_FLAG_SQL}) AS flagged
+    FROM hx
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter of eval-set
+    fingerprints (the GPT-3/Dolma overlap-removal shape). Build: the
+    eval slice's K probe positions, distinct — a tiny table however
+    large the corpus. Test: K broadcast hash joins against that one
+    position set (Spark reuses the broadcast exchange), flagged iff
+    ALL K positions are set — exact Bloom semantics including the
+    deterministic false-positive: every eval doc is flagged by
+    construction, and a training doc whose 5 probes all collide flags
+    too, on both engines identically. The corpus side is a narrow map
+    + K broadcast probes: NO shuffle, no explode — the plan a
+    1000-executor decontamination run wants."""
+    probes = _bloom_probe_frame(spark, sf_dir)
+    positions = _bloom_positions(probes).persist()
+    out = probes
+    flags = []
+    for j in range(BLOOM_K):
+        pj = positions.select(F.col("pos").alias(f"_set_{j}"))
+        out = out.join(
+            F.broadcast(pj), out[f"pos_{j}"] == pj[f"_set_{j}"], "left"
+        )
+        flags.append(F.col(f"_set_{j}").isNotNull())
+    flagged = flags[0]
+    for f in flags[1:]:
+        flagged = flagged & f
+    return out.select("doc_id", "in_eval", flagged.alias("flagged"))
+
+
+@register(
+    "bloom_filter_stats",
+    f"""{_BLOOM_ORACLE_HEAD},
+    words AS (
+      SELECT pos // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+      FROM pos GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM hx WHERE doc_id % {EVAL_MOD} = {EVAL_REM}) AS BIGINT)
+             AS n_eval_docs,
+           CAST((SELECT count(*) FROM pos) AS BIGINT) AS n_positions,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(word)) AS BIGINT) AS n_set_bits,
+           CAST((SELECT count(*) FROM pos) * 1000000 // {BLOOM_M} AS BIGINT) AS fill_ppm
+    FROM words
+    """,
+)
+def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring twin of decontaminate_bloom: materializes the filter
+    as PACKED 63-bit words (bit_or aggregation — 63 bits per word keeps
+    the shift off the sign bit so Spark and DuckDB agree bit-for-bit)
+    and reports fill. n_set_bits must equal n_positions — the packed
+    build is self-checking. fill_ppm is the saturation alarm: past
+    ~500k ppm the false-positive rate explodes and M must grow."""
+    probes = _bloom_probe_frame(spark, sf_dir)
+    positions = _bloom_positions(probes)
+    n_eval = probes.filter(F.col("in_eval")).agg(
+        F.count("*").cast("long").alias("n_eval_docs")
+    )
+    words = positions.groupBy(F.expr("pos div 63").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int)))").alias(
+            "word"
+        )
+    )
+    stats = words.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("long").alias("n_set_bits"),
+    )
+    n_pos = positions.agg(F.count("*").cast("long").alias("n_positions"))
+    return (
+        n_eval.crossJoin(F.broadcast(n_pos))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_eval_docs",
+            "n_positions",
+            "n_words",
+            "n_set_bits",
+            F.expr(f"n_positions * 1000000 div {BLOOM_M}").alias("fill_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM fluency scoring (the CCNet KenLM-filter shape)
+# ---------------------------------------------------------------------------
+
+LM_MOD, LM_REM = 3, 0  # the "reference corpus" slice the LM trains on
+
+
+@register(
+    "doc_bigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
+      FROM documents WHERE text <> ''),
+    bi AS (
+      SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+      FROM toks, unnest(range(1, n)) AS r(i)
+      WHERE n >= 2),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM bi WHERE doc_id % {LM_MOD} = {LM_REM} GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    p AS (
+      SELECT bi.doc_id, coalesce(1000000 * c2.c2 // c1.c1, 0) AS p
+      FROM bi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(p) AS s
+      FROM p GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s // nb, 0) AS BIGINT) AS fluency_ppm
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based fluency filter, the CCNet/KenLM production shape made
+    exactly reproducible: a bigram model trained on the reference slice
+    (doc_id % 3 = 0) scores every document as the mean conditional
+    probability of its adjacent token pairs, in integer ppm
+    (p_ppm = 1e6 * c(w1 w2) / c(w1 .), floor). Fluent text built from
+    common continuations scores high; gibberish scores ~0.
+
+    Scale shape: bigram extraction is explode-over-scan (map-side); the
+    count tables are vocabulary^2-bounded, built with map-side partial
+    aggregation; scoring is two keyed equi-joins on (w1, w2) then w1 —
+    count tables have one row per key, so AQE's skew split handles the
+    Zipf-hot stopword heads on the probe side. All-integer scoring: the
+    1e6 * c2 product needs c2 <= 9.2e12; past that (a single bigram
+    occurring 9 trillion times) rescale both counts by 2^k first.
+    Empty and single-token documents get an explicit n_bigrams=0,
+    fluency_ppm=0 verdict rather than being dropped."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    docs = d.filter(F.col("text") != "").select("doc_id", toks.alias("tk"), n.alias("n"))
+    bi = (
+        docs.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c2 = (
+        bi.filter(F.col("doc_id") % LM_MOD == LM_REM)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    p = (
+        bi.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select("doc_id", F.coalesce(F.expr("1000000 * c2 div c1"), F.lit(0)).alias("p"))
+    )
+    agg = p.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("nb"), F.sum("p").alias("s")
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nb"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.expr("s div nb"), F.lit(0).cast("long")).alias("fluency_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact quality tiers without a global sort (the FineWeb-tier shape)
+# ---------------------------------------------------------------------------
+
+N_TIERS = 10
+
+
+@register(
+    "doc_quality_tiers",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n, {_QC_SCORE_SQL} AS s
+      FROM documents WHERE text <> ''),
+    b AS (SELECT doc_id, (s + n * 1000000) // n AS bucket FROM scored),
+    hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    t AS (
+      SELECT bucket,
+             coalesce(sum(c) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+             sum(c) OVER () AS total
+      FROM hist)
+    SELECT b.doc_id, b.bucket,
+           CAST(({N_TIERS} * lt) // total AS BIGINT) AS tier
+    FROM b JOIN t USING (bucket)
+    """,
+)
+def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style corpus tiering: every non-empty document assigned
+    to an exact population decile of its per-token quality score — with
+    NO global sort. The classifier score (hashed-linear, int64-exact,
+    shared with doc_quality_classifier) is normalized to a per-token
+    bucket in [0, 2e6] — a BOUNDED domain whatever the corpus size — so
+    the decile boundary computation runs on a histogram of at most 2e6
+    rows: groupBy(bucket) with map-side combine, an exclusive prefix
+    sum over the tiny histogram, and a broadcast join back. tier =
+    (10 * |docs with smaller bucket|) div N — deterministic under ties
+    (equal buckets share a tier), never a corpus-wide orderBy. The
+    histogram window's `bucket % 1` partition key is the repo's
+    tiny-table idiom (non-foldable constant: the deliberate
+    single-partition sort of a bounded table stays visible in the plan
+    without tripping the WindowExec whole-input warning)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        _qc_score_col(toks).alias("s"),
+    )
+    b = scored.select("doc_id", F.expr("(s + n * 1000000) div n").alias("bucket"))
+    hist = b.groupBy("bucket").agg(F.count("*").cast("long").alias("c"))
+    part = F.col("bucket") % 1  # tiny-table window idiom (see docstring)
+    w_lt = (
+        Window.partitionBy(part)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(part)
+    t = hist.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("lt"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    return b.join(F.broadcast(t), "bucket").select(
+        "doc_id", "bucket", F.expr(f"({N_TIERS} * lt) div total").alias("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-graph connected components (seed-site expansion)
+# ---------------------------------------------------------------------------
+
+# an edge is "strong" when it carries >= 1/STRONG_DIV of all inter-host
+# link mass — a scale-free threshold (the same fraction of the graph at
+# any corpus size), so the component structure is comparable across
+# crawls
+STRONG_DIV = 200
+
+
+@register(
+    "host_components",
+    # assigned below with the {cdf} splice, like the other graph oracles
+)
+def host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the STRONG host link graph — the
+    seed-site-expansion / spam-cluster primitive (curlie/OPIC-style
+    crawl scoping groups hosts that heavily interlink). Edges keep
+    >= 1/STRONG_DIV of total inter-host link mass (self-loops
+    excluded), are symmetrized, and min-label propagation runs on the
+    aggregated edge table: each round one keyed join + one agg, rounds
+    = component diameter. The corpus is scanned ONCE (the persisted
+    edge table from graph_queries); the iteration touches only
+    |hosts|-bounded frames. At 10^8 hosts this is the standard
+    large-graph CC loop — |edges|-row shuffles, never node-count driver
+    state. Hosts with no strong edges are their own singleton
+    component."""
+    edges = gq._edges(spark, sf_dir).filter(F.col("src_host") != F.col("dst_host"))
+    total = edges.agg(F.sum("w").alias("tw"))
+    strong = (
+        edges.crossJoin(F.broadcast(total))
+        .filter(F.col("w") * STRONG_DIV >= F.col("tw"))
+        .select("src_host", "dst_host")
+    )
+    comps = connected_components(strong, id_a="src_host", id_b="dst_host")
+    hosts = spark.range(gq.N_HOSTS).select(F.col("id").cast("int").alias("v"))
+    labeled = (
+        hosts.join(comps, hosts.v == comps.node, "left")
+        .select("v", F.coalesce(F.col("component"), F.col("v")).alias("comp"))
+    )
+    sizes = labeled.groupBy("comp").agg(F.count("*").cast("long").alias("comp_size"))
+    return labeled.join(F.broadcast(sizes), "comp").select(
+        gq._host_name(F.col("v")).alias("host"),
+        gq._host_name(F.col("comp")).alias("component"),
+        "comp_size",
+    )
+
+
+def _host_components_oracle() -> str:
+    # transitive closure by recursive CTE: exact on the |hosts|-bounded
+    # strong graph (the oracle side may be small-data; the Spark side
+    # must scale — see the query docstring)
+    name = (
+        "('host' || CASE WHEN {v} < 10 THEN '0' || CAST({v} AS VARCHAR) "
+        "ELSE CAST({v} AS VARCHAR) END || '.example.com')"
+    )
+    return f"""
+    WITH RECURSIVE {gq._LINKS_CTE_SQL},
+    {gq._EDGES_CTE_SQL},
+    nolo AS (SELECT src_host, dst_host, w FROM edges WHERE src_host <> dst_host),
+    total AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM nolo),
+    strong AS (
+      SELECT src_host AS s, dst_host AS d FROM nolo, total
+      WHERE w * {STRONG_DIV} >= tw),
+    und AS (SELECT s, d FROM strong UNION SELECT d, s FROM strong),
+    reach(v, r) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT reach.v, und.d FROM reach JOIN und ON und.s = reach.r),
+    comp AS (SELECT v, least(v, min(r)) AS c FROM reach GROUP BY v),
+    allh AS (SELECT CAST(h AS INT) AS v FROM unnest(range(0, {gq.N_HOSTS})) AS r(h)),
+    lab AS (
+      SELECT allh.v, coalesce(comp.c, allh.v) AS c
+      FROM allh LEFT JOIN comp ON comp.v = allh.v),
+    sz AS (SELECT c, CAST(count(*) AS BIGINT) AS comp_size FROM lab GROUP BY c)
+    SELECT {name.format(v="lab.v")} AS host,
+           {name.format(v="lab.c")} AS component,
+           comp_size
+    FROM lab JOIN sz USING (c)
+    """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (the SemDeDup shape: coarse clusters, prune within)
+# ---------------------------------------------------------------------------
+
+# cosine threshold as an exact rational: a pair is a semantic duplicate
+# when cos >= TAU_NUM/TAU_DEN. The comparison is done on CROSS-MULTIPLIED
+# INTEGER SQUARES of the int8 codes (dot >= 0 and
+# TAU_DEN^2 * dot^2 >= TAU_NUM^2 * |a|^2 * |b|^2) — no sqrt, no float
+# round-off at the decision boundary, bit-identical on both engines.
+SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN = 2, 5  # cos >= 0.4
+
+_I8_QUANT_CTE_SQL = """quant AS (
+      SELECT vec_id,
+             CASE WHEN m < 1e-100
+                  THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding::DOUBLE[],
+                         x -> CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)) END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+            FROM embeddings))"""
+
+
+def _semantic_dedup_oracle() -> str:
+    from .operators.similarity import N_CENTROIDS as _nc
+    from .operators.similarity import _CODE_OFFSET as _off
+
+    tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < {_nc}),
+    enc AS (
+      SELECT e.vec_id, c.cid,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+                  * 1000000 + {_off} AS BIGINT) * {_nc} + ({_nc} - 1 - c.cid) AS code
+      FROM embeddings e CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, CAST({_nc} - 1 - (max(code) % {_nc}) AS INT) AS cluster
+      FROM enc GROUP BY vec_id),
+    {_I8_QUANT_CTE_SQL},
+    qq AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS q2 FROM quant),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(list_dot_product(na.q, nb.q) AS BIGINT) AS dot,
+             na.q2 AS q2a, nb.q2 AS q2b
+      FROM assigned a
+      JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN qq na ON na.vec_id = a.vec_id
+      JOIN qq nb ON nb.vec_id = b.vec_id),
+    dups AS (
+      SELECT DISTINCT idb FROM pairs
+      WHERE dot >= 0 AND q2a > 0 AND q2b > 0
+        AND {td2} * dot * dot >= {tn2} * q2a * q2b)
+    SELECT a.vec_id, a.cluster, (d.idb IS NULL) AS keep
+    FROM assigned a LEFT JOIN dups d ON d.idb = a.vec_id
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): prune semantically near-duplicate
+    documents WITHIN coarse embedding clusters — a vector is dropped
+    when a lower-id vector in ITS cluster has cosine >= 2/5. Cluster
+    assignment is the seeded coarse quantizer ann_topk_ivf uses (one
+    Arrow-batch matmul per partition); similarity runs on int8-quantized
+    codes, and the threshold decision is exact integer arithmetic on
+    cross-multiplied squares (dot >= 0 and 25*dot^2 >= 4*|a|^2*|b|^2) —
+    int8 dim-64 dots stay under 2^21, so every product fits int64 with
+    18 bits to spare, and NO float comparison sits on the keep/drop
+    boundary.
+
+    Scale shape: the pairwise stage is a cluster-keyed self equi-join —
+    at real scale n_centroids grows ~sqrt(N) so inverted lists stay
+    bounded (the SemDeDup paper runs 50k clusters for 5B embeddings),
+    and the dup verdict is an aggregation over in-cluster pairs only.
+    Zero-norm vectors never match anything (q2 > 0 guard) rather than
+    matching everything through a 0 >= 0 degeneracy."""
+    from .operators.similarity import (
+        N_CENTROIDS,
+        seed_centroids,
+        top_clusters_pandas_udf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    C = seed_centroids(e)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assign = top_clusters_pandas_udf(Cn, N_CENTROIDS, 1)
+    quant = e.select(
+        "vec_id",
+        F.element_at(assign(F.col("embedding")), 1).alias("cluster"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
+    ).withColumn(
+        "_m", F.expr("array_max(transform(_v, x -> abs(x)))")
+    ).select(
+        "vec_id",
+        "cluster",
+        F.expr(
+            "CASE WHEN _m < 1e-100 THEN transform(_v, x -> cast(0 as bigint)) "
+            "ELSE transform(_v, x -> cast(floor(x * (127.0D / _m) + 0.5D) as bigint)) END"
+        ).alias("q"),
+    ).withColumn(
+        "q2", F.expr("aggregate(transform(q, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)")
+    )
+    # three consumers (both self-join sides + the verdict join) — persist
+    # the quantized frame so the scan AND the assignment matmul run once.
+    # (vec_id, cluster, int8 codes, q2) is ~8x smaller than the raw
+    # embeddings; materializing it is exactly what the SemDeDup paper
+    # does before the in-cluster pass.
+    from pyspark import StorageLevel
+
+    quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
+    a = quant.select(
+        F.col("vec_id").alias("ida"),
+        "cluster",
+        F.col("q").alias("qa"),
+        F.col("q2").alias("q2a"),
+    )
+    b = quant.select(
+        F.col("vec_id").alias("idb"),
+        "cluster",
+        F.col("q").alias("qb"),
+        F.col("q2").alias("q2b"),
+    )
+    tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"),
+        )
+        .filter(
+            (F.col("dot") >= 0)
+            & (F.col("q2a") > 0)
+            & (F.col("q2b") > 0)
+            & (F.lit(td2) * F.col("dot") * F.col("dot") >= F.lit(tn2) * F.col("q2a") * F.col("q2b"))
+        )
+        .select("idb")
+        .distinct()
+    )
+    return quant.join(dups, quant.vec_id == dups.idb, "left").select(
+        "vec_id", "cluster", F.col("idb").isNull().alias("keep")
+    )
+
+
+from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
+
+_ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())

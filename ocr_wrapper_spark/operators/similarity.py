@@ -290,6 +290,39 @@ def _cluster_code_matrix(Vn: np.ndarray, Cn: np.ndarray, n_centroids: int) -> np
     return codes
 
 
+def top_clusters_pandas_udf(Cn: np.ndarray, n_centroids: int, n_top: int):
+    """Vectorized top-n_top coarse-centroid assignment (one matmul per
+    Arrow batch) on the packed-code argmax the DuckDB oracle mirrors.
+    Shared by ivf_topk_cosine and the SemDeDup cluster assignment."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(vecs.tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        codes = _cluster_code_matrix(Vn, Cn, n_centroids)
+        order = np.argsort(-codes, axis=1, kind="stable")[:, :n_top]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return udf
+
+
+def seed_centroids(
+    corpus: DataFrame, n_centroids: int = N_CENTROIDS, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """The deterministic centroid seeds (first n_centroids corpus
+    vectors by id) as a float64 matrix — n_centroids x dim, driver-side
+    by construction."""
+    seeds = sorted(
+        corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    return np.asarray([r[1] for r in seeds], dtype=np.float64)
+
+
 MEAN_ROUND = 6  # Lloyd centroid means rounded at 1e-6 so the float64
 # accumulation-order noise (~1e-15, Spark partition order vs DuckDB scan
 # order) can never reach the value the oracle recomputes
@@ -390,27 +423,13 @@ def ivf_topk_cosine(
     import pandas as pd
     from pyspark.sql import types as T
 
-    seeds = sorted(
-        corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
-    )
-    C = np.asarray([r[1] for r in seeds], dtype=np.float64)
+    C = seed_centroids(corpus, n_centroids, id_col, vec_col)
     if lloyd_iters:
         C = lloyd_refine(corpus, C, n_iter=lloyd_iters, vec_col=vec_col)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def top_clusters_udf(n_top: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def udf(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            V = np.asarray(vecs.tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            codes = _cluster_code_matrix(Vn, Cn, n_centroids)
-            order = np.argsort(-codes, axis=1, kind="stable")[:, :n_top]
-            return pd.Series([row.astype("int32").tolist() for row in order])
-
-        return udf
+        return top_clusters_pandas_udf(Cn, n_centroids, n_top)
 
     assigned = corpus.select(
         F.col(id_col),

@@ -1,0 +1,325 @@
+"""Curation-family tests: Bloom decontamination, bigram-LM fluency,
+exact decile tiering, host-graph components."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _write_docs(tmp_path, rows):
+    """Write a minimal documents.parquet a curation query can read."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "test"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_flags_every_eval_doc_and_duplicates(spark, tmp_path):
+    """Bloom guarantees: no false negatives — every eval doc is flagged,
+    and a training doc whose NORMALIZED text equals an eval doc's is
+    flagged through the shared fingerprint (the contamination the
+    operator exists to catch)."""
+    from ocr_wrapper_spark.curation_queries import EVAL_MOD, EVAL_REM, decontaminate_bloom
+
+    eval_id = EVAL_REM  # doc_id % EVAL_MOD == EVAL_REM
+    sf_dir = _write_docs(
+        tmp_path,
+        [
+            (eval_id, "the quick brown fox"),
+            # same text after whitespace normalization -> same fingerprint
+            (eval_id + 1, "  the   quick brown\tfox "),
+            (eval_id + 2, "completely different content here"),
+        ],
+    )
+    got = {r.doc_id: (r.in_eval, r.flagged) for r in decontaminate_bloom(spark, sf_dir).collect()}
+    assert got[eval_id] == (True, True)
+    assert got[eval_id + 1] == (False, True)  # contaminated duplicate
+    assert got[eval_id + 2] == (False, False)
+
+
+def test_bloom_corpus_side_never_shuffles(spark):
+    """The membership test must be K broadcast probes over the scan —
+    no sort-merge join, no corpus-keyed exchange (the property that
+    makes decontamination a map-only pass at 10^12 docs)."""
+    from ocr_wrapper_spark.curation_queries import decontaminate_bloom
+
+    plan = (
+        decontaminate_bloom(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_stats_bitmap_is_self_consistent(spark):
+    """The packed 63-bit-word bitmap must contain exactly the distinct
+    probe positions (n_set_bits == n_positions), and fill_ppm follows."""
+    from ocr_wrapper_spark.curation_queries import BLOOM_M, bloom_filter_stats
+
+    row = bloom_filter_stats(spark, SF_SMOKE).collect()[0]
+    assert row.n_set_bits == row.n_positions
+    assert row.n_words <= row.n_positions
+    assert row.fill_ppm == row.n_positions * 1_000_000 // BLOOM_M
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM fluency
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_matches_pure_python(spark, tmp_path):
+    """Entire result equals an independent in-test bigram LM over a
+    crafted corpus (reference slice = doc_id % 3 == 0): pins both the
+    count derivation and the integer-ppm scoring."""
+    from ocr_wrapper_spark.curation_queries import LM_MOD, LM_REM, doc_bigram_lm_score
+
+    rows = [
+        (0, "a b a b c"),  # reference doc
+        (1, "a b x"),  # scored only
+        (2, ""),  # empty -> 0/0
+        (3, "b c a b"),  # reference doc
+        (4, "zzz"),  # single token -> 0/0
+    ]
+    sf_dir = _write_docs(tmp_path, rows)
+
+    c2: dict[tuple[str, str], int] = {}
+    for doc_id, text in rows:
+        toks = text.split(" ") if text else []
+        if doc_id % LM_MOD == LM_REM and len(toks) >= 2:
+            for w1, w2 in zip(toks, toks[1:]):
+                c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+
+    expected = {}
+    for doc_id, text in rows:
+        toks = text.split(" ") if text else []
+        if len(toks) < 2:
+            expected[doc_id] = (0, 0)
+            continue
+        ps = [
+            1_000_000 * c2.get((w1, w2), 0) // c1[w1] if (w1, w2) in c2 else 0
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        expected[doc_id] = (len(ps), sum(ps) // len(ps))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.fluency_ppm)
+        for r in doc_bigram_lm_score(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bigram_lm_reference_text_scores_above_shuffled(spark, tmp_path):
+    """Direction check: text made of common continuations outscores the
+    same tokens in a rare order."""
+    from ocr_wrapper_spark.curation_queries import doc_bigram_lm_score
+
+    fluent = "the cat sat on the mat " * 5
+    sf_dir = _write_docs(
+        tmp_path,
+        [
+            (0, fluent.strip()),  # trains the model AND scores high
+            (1, "mat the on sat cat the " * 3),  # same vocab, rare order
+        ],
+    )
+    got = {r.doc_id: r.fluency_ppm for r in doc_bigram_lm_score(spark, sf_dir).collect()}
+    assert got[0] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# exact quality tiers
+# ---------------------------------------------------------------------------
+
+
+def test_quality_tiers_match_rank_definition(spark):
+    """tier = (10 * |docs with strictly smaller bucket|) div N, exactly —
+    recomputed from the collected buckets."""
+    from ocr_wrapper_spark.curation_queries import N_TIERS, doc_quality_tiers
+
+    rows = doc_quality_tiers(spark, SF_SMOKE).collect()
+    buckets = sorted(r.bucket for r in rows)
+    n = len(rows)
+    import bisect
+
+    for r in rows:
+        lt = bisect.bisect_left(buckets, r.bucket)
+        assert r.tier == (N_TIERS * lt) // n, (r.doc_id, r.bucket)
+    assert {r.tier for r in rows} == set(range(N_TIERS))
+
+
+def test_quality_tiers_ties_share_a_tier(spark, tmp_path):
+    """Documents with identical per-token buckets land in the same tier
+    (the determinism ntile() cannot give)."""
+    from ocr_wrapper_spark.curation_queries import doc_quality_tiers
+
+    sf_dir = _write_docs(
+        tmp_path,
+        [(i, "same text for everyone") for i in range(7)] + [(7, "rare wobble unique")],
+    )
+    rows = doc_quality_tiers(spark, sf_dir).collect()
+    by_bucket: dict[int, set[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, set()).add(r.tier)
+    for tiers in by_bucket.values():
+        assert len(tiers) == 1
+
+
+def test_quality_tiers_plan_is_broadcast_back(spark):
+    from ocr_wrapper_spark.curation_queries import doc_quality_tiers
+
+    plan = doc_quality_tiers(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# host components
+# ---------------------------------------------------------------------------
+
+
+def test_host_components_agree_with_union_find(spark):
+    """Component labels equal an independent union-find over the same
+    strong-edge set (derived from crawl_link_graph's reported edges and
+    the identical threshold rule)."""
+    from ocr_wrapper_spark.curation_queries import STRONG_DIV, host_components
+    from ocr_wrapper_spark.graph_queries import N_HOSTS, crawl_link_graph
+
+    edges = {}
+    for r in crawl_link_graph(spark, SF_SMOKE).collect():
+        s, d = int(r.src[4:6]), int(r.dst[4:6])
+        if s != d:
+            edges[(s, d)] = r.n_links
+    total = sum(edges.values())
+    strong = [(s, d) for (s, d), w in edges.items() if w * STRONG_DIV >= total]
+
+    parent = list(range(N_HOSTS))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in strong:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    expected_comp = {v: find(v) for v in range(N_HOSTS)}
+    sizes: dict[int, int] = {}
+    for v, c in expected_comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    rows = host_components(spark, SF_SMOKE).collect()
+    assert len(rows) == N_HOSTS
+    for r in rows:
+        v, c = int(r.host[4:6]), int(r.component[4:6])
+        assert c == expected_comp[v], (v, c)
+        assert r.comp_size == sizes[expected_comp[v]]
+
+
+def test_host_components_nontrivial_structure(spark):
+    """The Zipf host graph must yield BOTH a multi-host core and
+    singletons at smoke scale — guarding against a degenerate threshold
+    (all-one-component or all-singletons would silently weaken every
+    other assertion here)."""
+    from ocr_wrapper_spark.curation_queries import host_components
+
+    rows = host_components(spark, SF_SMOKE).collect()
+    sizes = {r.comp_size for r in rows}
+    assert max(sizes) >= 3
+    assert 1 in sizes
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark, tmp_path):
+    """A vector pointing the same direction as a lower-id vector in its
+    cluster is dropped; orthogonal vectors all survive. One-hot axes
+    make every cosine exactly 0 or 1, so the verdict is unambiguous."""
+    import numpy as np
+
+    from ocr_wrapper_spark.curation_queries import semantic_dedup
+    from ocr_wrapper_spark.operators.similarity import N_CENTROIDS
+
+    n, dim = 20, 64
+    rows = []
+    for i in range(n):
+        v = np.zeros(dim, dtype=np.float32)
+        if i == 19:
+            v[20] = 0.5  # same direction as vec 18, different magnitude
+        else:
+            v[i if i < 18 else 20] = 1.0  # vec 18 = axis 20, like vec 19
+        rows.append((i, v.tolist(), 0))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    assert n > N_CENTROIDS  # seeds exist
+    got = {r.vec_id: r.keep for r in semantic_dedup(spark, str(tmp_path)).collect()}
+    assert got[19] is False or got[19] == False  # noqa: E712
+    assert all(got[i] for i in range(19))
+
+
+def test_semantic_dedup_verdicts_match_numpy(spark):
+    """Every keep/drop verdict equals an independent numpy recomputation
+    of the full SemDeDup rule (quantize -> cluster -> in-cluster integer
+    threshold) over the real fixture."""
+    import numpy as np
+
+    from ocr_wrapper_spark.curation_queries import (
+        SEMDEDUP_TAU_DEN,
+        SEMDEDUP_TAU_NUM,
+        semantic_dedup,
+    )
+    from ocr_wrapper_spark.operators.similarity import (
+        N_CENTROIDS,
+        _cluster_code_matrix,
+        _quantize_i8,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in e])
+    V = np.asarray([r.embedding for r in e], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    C = V[ids < N_CENTROIDS]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    codes = _cluster_code_matrix(Vn, Cn, N_CENTROIDS)
+    cluster = np.argmax(codes, axis=1)
+    Q = _quantize_i8(V).astype(np.int64)
+    q2 = (Q * Q).sum(axis=1)
+
+    tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    expected = {}
+    for j in range(len(ids)):
+        dup = False
+        for i in range(len(ids)):
+            if ids[i] < ids[j] and cluster[i] == cluster[j]:
+                dot = int(Q[i] @ Q[j])
+                if dot >= 0 and q2[i] > 0 and q2[j] > 0 and td2 * dot * dot >= tn2 * q2[i] * q2[j]:
+                    dup = True
+                    break
+        expected[int(ids[j])] = (int(cluster[j]), not dup)
+
+    got = {r.vec_id: (r.cluster, r.keep) for r in semantic_dedup(spark, SF_SMOKE).collect()}
+    assert got == expected
