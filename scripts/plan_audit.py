@@ -39,6 +39,7 @@ WHITELIST: dict[str, str] = {
     "scalar_subquery_above_avg": "BroadcastNestedLoopJoin over a 1-row aggregate (scalar subquery)",
     "q22_sales_opportunity": "crossJoin(broadcast(1-row avg(c_acctbal))) — TPC-H Q22 scalar subquery",
     "doc_tfidf_topk": "1-row corpus-size broadcast (|D| for the idf term)",
+    "bloom_filter_stats": "three 1-row aggregates (eval count, position count, bitmap stats) cross-joined into the single stats row",
     "corpus_incremental_dedup": "1-row broadcast of the old-corpus high-water mark",
     "doc_sequence_packing": "per-bucket totals table (~|buckets| rows) broadcast back",
     "crawl_frontier_slots": "cumulative salt-group offsets (~|hosts|*salts rows) broadcast",
