@@ -44,6 +44,8 @@ _VERIFY_PRIORITY = [
     # round-5 session-5 additions: never snapshotted
     "decontaminate_bloom",
     "semantic_dedup",
+    "cdx_url_index",
+    "source_mix_apportionment",
     "bloom_filter_stats",
     "doc_bigram_lm_score",
     "doc_quality_tiers",

@@ -578,6 +578,199 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDX-style URL index (SURT keys over the real page urls)
+# ---------------------------------------------------------------------------
+
+CDX_SHARD_HOSTS = 8  # hosts per index shard
+
+
+def _knuth_u_sql(k: str) -> str:
+    from .operators.sampling import KNUTH_U_SQL
+
+    return KNUTH_U_SQL.format(k=k)
+
+
+@register(
+    "cdx_url_index",
+    # oracle assigned below with the {cdf} splice: every field is
+    # reconstructed CLOSED-FORM from documents — host via the Zipf draw,
+    # extension via the dialect mods, fetch time via the generator's
+    # interval arithmetic — so a single wrong byte in any url the
+    # pages source emits fails the hash
+)
+def cdx_url_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over the crawl — the Common-Crawl lookup
+    artifact (cdx-toolkit / pywb shape): one row per capture with the
+    SURT urlkey (reversed-authority sort key: com,example,hostNN)/...),
+    the 14-digit capture timestamp, the normalized content digest, and
+    an index shard id. Every field is parsed from the REAL url string /
+    warc_ts the pages source emits (JVM regexp + date_format only — no
+    Python), and the DuckDB oracle rebuilds all of them closed-form
+    from documents, so the query cross-checks the generator's url
+    anatomy byte-for-byte.
+
+    Scale shape: a narrow map over the page scan (parquet pushdown
+    prunes to url/warc_ts/text). A physical CDX write would add
+    repartitionByRange(urlkey).sortWithinPartitions(urlkey, ts) — a
+    distributed range sort, NOT a single-task orderBy; row order is not
+    part of the result contract here so the sort is left to the sink.
+    Sharding by host group keeps one host's captures co-located (the
+    politeness-locality layout the frontier queries assume)."""
+    from .sources.pages import DOC_ID_URL_RE, materialize_pages
+
+    pages = spark.read.parquet(materialize_pages(spark, sf_dir))
+    parsed = pages.select(
+        F.regexp_extract("url", r"https://host(\d{2})\.example\.com/", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("url", r"\.com/([a-z]*)/", 1).alias("langpart"),
+        F.regexp_extract("url", DOC_ID_URL_RE, 1).alias("idpart"),
+        F.regexp_extract("url", r"\.([a-z]+)$", 1).alias("ext"),
+        "warc_ts",
+        "text",
+    )
+    urlkey = F.concat(
+        F.lit("com,example,host"),
+        F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+        F.lit(")/"),
+        F.col("langpart"),
+        F.lit("/"),
+        F.col("idpart"),
+        F.lit("."),
+        F.col("ext"),
+    )
+    return parsed.select(
+        urlkey.alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("capture_ts"),
+        fp_md5_col(F.col("text")).alias("digest"),
+        F.length("text").cast("long").alias("content_chars"),
+        F.expr(f"host_idx div {CDX_SHARD_HOSTS}").alias("shard"),
+    )
+
+
+def _cdx_oracle() -> str:
+    from .sources import pages as pages_src
+
+    host_idx = f"len(list_filter({{cdf}}, c -> c < ({_knuth_u_sql('doc_id')})))"
+    ext = f"""CASE
+        WHEN doc_id % {pages_src.PDF_MOD} = 3 THEN 'pdf'
+        WHEN doc_id % {pages_src.PDF_MOD} = {pages_src.JSON_REM} THEN 'json'
+        WHEN doc_id % {pages_src.PDF_MOD} = {pages_src.HOCR_REM} THEN 'hocr'
+        WHEN doc_id % {pages_src.TEXTRACT_MOD} = {pages_src.TEXTRACT_REM} THEN 'textract'
+        ELSE 'html' END"""
+    # f"{doc_id:010d}" pads but never truncates; lpad alone would
+    # truncate 11+-digit ids, so guard on the digit count
+    idpart = (
+        "CASE WHEN length(CAST(doc_id AS VARCHAR)) >= 10 THEN CAST(doc_id AS VARCHAR) "
+        "ELSE lpad(CAST(doc_id AS VARCHAR), 10, '0') END"
+    )
+    ts = (
+        "TIMESTAMP '2024-01-01' + ((doc_id % 365) * INTERVAL 1 DAY) "
+        "+ (((doc_id * 7919) % 86400) * INTERVAL 1 SECOND)"
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, text, lang, CAST({host_idx} AS INT) AS host_idx
+               FROM documents)
+    SELECT concat('com,example,host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), ')/',
+                  lang, '/', {idpart}, '.', {ext}) AS urlkey,
+           strftime({ts}, '%Y%m%d%H%M%S') AS capture_ts,
+           {FP_MD5_SQL} AS digest,
+           CAST(length(text) AS BIGINT) AS content_chars,
+           CAST(host_idx // {CDX_SHARD_HOSTS} AS BIGINT) AS shard
+    FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact training-mix apportionment (largest-remainder / Hamilton)
+# ---------------------------------------------------------------------------
+
+MIX_UNITS = 1_000_000  # apportion one million ppm units exactly
+
+
+@register(
+    "source_mix_apportionment",
+    f"""
+    WITH toks AS (
+      SELECT source, lang,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n
+      FROM documents),
+    g AS (
+      SELECT source, lang, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g),
+    q AS (
+      SELECT source, lang, n_tokens,
+             n_tokens * {MIX_UNITS} // total AS base,
+             n_tokens * {MIX_UNITS} % total AS frac
+      FROM g, t),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY frac DESC, source, lang) AS rk,
+             CAST({MIX_UNITS} - sum(base) OVER () AS BIGINT) AS leftover
+      FROM q)
+    SELECT source, lang, n_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS share_ppm
+    FROM r
+    """,
+)
+def source_mix_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact training-mix weights per (source, lang): one million ppm
+    units apportioned by the largest-remainder (Hamilton) method, so the
+    shares are integers that sum to EXACTLY 1e6 — the property a
+    downstream sampler needs (floor-only ppm shares under-allocate by up
+    to |groups| units; naive rounding over-allocates). base =
+    tokens*1e6 div total; the leftover units go to the groups with the
+    largest remainders, ties broken by (source, lang).
+
+    Scale shape: one (source, lang)-keyed agg with map-side combine —
+    the group table is |sources| x |langs|, tiny at any corpus size —
+    then windows over that tiny table only (the corpus is never
+    windowed or re-sorted). tokens*1e6 needs a group under 9.2e12
+    tokens; past that rescale both sides by 2^k first (same note as
+    doc_bigram_lm_score)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    g = (
+        d.select("source", "lang", n.cast("long").alias("n"))
+        .groupBy("source", "lang")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    t = g.agg(F.sum("n_tokens").alias("total"))
+    q = g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.expr(f"n_tokens * {MIX_UNITS} div total").alias("base"),
+        (F.col("n_tokens") * MIX_UNITS % F.col("total")).alias("frac"),
+    )
+    # tiny-table windows (|sources| x |langs| rows): rank remainders and
+    # count the leftover units in one pass
+    part = F.col("base") % 1  # non-foldable constant partition (repo idiom)
+    w_rank = Window.partitionBy(part).orderBy(
+        F.col("frac").desc(), F.col("source"), F.col("lang")
+    )
+    w_all = Window.partitionBy(part)
+    r = q.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "base",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(MIX_UNITS) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "lang",
+        "n_tokens",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())
+_ORACLES["cdx_url_index"] = _cdx_oracle().replace("{cdf}", _cdf_sql_fn())

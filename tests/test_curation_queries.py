@@ -323,3 +323,75 @@ def test_semantic_dedup_verdicts_match_numpy(spark):
 
     got = {r.vec_id: (r.cluster, r.keep) for r in semantic_dedup(spark, SF_SMOKE).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# CDX url index
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_index_round_trips_the_real_urls(spark):
+    """Every CDX row must be derivable from the url/warc_ts the pages
+    source actually emitted — recomputed per row in pure python."""
+    from ocr_wrapper_spark.curation_queries import CDX_SHARD_HOSTS, cdx_url_index
+    from ocr_wrapper_spark.sources.pages import materialize_pages
+
+    pages = {
+        r.url: r.warc_ts
+        for r in spark.read.parquet(materialize_pages(spark, SF_SMOKE))
+        .select("url", "warc_ts")
+        .collect()
+    }
+    expected = set()
+    for url, ts in pages.items():
+        host, rest = url.removeprefix("https://").split(".example.com/", 1)
+        expected.add((f"com,example,{host})/{rest}", ts.strftime("%Y%m%d%H%M%S")))
+    rows = cdx_url_index(spark, SF_SMOKE).collect()
+    got = {(r.urlkey, r.capture_ts) for r in rows}
+    assert got == expected
+    for r in rows:
+        host_idx = int(r.urlkey[16:18])
+        assert r.shard == host_idx // CDX_SHARD_HOSTS
+        assert len(r.capture_ts) == 14 and r.capture_ts.isdigit()
+
+
+def test_cdx_digest_matches_doc_fingerprint(spark):
+    """The CDX digest column is the corpus-wide normalized fingerprint —
+    identical to doc_fingerprint's for the same doc_id."""
+    from ocr_wrapper_spark.curation_queries import cdx_url_index
+    from ocr_wrapper_spark.text_queries import doc_fingerprint
+
+    fps = {r.doc_id: r.fp_md5 for r in doc_fingerprint(spark, SF_SMOKE).collect()}
+    for r in cdx_url_index(spark, SF_SMOKE).collect():
+        doc_id = int(r.urlkey.split("/")[-1].split(".")[0])
+        assert r.digest == fps[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# source-mix apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_apportionment_sums_to_exactly_one_million(spark):
+    from ocr_wrapper_spark.curation_queries import MIX_UNITS, source_mix_apportionment
+
+    rows = source_mix_apportionment(spark, SF_SMOKE).collect()
+    assert sum(r.share_ppm for r in rows) == MIX_UNITS
+    assert len(rows) > 10  # real group structure, not a collapsed key
+
+
+def test_apportionment_matches_pure_python_hamilton(spark):
+    """share_ppm equals an independent largest-remainder apportionment
+    over the same token totals."""
+    from ocr_wrapper_spark.curation_queries import MIX_UNITS, source_mix_apportionment
+
+    rows = source_mix_apportionment(spark, SF_SMOKE).collect()
+    total = sum(r.n_tokens for r in rows)
+    base = {(r.source, r.lang): r.n_tokens * MIX_UNITS // total for r in rows}
+    frac = {(r.source, r.lang): r.n_tokens * MIX_UNITS % total for r in rows}
+    leftover = MIX_UNITS - sum(base.values())
+    order = sorted(frac, key=lambda k: (-frac[k], k))
+    for k in order[:leftover]:
+        base[k] += 1
+    got = {(r.source, r.lang): r.share_ppm for r in rows}
+    assert got == base
