@@ -242,30 +242,33 @@ def order_boxes(
         height_factor = np.ones_like(xs_width)
     weight = xs_width * height_factor
     nb_y = xs_int_height + 1
-    max_height = 1 + int(nb_y.max())
 
-    # parabola-weighted gains per y pixel of each box (bbox_order.py:271-295);
-    # broadcast views instead of .repeat copies — the boolean mask makes the
-    # only materialized copy
-    steps = np.arange(max_height, dtype=float)
-    mask = np.broadcast_to(steps, (n, max_height)) <= xs_int_height[:, np.newaxis]
-    parabolae = np.broadcast_to(steps, (n, max_height))[mask]
-    w_flat = np.broadcast_to(weight[:, None], (n, max_height))[mask]
-    hh_flat = np.broadcast_to(half_height[:, None], (n, max_height))[mask]
-    parabolae = (1 - ((parabolae - hh_flat) / np.maximum(0.5, hh_flat)) ** 2) * w_flat
-    y_pos = (np.arange(max_height, dtype=int) + (xs_int_top - y_lo)[:, np.newaxis])[mask]
+    # parabola-weighted gains per y pixel of each box (bbox_order.py:271-295).
+    # Flat per-pixel arrays built with repeat/arange directly — no
+    # (n, max_height) rectangle or boolean-mask gathers, so memory is
+    # O(sum of box heights) even when one hostile box reports a huge
+    # height, and each array is one pass instead of build-mask + gather.
+    px_per_box = nb_y  # steps 0..h inclusive = h+1 pixels per box
+    offsets = np.cumsum(px_per_box) - px_per_box
+    total_px = int(offsets[-1] + px_per_box[-1])
+    steps_flat = np.arange(total_px, dtype=float) - np.repeat(
+        offsets.astype(float), px_per_box
+    )
+    w_flat = np.repeat(weight, px_per_box)
+    hh_flat = np.repeat(half_height, px_per_box)
+    parabolae = (1 - ((steps_flat - hh_flat) / np.maximum(0.5, hh_flat)) ** 2) * w_flat
+    y_pos = steps_flat.astype(int) + np.repeat(xs_int_top - y_lo, px_per_box)
     base = max_tilt_pixel + y_pos
 
-    # scatter-add via ONE flattened bincount over all tilt rows (the per-
-    # tilt loop was numpy-call-overhead bound at ~10^3 points per doc).
-    # Row-major flattening keeps the in-bin summation order identical to
-    # np.add.at, so bit-reproducibility is preserved.
+    # scatter-add via one bincount per tilt over the SHARED parabola
+    # weights (tiling the weights NB_TILT-wide for a single flattened
+    # bincount doubled the memory traffic for no fewer element ops; the
+    # per-tilt element order equals the flattened row-major order, so
+    # in-bin summation — hence bit-reproducibility — is unchanged).
     # The tilt shift int(tf * x_center) is constant for every pixel of a
     # box, so compute it per (tilt, box) and expand with repeat — same
     # truncation, ~height-times fewer multiplies than the per-pixel form.
-    px_per_box = mask.sum(axis=1)
     shifts = (tilt_fraction[:, None] * xs_x_center[None, :]).astype(int)
-    idx2d = base[None, :] + np.repeat(shifts, px_per_box, axis=1)
     # pages narrower than the reference's 200px floor make |x_center|
     # exceed half_width (ref bbox_order.py:147-149 floors full_width but
     # not half_width), so the tilt shift can leave [0, y_range). The
@@ -273,11 +276,17 @@ def order_boxes(
     # the other end of the histogram; clipping to the edge bins instead
     # is a no-op for every in-range page (byte-identity preserved) and
     # keeps hostile tiny-page boxes from corrupting/crashing the scan.
-    np.clip(idx2d, 0, y_range - 1, out=idx2d)
-    idx2d += (np.arange(NB_TILT) * y_range)[:, None]
-    all_gains = np.bincount(
-        idx2d.ravel(), weights=np.tile(parabolae, NB_TILT), minlength=NB_TILT * y_range
-    ).reshape(NB_TILT, y_range)
+    # The O(n) bound check below proves the no-op case so the in-range
+    # path never pays the full-size clip write.
+    needs_clip = (int(base.min()) + int(shifts.min()) < 0) or (
+        int(base.max()) + int(shifts.max()) > y_range - 1
+    )
+    all_gains = np.empty((NB_TILT, y_range))
+    for t in range(NB_TILT):
+        idx = base + np.repeat(shifts[t], px_per_box)
+        if needs_clip:
+            np.clip(idx, 0, y_range - 1, out=idx)
+        all_gains[t] = np.bincount(idx, weights=parabolae, minlength=y_range)
 
     # squared-gain argmax picks the best tilt (bbox_order.py:296-309)
     best_tilt = int(np.argmax((all_gains**2).sum(axis=1)))
