@@ -46,6 +46,8 @@ _VERIFY_PRIORITY = [
     "semantic_dedup",
     "cdx_url_index",
     "source_mix_apportionment",
+    "host_downsample_cap",
+    "doc_length_histogram",
     "bloom_filter_stats",
     "doc_bigram_lm_score",
     "doc_quality_tiers",

@@ -770,7 +770,156 @@ def source_mix_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# per-host downsampling cap (the over-represented-host cut)
+# ---------------------------------------------------------------------------
+
+HOST_CAP_PPM = 50_000  # no host may contribute more than 5% of kept docs
+
+
+@register(
+    "host_downsample_cap",
+    # oracle assigned below with the {cdf} splice (host from the Zipf draw)
+)
+def host_downsample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each host's corpus share by deterministic rate-downsampling —
+    the over-represented-host cut every web corpus applies (a handful of
+    Zipf-top hosts otherwise dominate training). target(host) =
+    min(count, total * 5%); each doc keeps iff
+    floor(knuth_u(doc_id) * 1e6) < target * 1e6 div count — an exact
+    integer comparison both engines reproduce bit-for-bit.
+
+    Scale shape: host counts are one map-side-combinable agg (|hosts|
+    partials per task — skew-immune, same argument as
+    host_reputation_filter); the per-host rates broadcast back and the
+    keep verdict is a pure map — NO rank, NO per-host window, so the
+    Zipf-top host costs the same as any other. The trade vs an exact
+    per-host top-m (which needs the salted two-phase rank
+    crawl_frontier_slots uses): kept counts are Binomial(count, rate)
+    rather than exactly target — at 10^12 docs the relative deviation
+    ~1/sqrt(target) is negligible, and the verdict needs zero extra
+    shuffles."""
+    from .operators.sampling import knuth_u
+    from .text_queries import _host_idx_col
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _host_idx_col().alias("host_idx"))
+    counts = docs.groupBy("host_idx").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "host_idx",
+        "n_docs",
+        F.expr(
+            f"least(n_docs, total * {HOST_CAP_PPM} div 1000000) * 1000000 div n_docs"
+        ).alias("rate_ppm"),
+    )
+    u_ppm = F.floor(knuth_u(F.col("doc_id")) * 1_000_000)
+    return docs.join(F.broadcast(rates), "host_idx").select(
+        "doc_id",
+        _host_name_from_idx(F.col("host_idx")).alias("host"),
+        F.col("rate_ppm").cast("long").alias("rate_ppm"),
+        (u_ppm < F.col("rate_ppm")).alias("keep"),
+    )
+
+
+def _host_name_from_idx(idx_col):
+    return F.concat(
+        F.lit("host"),
+        F.lpad(idx_col.cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+
+
+def _host_downsample_oracle() -> str:
+    host_idx = f"len(list_filter({{cdf}}, c -> c < ({_knuth_u_sql('doc_id')})))"
+    return f"""
+    WITH h AS (SELECT doc_id, CAST({host_idx} AS INT) AS host_idx FROM documents),
+    counts AS (SELECT host_idx, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+    total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+    rates AS (
+      SELECT host_idx,
+             least(n_docs, total * {HOST_CAP_PPM} // 1000000) * 1000000 // n_docs
+               AS rate_ppm
+      FROM counts, total)
+    SELECT h.doc_id,
+           ('host' || CASE WHEN h.host_idx < 10 THEN '0' || CAST(h.host_idx AS VARCHAR)
+                           ELSE CAST(h.host_idx AS VARCHAR) END || '.example.com') AS host,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           (CAST(floor(({_knuth_u_sql('doc_id')}) * 1000000) AS BIGINT) < rate_ppm)
+             AS keep
+    FROM h JOIN rates USING (host_idx)
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n
+      FROM documents),
+    b AS (
+      SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket, n
+      FROM toks),
+    hist AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1)
+    SELECT bucket,
+           n_docs,
+           n_tokens,
+           CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS doc_share_ppm,
+           CAST(n_tokens * 1000000 // greatest(sum(n_tokens) OVER (), 1) AS BIGINT)
+             AS token_share_ppm
+    FROM hist
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile in exact log2 buckets — the curation-report
+    histogram (length cuts, truncation budgets, packing capacity are all
+    chosen off this shape). bucket = floor(log2(n_tokens)) + 1 computed
+    as length(bin(n)) — integer-exact in both engines, no libm float
+    log whose last ulp could flip a power-of-two boundary; empty docs
+    land in bucket 0. One map-side-combinable agg to a <= 64-row
+    histogram; the share columns are windows over that tiny table
+    only."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    b = d.select(
+        F.when(n == 0, 0).otherwise(F.length(F.bin(n.cast("long")))).alias("bucket"),
+        n.cast("long").alias("n"),
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy(F.col("bucket") % 1)  # tiny-table idiom
+    return hist.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 1000000").cast("long").alias("_d"),
+        F.expr("n_tokens * 1000000").cast("long").alias("_t"),
+        F.sum("n_docs").over(w_all).alias("_td"),
+        F.greatest(F.sum("n_tokens").over(w_all), F.lit(1)).alias("_tt"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.expr("_d div _td").alias("doc_share_ppm"),
+        F.expr("_t div _tt").alias("token_share_ppm"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())
 _ORACLES["cdx_url_index"] = _cdx_oracle().replace("{cdf}", _cdf_sql_fn())
+_ORACLES["host_downsample_cap"] = _host_downsample_oracle().replace(
+    "{cdf}", _cdf_sql_fn()
+)

@@ -41,6 +41,7 @@ WHITELIST: dict[str, str] = {
     "doc_tfidf_topk": "1-row corpus-size broadcast (|D| for the idf term)",
     "bloom_filter_stats": "three 1-row aggregates (eval count, position count, bitmap stats) cross-joined into the single stats row",
     "source_mix_apportionment": "1-row corpus token total broadcast over the |sources|x|langs| group table",
+    "host_downsample_cap": "1-row corpus doc total broadcast over the |hosts|-row counts table",
     "corpus_incremental_dedup": "1-row broadcast of the old-corpus high-water mark",
     "doc_sequence_packing": "per-bucket totals table (~|buckets| rows) broadcast back",
     "crawl_frontier_slots": "cumulative salt-group offsets (~|hosts|*salts rows) broadcast",

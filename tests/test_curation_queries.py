@@ -395,3 +395,54 @@ def test_apportionment_matches_pure_python_hamilton(spark):
         base[k] += 1
     got = {(r.source, r.lang): r.share_ppm for r in rows}
     assert got == base
+
+
+# ---------------------------------------------------------------------------
+# host downsample cap / length histogram
+# ---------------------------------------------------------------------------
+
+
+def test_host_cap_bounds_every_hosts_expected_share(spark):
+    """rate_ppm must equal the closed-form cap rule per host, and the
+    Zipf-top host must actually be cut (rate < 1e6) while tail hosts
+    keep everything."""
+    from ocr_wrapper_spark.curation_queries import HOST_CAP_PPM, host_downsample_cap
+
+    rows = host_downsample_cap(spark, SF_SMOKE).collect()
+    total = len(rows)
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    rates = {}
+    for host, hr in by_host.items():
+        n = len(hr)
+        expected_rate = min(n, total * HOST_CAP_PPM // 1_000_000) * 1_000_000 // n
+        assert all(r.rate_ppm == expected_rate for r in hr), host
+        rates[host] = expected_rate
+    assert min(rates.values()) < 1_000_000  # top host really capped
+    assert max(rates.values()) == 1_000_000  # tail hosts untouched
+    # verdicts are the deterministic hash rule: kept set is reproducible
+    again = {r.doc_id: r.keep for r in host_downsample_cap(spark, SF_SMOKE).collect()}
+    assert {r.doc_id: r.keep for r in rows} == again
+
+
+def test_length_histogram_is_exact_log2(spark):
+    """Buckets and shares recomputed from raw token counts."""
+    from ocr_wrapper_spark.curation_queries import doc_length_histogram
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    ns = [len(d.text.split(" ")) if d.text else 0 for d in docs]
+    hist: dict[int, list[int]] = {}
+    for n in ns:
+        b = 0 if n == 0 else n.bit_length()
+        hist.setdefault(b, [0, 0])
+        hist[b][0] += 1
+        hist[b][1] += n
+    td, tt = sum(v[0] for v in hist.values()), max(1, sum(v[1] for v in hist.values()))
+    rows = doc_length_histogram(spark, SF_SMOKE).collect()
+    got = {r.bucket: (r.n_docs, r.n_tokens, r.doc_share_ppm, r.token_share_ppm) for r in rows}
+    expected = {
+        b: (v[0], v[1], v[0] * 1_000_000 // td, v[1] * 1_000_000 // tt)
+        for b, v in hist.items()
+    }
+    assert got == expected
