@@ -451,23 +451,37 @@ _I8_QUANT_CTE_SQL = """quant AS (
             FROM embeddings))"""
 
 
+def semdedup_n_centroids(n_vectors: int) -> int:
+    """Coarse-cluster count scaled with corpus size: the smallest power
+    of two >= sqrt(N) (floored at 16), so expected cluster size is
+    ~sqrt(N) and the in-cluster pairwise stage stays ~N*sqrt(N) total
+    pairs instead of N^2/k. Integer-exact mirror of the SQL
+    `1 << ((length(bin(N-1)) + 1) // 2)` (the max(16, .) floor absorbs
+    the N=1 bin('0') edge where the two bit-length conventions differ)."""
+    bl = (n_vectors - 1).bit_length() if n_vectors > 1 else 0
+    return max(16, 1 << ((bl + 1) // 2))
+
+
 def _semantic_dedup_oracle() -> str:
-    from .operators.similarity import N_CENTROIDS as _nc
     from .operators.similarity import _CODE_OFFSET as _off
 
     tn2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     td2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
     return f"""
-    WITH c AS (
+    WITH k1 AS (
+      SELECT greatest(16, CAST(1 AS BIGINT)
+               << CAST((length(bin(count(*) - 1)) + 1) // 2 AS INT)) AS k
+      FROM embeddings),
+    c AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id < {_nc}),
+      FROM embeddings, k1 WHERE vec_id < k1.k),
     enc AS (
-      SELECT e.vec_id, c.cid,
+      SELECT e.vec_id, c.cid, k1.k,
              CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
-                  * 1000000 + {_off} AS BIGINT) * {_nc} + ({_nc} - 1 - c.cid) AS code
-      FROM embeddings e CROSS JOIN c),
+                  * 1000000 + {_off} AS BIGINT) * k1.k + (k1.k - 1 - c.cid) AS code
+      FROM embeddings e CROSS JOIN c CROSS JOIN k1),
     assigned AS (
-      SELECT vec_id, CAST({_nc} - 1 - (max(code) % {_nc}) AS INT) AS cluster
+      SELECT vec_id, CAST(max(k) - 1 - (max(code) % max(k)) AS INT) AS cluster
       FROM enc GROUP BY vec_id),
     {_I8_QUANT_CTE_SQL},
     qq AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS q2 FROM quant),
@@ -501,24 +515,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     18 bits to spare, and NO float comparison sits on the keep/drop
     boundary.
 
-    Scale shape: the pairwise stage is a cluster-keyed self equi-join —
-    at real scale n_centroids grows ~sqrt(N) so inverted lists stay
-    bounded (the SemDeDup paper runs 50k clusters for 5B embeddings),
-    and the dup verdict is an aggregation over in-cluster pairs only.
-    Zero-norm vectors never match anything (q2 > 0 guard) rather than
-    matching everything through a 0 >= 0 degeneracy."""
-    from .operators.similarity import (
-        N_CENTROIDS,
-        seed_centroids,
-        top_clusters_pandas_udf,
-    )
+    Scale shape: n_centroids grows with the corpus —
+    semdedup_n_centroids(N) ~ sqrt(N) — so expected cluster size is
+    ~sqrt(N) and the cluster-keyed self equi-join generates ~N*sqrt(N)
+    candidate pairs total, never N^2/k with a fixed k (a FIXED 16
+    centroids hung the 50k-doc replica check at ~78M pairs — the exact
+    blowup the replica exists to catch; the SemDeDup paper likewise
+    runs 50k clusters for 5B embeddings). The count() that sizes the
+    quantizer is one driver-side scalar, same cost class as the seed
+    collect. Zero-norm vectors never match anything (q2 > 0 guard)
+    rather than matching everything through a 0 >= 0 degeneracy."""
+    from .operators.similarity import seed_centroids, top_clusters_pandas_udf
 
     e = _t(spark, sf_dir, "embeddings")
     import numpy as np
 
-    C = seed_centroids(e)
+    n_centroids = semdedup_n_centroids(e.count())
+    C = seed_centroids(e, n_centroids=n_centroids)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    assign = top_clusters_pandas_udf(Cn, N_CENTROIDS, 1)
+    assign = top_clusters_pandas_udf(Cn, n_centroids, 1)
     quant = e.select(
         "vec_id",
         F.element_at(assign(F.col("embedding")), 1).alias("cluster"),

@@ -287,9 +287,9 @@ def test_semantic_dedup_verdicts_match_numpy(spark):
         SEMDEDUP_TAU_DEN,
         SEMDEDUP_TAU_NUM,
         semantic_dedup,
+        semdedup_n_centroids,
     )
     from ocr_wrapper_spark.operators.similarity import (
-        N_CENTROIDS,
         _cluster_code_matrix,
         _quantize_i8,
     )
@@ -300,10 +300,11 @@ def test_semantic_dedup_verdicts_match_numpy(spark):
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
 
-    C = V[ids < N_CENTROIDS]
+    n_centroids = semdedup_n_centroids(len(ids))
+    C = V[ids < n_centroids]
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    codes = _cluster_code_matrix(Vn, Cn, N_CENTROIDS)
+    codes = _cluster_code_matrix(Vn, Cn, n_centroids)
     cluster = np.argmax(codes, axis=1)
     Q = _quantize_i8(V).astype(np.int64)
     q2 = (Q * Q).sum(axis=1)
