@@ -197,10 +197,9 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LM_MOD, LM_REM = 3, 0  # the "reference corpus" slice the LM trains on
 
-
-@register(
-    "doc_bigram_lm_score",
-    f"""
+# the bigram-LM scoring chain as a shared CTE prefix — used verbatim by
+# doc_bigram_lm_score's oracle and re-used by ccnet_lang_buckets below
+_LM_SCORE_CTES = f"""
     WITH toks AS (
       SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
       FROM documents WHERE text <> ''),
@@ -217,7 +216,12 @@ LM_MOD, LM_REM = 3, 0  # the "reference corpus" slice the LM trains on
       FROM bi LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
     agg AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(p) AS s
-      FROM p GROUP BY 1)
+      FROM p GROUP BY 1)"""
+
+
+@register(
+    "doc_bigram_lm_score",
+    f"""{_LM_SCORE_CTES}
     SELECT d.doc_id,
            CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(s // nb, 0) AS BIGINT) AS fluency_ppm
@@ -241,6 +245,13 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurring 9 trillion times) rescale both counts by 2^k first.
     Empty and single-token documents get an explicit n_bigrams=0,
     fluency_ppm=0 verdict rather than being dropped."""
+    return _fluency_frame(spark, sf_dir)
+
+
+def _fluency_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, fluency_ppm) for every document — the
+    bigram-LM scoring chain shared by doc_bigram_lm_score and
+    ccnet_lang_buckets."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -276,6 +287,76 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("nb"), F.lit(0).cast("long")).alias("n_bigrams"),
         F.coalesce(F.expr("s div nb"), F.lit(0).cast("long")).alias("fluency_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail corpus partition
+# ---------------------------------------------------------------------------
+
+CCNET_PARTS = 3  # head / middle / tail
+
+
+@register(
+    "ccnet_lang_buckets",
+    f"""{_LM_SCORE_CTES},
+    f AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(s // nb, 0) AS BIGINT) AS fluency_ppm
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+    hist AS (
+      SELECT lang, fluency_ppm AS b, CAST(count(*) AS BIGINT) AS c
+      FROM f GROUP BY 1, 2),
+    t AS (
+      SELECT lang, b,
+             coalesce(sum(c) OVER (PARTITION BY lang ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+             sum(c) OVER (PARTITION BY lang) AS total
+      FROM hist)
+    SELECT f.doc_id, f.lang, f.fluency_ppm,
+           CASE ({CCNET_PARTS} * lt) // total
+                WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ccnet_bucket
+    FROM f JOIN t ON t.lang = f.lang AND t.b = f.fluency_ppm
+    """,
+)
+def ccnet_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining output shape: every document assigned to the
+    head / middle / tail of ITS LANGUAGE by LM fluency (Wenzek et al.
+    2020 split their KenLM-scored corpus into per-language perplexity
+    tertiles; head trains the big models). Exact population tertiles
+    with NO global sort and NO per-language sort: the fluency score is
+    integer ppm — a BOUNDED domain whatever the corpus size — so the
+    boundary computation runs on a (lang, score)-histogram of at most
+    |langs| * 1e6 rows: map-side-combined groupBy, a per-language
+    prefix sum over the tiny histogram, broadcast join back.
+    bucket = (3 * |docs of this lang with smaller score|) div |lang
+    docs| — deterministic under ties (equal scores share a bucket).
+    Higher fluency => 'head', mirroring CCNet's lower-perplexity-is-
+    better ordering. The lang window partitions a bounded histogram,
+    not the corpus, so the Zipf language skew (English ~half the web)
+    never concentrates document rows in one task."""
+    d = _t(spark, sf_dir, "documents")
+    f_ = _fluency_frame(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    hist = f_.groupBy("lang", "fluency_ppm").agg(F.count("*").cast("long").alias("c"))
+    w_lt = (
+        Window.partitionBy("lang")
+        .orderBy("fluency_ppm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    t = hist.select(
+        "lang",
+        "fluency_ppm",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("lt"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    tier = F.expr(f"({CCNET_PARTS} * lt) div total")
+    return f_.join(F.broadcast(t), ["lang", "fluency_ppm"]).select(
+        "doc_id",
+        "lang",
+        "fluency_ppm",
+        F.when(tier == 2, "head").when(tier == 1, "middle").otherwise("tail").alias("ccnet_bucket"),
     )
 
 

@@ -610,3 +610,162 @@ def html_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_links"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET-style conversion records over the extraction chain
+# ---------------------------------------------------------------------------
+
+# the page-url anatomy (sources/pages.py build_page_rows), recomputed
+# closed-form: Zipf host + lang + zero-padded-but-widening doc id + the
+# dialect extension
+_PAD10_SQL = (
+    "concat(repeat('0', greatest(0, 10 - length(CAST(doc_id AS VARCHAR)))),"
+    " CAST(doc_id AS VARCHAR))"
+)
+_EXT_SQL = """
+    CASE WHEN doc_id % 5 = 3 THEN 'pdf'
+         WHEN doc_id % 5 = 1 THEN 'json'
+         WHEN doc_id % 5 = 4 THEN 'hocr'
+         WHEN doc_id % 10 = 7 THEN 'textract' ELSE 'html' END
+"""
+_WET_HEADER = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+# the same header as a DuckDB e-string body (literal \r\n escapes)
+_WET_HEADER_E = _WET_HEADER.replace("\r", "\\r").replace("\n", "\\n")
+
+
+@register(
+    "wet_export_digest",
+    f"""
+    WITH hosted AS (
+      SELECT doc_id, text, lang,
+             len(list_filter({_host_cdf_sql()},
+                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+             AS host_idx
+      FROM documents),
+    u AS (
+      SELECT doc_id, text,
+             concat('https://host', lpad(CAST(host_idx AS VARCHAR), 2, '0'),
+                    '.example.com/', lang, '/', {_PAD10_SQL}, '.', {_EXT_SQL}) AS url
+      FROM hosted)
+    SELECT doc_id, url,
+           CAST(length(text) AS BIGINT) AS content_length,
+           md5(concat(e'{_WET_HEADER_E}', url,
+                      e'\\r\\nContent-Length: ', CAST(length(text) AS VARCHAR),
+                      e'\\r\\n\\r\\n', text)) AS record_md5
+    FROM u
+    """,
+)
+def wet_export_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style conversion records (the Common Crawl text derivative):
+    every page becomes a ``WARC-Type: conversion`` record — target URI,
+    Content-Length, then the EXTRACTED text — and the query emits each
+    record's length header plus an md5 digest of the full record bytes.
+    A consumer of CC WET files gets the same per-url record layout from
+    this engine; the digest makes the check end-to-end byte-exact
+    through url synthesis AND the whole extraction chain (boilerplate
+    strip / PDF parse / rotation / reading order), not just the text
+    column.
+
+    Scale shape: one narrow map over the fused extraction output (url
+    and text never leave the executor between extraction and digest; no
+    shuffle at all — the record assembly is pure JVM concat + md5). The
+    oracle recomputes the url closed-form (Zipf host cdf + widening id
+    pad) and the record digest from `documents`, so a single byte of
+    drift anywhere in the chain fails the hash."""
+    from .operators.extract import extract_documents_fused
+
+    result = extract_documents_fused(spark, sf_dir)
+    rec = F.concat(
+        F.lit(_WET_HEADER),
+        F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        F.length("extracted_text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("extracted_text"),
+    )
+    return result.select(
+        "doc_id",
+        "url",
+        F.length("extracted_text").cast("long").alias("content_length"),
+        F.md5(rec).alias("record_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-density profile over the RAW html payloads
+# ---------------------------------------------------------------------------
+
+_ADS_LITS = ", ".join(f"'{w}'" for w in pages_src._BOILER_ADS)
+
+
+@register(
+    "html_text_density",
+    f"""
+    WITH h AS (
+      SELECT doc_id, text, {_RNG63_SQL} AS rng,
+             CASE WHEN text = '' THEN 0 ELSE len(str_split(text, ' ')) END AS n
+      FROM documents WHERE {_HTML_SLICE_SQL}),
+    m AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n = 0 THEN 0
+                  WHEN (n + 39) // 40 > 1 AND (n % 40) BETWEEN 1 AND 14
+                  THEN (n + 39) // 40 - 1
+                  ELSE (n + 39) // 40 END AS n_paras,
+             len(array_to_string(list_slice([{_NAV_LITS}], 1,
+                 CAST(3 + rng % 5 AS INT)), ''))
+               + {4 * len("site")}
+               + len(array_to_string(list_slice([{_FOOT_LITS}], 1,
+                 CAST(3 + rng % 3 AS INT)), '')) AS anchor_chars,
+             len(([{_ADS_LITS}])[CAST(rng % 4 AS INT) + 1]) AS ad_chars
+      FROM h)
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE length(text) - (n_paras - 1) END AS BIGINT) AS content_chars,
+           CAST(anchor_chars AS BIGINT) AS anchor_chars,
+           CAST(ad_chars AS BIGINT) AS ad_chars,
+           CAST(anchor_chars * 1000000 //
+                (anchor_chars + ad_chars +
+                 CASE WHEN n = 0 THEN 0 ELSE length(text) - (n_paras - 1) END)
+                AS BIGINT) AS link_density_ppm
+    FROM m
+    """,
+)
+def html_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page text-density / link-density profile over the RAW html
+    bytes — the diagnostic view of the exact signal the boilerplate
+    strip keys on (north rule: "HTML boilerplate stripping via
+    text-density DOM heuristics"): paragraph count, main-content chars,
+    anchor-text chars (nav wall + outlinks + footer), ad chars, and the
+    page-level link-density in integer ppm. Production use: corpus-wide
+    chrome-share monitoring and per-template threshold tuning for the
+    density cut.
+
+    Scale shape: three regexp_extract_all passes + array_join lengths,
+    all JVM expressions inside one narrow projection of the page scan
+    (ReadSchema prunes to url+html); NO shuffle — the profile is
+    per-row. The oracle recomputes every count closed-form from the
+    generator's LCG, so the check covers payload bytes, UTF-8 decode,
+    and the regex semantics end to end."""
+    from .sources.pages import materialize_pages
+
+    pages = spark.read.parquet(materialize_pages(spark, sf_dir))
+    doc_id = pages_src.doc_id_from_url()
+    html_pages = pages.select(
+        doc_id.alias("doc_id"), F.col("html").cast("string").alias("page")
+    ).filter(pages_src.html_slice_filter(F.col("doc_id")))
+    paras = F.regexp_extract_all("page", F.lit(r"<p>([^<]*)</p>"), F.lit(1))
+    anchors = F.regexp_extract_all("page", F.lit(r'<a href="[^"]*">([^<]*)</a>'), F.lit(1))
+    ad = F.regexp_extract("page", r'<aside class="ad">([^<]*)</aside>', 1)
+    profiled = html_pages.select(
+        "doc_id",
+        F.size(paras).cast("long").alias("n_paras"),
+        F.length(F.array_join(paras, "")).cast("long").alias("content_chars"),
+        F.length(F.array_join(anchors, "")).cast("long").alias("anchor_chars"),
+        F.length(ad).cast("long").alias("ad_chars"),
+    )
+    return profiled.withColumn(
+        "link_density_ppm",
+        F.expr("anchor_chars * 1000000 div (anchor_chars + ad_chars + content_chars)"),
+    )
