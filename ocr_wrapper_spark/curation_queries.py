@@ -1012,6 +1012,126 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance weighting
+# ---------------------------------------------------------------------------
+
+DSIR_B = 1 << 10  # hashed feature buckets (Xie et al. 2023 use 10^4; same shape)
+DSIR_TARGET_LANG = "en"  # the "target domain" sample: the corpus's en slice
+DSIR_SELECT_PPM = 1_000_000  # selection bar: more target-like than raw parity
+
+# bucket of one token: 60 unsigned bits of md5, masked to B buckets —
+# the same two-engine-exact hex parse the Bloom filter uses.
+_DSIR_BUCKET_SQL = f"{_HEX_A_SQL.format(fp='md5(w)')} % {DSIR_B}"
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+      FROM documents WHERE text <> ''),
+    b AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM toks),
+    q AS (SELECT bucket, CAST(count(*) AS BIGINT) AS qc0 FROM b GROUP BY 1),
+    p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS pc0
+          FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    s AS (
+      SELECT q.bucket, q.qc0 + 1 AS qc, coalesce(p.pc0, 0) + 1 AS pc
+      FROM q LEFT JOIN p USING (bucket)),
+    t AS (SELECT CAST(sum(qc) AS BIGINT) AS qt, CAST(sum(pc) AS BIGINT) AS pt
+          FROM s),
+    r AS (SELECT bucket, 1000000 * pc * qt // (qc * pt) AS r_ppm FROM s, t),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(r_ppm) AS BIGINT) AS sr
+      FROM b JOIN r USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sr // nt, 0) AS BIGINT) AS dsir_weight_ppm,
+           coalesce(sr // nt, 0) >= {DSIR_SELECT_PPM} AS selected
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): every raw
+    document gets an importance weight from hashed-token bag-of-words
+    models of the TARGET domain (here the corpus's `en` slice — the
+    stand-in for "looks like Wikipedia") vs the RAW corpus. Each token
+    hashes into one of B={DSIR_B} buckets; with add-1 smoothing,
+    p_b / q_b is the target/raw likelihood ratio of bucket b, and a
+    document's weight is the mean per-token ratio in integer ppm
+    (linear-space mean rather than DSIR's log-space sum — the monotone
+    integer-exact surrogate, same discipline as doc_tfidf_topk's
+    integer relevance; no libm log whose last ulp differs across
+    engines). `selected` marks documents above raw parity (ratio >= 1):
+    the resampling keep-set.
+
+    Scale shape: tokenize + md5-bucket is a pure map over the scan
+    (B bounds the feature space however large the vocabulary — that is
+    the point of DSIR's hashing); both count tables collapse to <= B
+    rows with map-side partial aggregation; the ratio table (B rows)
+    and the 1-row totals are broadcast, so the ONLY corpus-scale
+    exchange is the per-doc re-aggregation — empty docs come from a
+    separate filter of the same scan and union in with literal
+    verdicts, so no doc_id-keyed join back to the corpus ever happens.
+    int64 bounds: the ppm product needs 1e6 * pc * qt < 2^63, i.e.
+    corpus-token-count * hottest-bucket-count < 9.2e12 — past that,
+    rescale both counts by 2^k before the ratio (documented, same
+    convention as doc_bigram_lm_score). Empty docs get an explicit
+    n_tokens=0, weight=0, selected=false verdict."""
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        d.filter(F.col("text") != "")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            (_hex_slice_col(F.md5("w"), 1) % DSIR_B).alias("bucket"),
+        )
+    )
+    q = b.groupBy("bucket").agg(F.count("*").alias("qc0"))
+    p = (
+        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("pc0"))
+    )
+    s = q.join(F.broadcast(p), "bucket", "left").select(
+        "bucket",
+        (F.col("qc0") + 1).alias("qc"),
+        (F.coalesce("pc0", F.lit(0)) + 1).alias("pc"),
+    )
+    t = s.agg(
+        F.sum("qc").cast("long").alias("qt"), F.sum("pc").cast("long").alias("pt")
+    )
+    r = (
+        s.crossJoin(F.broadcast(t))
+        .select("bucket", F.expr("1000000 * pc * qt div (qc * pt)").alias("r_ppm"))
+    )
+    agg = (
+        b.join(F.broadcast(r), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").cast("long").alias("nt"), F.sum("r_ppm").alias("sr"))
+    )
+    w = F.expr("sr div nt")
+    scored = agg.select(
+        "doc_id",
+        "lang",
+        F.col("nt").alias("n_tokens"),
+        w.alias("dsir_weight_ppm"),
+        (w >= DSIR_SELECT_PPM).alias("selected"),
+    )
+    empty = d.filter(F.col("text") == "").select(
+        "doc_id",
+        "lang",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("dsir_weight_ppm"),
+        F.lit(False).alias("selected"),
+    )
+    return scored.unionByName(empty)
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())

@@ -49,6 +49,7 @@ WHITELIST: dict[str, str] = {
     "crawl_ingest_funnel": "composition of the two above (both tiny sides)",
     "streaming_watermark_join": "batch-equivalence check joins two bounded stream snapshots",
     "crawl_hits": "1-row L1-normalization total broadcast over the |hosts|-row score vector",
+    "dsir_importance_weights": "1-row smoothed token totals (qt, pt) cross-joined onto the <=B-row bucket-ratio table",
 }
 
 

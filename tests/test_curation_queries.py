@@ -447,3 +447,115 @@ def test_length_histogram_is_exact_log2(spark):
         for b, v in hist.items()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+def _dsir_expected(docs):
+    """Pure-python replica of the DSIR arithmetic: docs is a list of
+    (doc_id, lang, text); returns {doc_id: (n_tokens, weight_ppm,
+    selected)}."""
+    import hashlib
+
+    from ocr_wrapper_spark.curation_queries import (
+        DSIR_B,
+        DSIR_SELECT_PPM,
+        DSIR_TARGET_LANG,
+    )
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % DSIR_B
+
+    q: dict[int, int] = {}
+    p: dict[int, int] = {}
+    for _, lang, text in docs:
+        if text == "":
+            continue
+        for w in text.split(" "):
+            b = bucket(w)
+            q[b] = q.get(b, 0) + 1
+            if lang == DSIR_TARGET_LANG:
+                p[b] = p.get(b, 0) + 1
+    qc = {b: c + 1 for b, c in q.items()}
+    pc = {b: p.get(b, 0) + 1 for b in q}
+    qt, pt = sum(qc.values()), sum(pc.values())
+    r = {b: 1_000_000 * pc[b] * qt // (qc[b] * pt) for b in q}
+    out = {}
+    for doc_id, _, text in docs:
+        if text == "":
+            out[doc_id] = (0, 0, False)
+            continue
+        toks = text.split(" ")
+        s = sum(r[bucket(w)] for w in toks)
+        w_ppm = s // len(toks)
+        out[doc_id] = (len(toks), w_ppm, w_ppm >= DSIR_SELECT_PPM)
+    return out
+
+
+def _write_lang_docs(tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    pdf["source"] = "test"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+    return str(tmp_path)
+
+
+def test_dsir_weights_match_pure_python(spark, tmp_path):
+    """Exact arithmetic replica over a mixed-language corpus, including
+    the empty-doc verdict and an off-target doc built from target-heavy
+    tokens (which must still score high — DSIR weights tokens, not
+    labels)."""
+    from ocr_wrapper_spark.curation_queries import dsir_importance_weights
+
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog ran to the park"),
+        (2, "de", "der hund lief zum park"),
+        (3, "fr", "le chat dort sur le tapis"),
+        (4, "de", "the cat ran to the mat"),  # target tokens, raw label
+        (5, "en", ""),
+    ]
+    sf_dir = _write_lang_docs(tmp_path, docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight_ppm, r.selected)
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert got == _dsir_expected(docs)
+    # the target-shaped doc with a raw label is kept; pure off-target text is not
+    assert got[4][2] is True
+    assert got[2][2] is False and got[3][2] is False
+
+
+def test_dsir_empty_target_slice_still_scores(spark, tmp_path):
+    """No en docs at all: add-1 smoothing keeps every ratio defined
+    (uniform p), so weights exist and nothing crashes or drops."""
+    from ocr_wrapper_spark.curation_queries import dsir_importance_weights
+
+    docs = [(0, "de", "ein zwei drei"), (1, "fr", "un deux trois")]
+    sf_dir = _write_lang_docs(tmp_path, docs)
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert all(r.dsir_weight_ppm > 0 for r in rows)
+    assert _dsir_expected(docs) == {
+        r.doc_id: (r.n_tokens, r.dsir_weight_ppm, r.selected) for r in rows
+    }
+
+
+def test_dsir_scoring_plan_is_broadcast(spark):
+    """The token stream must meet the B-row ratio table through a
+    broadcast hash join — a sort-merge exchange of the exploded token
+    stream would shuffle |corpus tokens| rows at 10^12 docs."""
+    from ocr_wrapper_spark.curation_queries import dsir_importance_weights
+
+    plan = (
+        dsir_importance_weights(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
