@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
-    # round-5 session-7 addition: never snapshotted
+    # round-5 session-7 additions: never snapshotted
     "dsir_importance_weights",
+    "recrawl_schedule",
     # round-5 session-6 additions: never snapshotted
     "wet_export_digest",
     "html_text_density",

@@ -1132,6 +1132,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.unionByName(empty)
 
 
+# ---------------------------------------------------------------------------
+# recrawl scheduling from capture-to-capture change rates
+# ---------------------------------------------------------------------------
+
+RECRAWL_CAPTURES = 2  # adjacent doc_ids fold into one url's capture history
+RECRAWL_HOT_PPM = 500_000  # >= half the observed intervals changed
+
+
+@register(
+    "recrawl_schedule",
+    f"""
+    WITH caps AS (
+      SELECT doc_id // {RECRAWL_CAPTURES} AS url_key, {FP_MD5_SQL} AS fp
+      FROM documents),
+    agg AS (
+      SELECT url_key,
+             CAST(count(*) AS BIGINT) AS n_captures,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_versions
+      FROM caps GROUP BY 1)
+    SELECT url_key, n_captures, n_versions,
+           1000000 * (n_versions - 1) // greatest(n_captures - 1, 1)
+             AS change_rate_ppm,
+           CASE WHEN 1000000 * (n_versions - 1) // greatest(n_captures - 1, 1)
+                     >= {RECRAWL_HOT_PPM} THEN 'hot'
+                WHEN n_versions > 1 THEN 'warm'
+                ELSE 'frozen' END AS recrawl_tier
+    FROM agg
+    """,
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-frequency estimation (Cho & Garcia-Molina 2003, "Effective
+    page refresh policies for web crawlers", public): each url's capture
+    history — here the deterministic fold of {RECRAWL_CAPTURES} adjacent
+    doc_ids into one url, the small-scale stand-in for a CDX capture
+    index — yields an observed change rate: distinct content
+    fingerprints per fetch interval, in integer ppm. The scheduler reads
+    the tier: `hot` urls (changed at least every other fetch) get
+    short revisit intervals, `warm` changed at least once, `frozen`
+    never changed and decays to the longest interval. The classic
+    freshness-vs-politeness knob a production crawler runs over its
+    whole capture index.
+
+    Scale shape: fingerprint is a pure map over the scan; one
+    url_key-keyed aggregation with map-side partials — the version
+    count is size(collect_set(fp)), NOT count(DISTINCT fp): the set is
+    bounded by {RECRAWL_CAPTURES} elements per key, so it partial-
+    aggregates map-side in ONE keyed exchange where the DISTINCT
+    rewrite would plan a second (url_key, fp)-keyed exchange; the tier
+    is a JVM CASE over the aggregate. One shuffle total, no join, no
+    window."""
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.expr(f"doc_id div {RECRAWL_CAPTURES}").alias("url_key"),
+        fp_md5_col(F.col("text")).alias("fp"),
+    )
+    agg = caps.groupBy("url_key").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.size(F.collect_set("fp")).cast("long").alias("n_versions"),
+    )
+    rate = F.expr("1000000 * (n_versions - 1) div greatest(n_captures - 1, 1)")
+    return agg.select(
+        "url_key",
+        "n_captures",
+        "n_versions",
+        rate.alias("change_rate_ppm"),
+        F.when(rate >= RECRAWL_HOT_PPM, "hot")
+        .when(F.col("n_versions") > 1, "warm")
+        .otherwise("frozen")
+        .alias("recrawl_tier"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())

@@ -559,3 +559,39 @@ def test_dsir_scoring_plan_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_tiers_match_fingerprint_history(spark, tmp_path):
+    """Planted capture histories: identical captures -> frozen, all
+    distinct -> hot; normalization-equal captures share a fingerprint."""
+    from ocr_wrapper_spark.curation_queries import recrawl_schedule
+
+    docs = [
+        (0, "stable page text"),
+        (1, "stable   page\ttext "),  # same fp after normalization
+        (2, "version one"),
+        (3, "version two"),
+    ]
+    sf_dir = _write_docs(tmp_path, docs)
+    got = {r.url_key: r for r in recrawl_schedule(spark, sf_dir).collect()}
+    assert got[0].n_versions == 1 and got[0].recrawl_tier == "frozen"
+    assert got[0].change_rate_ppm == 0
+    assert got[1].n_versions == 2 and got[1].recrawl_tier == "hot"
+    assert got[1].change_rate_ppm == 1_000_000
+
+
+def test_recrawl_single_shuffle_no_join(spark):
+    """One keyed aggregation is the whole plan: no join, no window, no
+    second exchange above the partial agg."""
+    from ocr_wrapper_spark.curation_queries import recrawl_schedule
+
+    plan = (
+        recrawl_schedule(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
