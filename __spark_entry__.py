@@ -44,6 +44,7 @@ _VERIFY_PRIORITY = [
     # round-5 session-7 additions: never snapshotted
     "dsir_importance_weights",
     "recrawl_schedule",
+    "training_shard_manifest",
     # round-5 session-6 additions: never snapshotted
     "wet_export_digest",
     "html_text_density",

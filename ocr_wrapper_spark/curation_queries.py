@@ -1204,6 +1204,85 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-shard manifest (the write-path balance report)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64  # output shards a training run streams in parallel
+
+
+@register(
+    "training_shard_manifest",
+    f"""
+    WITH caps AS (
+      SELECT {_HEX_A_SQL.format(fp=FP_MD5_SQL)} % {N_SHARDS} AS shard_id,
+             CASE WHEN text = '' THEN 0
+                  ELSE len(str_split(text, ' ')) END AS n,
+             length(text) AS nb
+      FROM documents),
+    agg AS (
+      SELECT shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(nb) AS BIGINT) AS n_bytes
+      FROM caps GROUP BY 1)
+    SELECT shard_id, n_docs, n_tokens, n_bytes,
+           CAST(n_tokens * 1000000 // greatest(sum(n_tokens) OVER (), 1)
+                AS BIGINT) AS token_share_ppm,
+           CAST(abs(n_tokens * {N_SHARDS} * 1000000
+                    // greatest(sum(n_tokens) OVER (), 1) - 1000000)
+                AS BIGINT) AS imbalance_ppm
+    FROM agg
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-path manifest: every document is assigned to one of
+    {N_SHARDS} output shards by CONTENT fingerprint (60 unsigned md5
+    bits, mod shards — stable across reruns and re-partitions, so a
+    resumed writer re-creates byte-identical shards), and the manifest
+    reports per-shard doc/token/byte totals plus balance: token share
+    in ppm and the deviation from the ideal 1/shards split
+    (imbalance_ppm = |share * shards - 1| in ppm). A training loader
+    consumes exactly this table to stripe shards over data-parallel
+    readers; the imbalance column is the alarm that a shard function
+    went skewed.
+
+    Scale shape: shard assignment is a pure map over the scan; one
+    {N_SHARDS}-group aggregation with map-side partials; share math is
+    windows over the {N_SHARDS}-row table only. At 10^12 docs the md5
+    shard key is uniform by construction — expected imbalance is
+    O(1/sqrt(docs per shard)) ppm, and the manifest proves it."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    caps = d.select(
+        (_hex_slice_col(fp_md5_col(F.col("text")), 1) % N_SHARDS).alias("shard_id"),
+        n.cast("long").alias("n"),
+        F.length("text").cast("long").alias("nb"),
+    )
+    agg = caps.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("nb").cast("long").alias("n_bytes"),
+    )
+    w_all = Window.partitionBy(F.col("shard_id") % 1)  # tiny-table idiom
+    return agg.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.expr("n_tokens * 1000000").alias("_t6"),
+        F.expr(f"n_tokens * {N_SHARDS} * 1000000").alias("_ts6"),
+        F.greatest(F.sum("n_tokens").over(w_all), F.lit(1)).alias("_tt"),
+    ).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.expr("_t6 div _tt").alias("token_share_ppm"),
+        F.abs(F.expr("_ts6 div _tt") - 1_000_000).cast("long").alias("imbalance_ppm"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())

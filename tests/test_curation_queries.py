@@ -595,3 +595,44 @@ def test_recrawl_single_shuffle_no_join(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_accounts_for_every_doc_and_token(spark):
+    """Shard totals partition the corpus exactly: sums over the manifest
+    equal corpus totals, every shard id is in range, and the share/
+    imbalance columns recompute from the totals."""
+    from ocr_wrapper_spark.curation_queries import N_SHARDS, training_shard_manifest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    total_docs = len(docs)
+    total_tokens = sum(len(d.text.split(" ")) if d.text else 0 for d in docs)
+    total_bytes = sum(len(d.text) for d in docs)
+    rows = training_shard_manifest(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert sum(r.n_bytes for r in rows) == total_bytes
+    assert all(0 <= r.shard_id < N_SHARDS for r in rows)
+    tt = max(total_tokens, 1)
+    for r in rows:
+        assert r.token_share_ppm == r.n_tokens * 1_000_000 // tt
+        assert r.imbalance_ppm == abs(r.n_tokens * N_SHARDS * 1_000_000 // tt - 1_000_000)
+
+
+def test_shard_assignment_is_content_stable(spark, tmp_path):
+    """The same text lands in the same shard whatever its doc_id — the
+    writer-resume guarantee — and normalization-equal texts share a
+    shard."""
+    from ocr_wrapper_spark.curation_queries import training_shard_manifest
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    sf_a = _write_docs(tmp_path / "a", [(1, "the quick brown fox"), (2, "zzz")])
+    sf_b = _write_docs(tmp_path / "b", [(900, "the  quick brown\tfox"), (901, "zzz")])
+    a = {r.n_bytes: r.shard_id for r in training_shard_manifest(spark, sf_a).collect()}
+    b = {r.n_bytes: r.shard_id for r in training_shard_manifest(spark, sf_b).collect()}
+    assert a[3] == b[3]  # "zzz" shard is doc_id-independent
