@@ -1033,12 +1033,12 @@ _DSIR_BUCKET_SQL = f"{_HEX_A_SQL.format(fp='md5(w)')} % {DSIR_B}"
       FROM documents WHERE text <> ''),
     b AS (
       SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM toks),
-    q AS (SELECT bucket, CAST(count(*) AS BIGINT) AS qc0 FROM b GROUP BY 1),
-    p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS pc0
-          FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
     s AS (
-      SELECT q.bucket, q.qc0 + 1 AS qc, coalesce(p.pc0, 0) + 1 AS pc
-      FROM q LEFT JOIN p USING (bucket)),
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) + 1 AS qc,
+             CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}')
+                  AS BIGINT) + 1 AS pc
+      FROM b GROUP BY 1),
     t AS (SELECT CAST(sum(qc) AS BIGINT) AS qt, CAST(sum(pc) AS BIGINT) AS pt
           FROM s),
     r AS (SELECT bucket, 1000000 * pc * qt // (qc * pt) AS r_ppm FROM s, t),
@@ -1070,12 +1070,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokenize + md5-bucket is a pure map over the scan
     (B bounds the feature space however large the vocabulary — that is
-    the point of DSIR's hashing); both count tables collapse to <= B
-    rows with map-side partial aggregation; the ratio table (B rows)
-    and the 1-row totals are broadcast, so the ONLY corpus-scale
-    exchange is the per-doc re-aggregation — empty docs come from a
-    separate filter of the same scan and union in with literal
-    verdicts, so no doc_id-keyed join back to the corpus ever happens.
+    the point of DSIR's hashing); ONE <=B-row aggregation builds both
+    models (count + filtered count per bucket, map-side partials — no
+    separate target pass, no q-p join); the ratio table (B rows) and
+    the 1-row totals are broadcast, so the ONLY corpus-scale exchange
+    is the per-doc re-aggregation — empty docs come from a separate
+    filter of the same scan and union in with literal verdicts, so no
+    doc_id-keyed join back to the corpus ever happens.
     int64 bounds: the ppm product needs 1e6 * pc * qt < 2^63, i.e.
     corpus-token-count * hottest-bucket-count < 9.2e12 — past that,
     rescale both counts by 2^k before the ratio (documented, same
@@ -1091,16 +1092,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_hex_slice_col(F.md5("w"), 1) % DSIR_B).alias("bucket"),
         )
     )
-    q = b.groupBy("bucket").agg(F.count("*").alias("qc0"))
-    p = (
-        b.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("pc0"))
-    )
-    s = q.join(F.broadcast(p), "bucket", "left").select(
-        "bucket",
-        (F.col("qc0") + 1).alias("qc"),
-        (F.coalesce("pc0", F.lit(0)) + 1).alias("pc"),
+    s = b.groupBy("bucket").agg(
+        (F.count("*") + 1).alias("qc"),
+        (F.count_if(F.col("lang") == DSIR_TARGET_LANG) + 1).alias("pc"),
     )
     t = s.agg(
         F.sum("qc").cast("long").alias("qt"), F.sum("pc").cast("long").alias("pt")
