@@ -163,8 +163,13 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reports fill. n_set_bits must equal n_positions — the packed
     build is self-checking. fill_ppm is the saturation alarm: past
     ~500k ppm the false-positive rate explodes and M must grow."""
+    from pyspark import StorageLevel
+
     probes = _bloom_probe_frame(spark, sf_dir)
-    positions = _bloom_positions(probes)
+    # three consumers (word pack, position count, eval count) — persist
+    # the tiny distinct-position set so the documents scan + md5 probe
+    # derivation runs once, not three times
+    positions = _bloom_positions(probes).persist(StorageLevel.MEMORY_AND_DISK)
     n_eval = probes.filter(F.col("in_eval")).agg(
         F.count("*").cast("long").alias("n_eval_docs")
     )
@@ -336,8 +341,17 @@ def ccnet_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     better ordering. The lang window partitions a bounded histogram,
     not the corpus, so the Zipf language skew (English ~half the web)
     never concentrates document rows in one task."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    f_ = _fluency_frame(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    # two consumers (histogram build + final tier join) — persist the
+    # scored frame so the bigram-LM chain (explode + two corpus-scale
+    # joins, the dominant cost) executes once, not twice
+    f_ = (
+        _fluency_frame(spark, sf_dir)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hist = f_.groupBy("lang", "fluency_ppm").agg(F.count("*").cast("long").alias("c"))
     w_lt = (
         Window.partitionBy("lang")
@@ -918,12 +932,8 @@ def host_downsample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _host_name_from_idx(idx_col):
-    return F.concat(
-        F.lit("host"),
-        F.lpad(idx_col.cast("string"), 2, "0"),
-        F.lit(".example.com"),
-    )
+# one host-name formatter repo-wide: graph_queries owns it
+_host_name_from_idx = gq._host_name
 
 
 def _host_downsample_oracle() -> str:

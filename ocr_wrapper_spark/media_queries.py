@@ -120,7 +120,11 @@ _QR_DECODE_ORACLE = f"""
       SELECT doc_id AS scan_id, 'QRCODE' AS code_type,
              -- fixed-length payload: id mod 10^6 + checksum of the FULL id,
              -- so the 60x36 symbol fits the page at any doc_id
-             printf('DOC-%06d-%02d', doc_id % 1000000, doc_id * 2654435761 % 97) AS code_data,
+             -- reduce mod 97 BEFORE the multiply: the naive
+             -- doc_id * 2654435761 product overflows DuckDB's BIGINT
+             -- once doc_id >= ~3.47e9
+             printf('DOC-%06d-%02d', doc_id % 1000000,
+                    (doc_id % 97) * (2654435761 % 97) % 97) AS code_data,
              CAST(10 + doc_id * 13 % 280 AS INT) AS px_x0,
              CAST(120 + doc_id * 7 % 40 AS INT) AS px_y0,
              60 AS w,

@@ -20,6 +20,12 @@ from .plans.pipeline import run_extraction
 from .plans.partitioning import salted_host_counts
 from .relational import ORACLES, QUERIES, register
 from .sources import pages as pages_src
+from .operators.sampling import KNUTH_U_SQL
+
+# overflow-safe Knuth draw for doc_id (naive doc_id * 2654435761 raises
+# a BIGINT out-of-range in DuckDB once doc_id >= ~3.47e9 — the replica
+# id regime)
+_DOC_U_SQL = KNUTH_U_SQL.format(k="doc_id")
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,7 +436,7 @@ def _host_oracle() -> str:
     WITH hosted AS (
       SELECT doc_id,
              len(list_filter({_host_cdf_sql()},
-                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+                 c -> c < ({_DOC_U_SQL})))
              AS host_idx
       FROM documents)
     SELECT concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,
@@ -640,7 +646,7 @@ _WET_HEADER_E = _WET_HEADER.replace("\r", "\\r").replace("\n", "\\n")
     WITH hosted AS (
       SELECT doc_id, text, lang,
              len(list_filter({_host_cdf_sql()},
-                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+                 c -> c < ({_DOC_U_SQL})))
              AS host_idx
       FROM documents),
     u AS (

@@ -1043,7 +1043,7 @@ def _host_top10_oracle() -> str:
     WITH hosted AS (
       SELECT doc_id, lang,
              len(list_filter({_host_cdf_sql()},
-                 c -> c < (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)))
+                 c -> c < ({_U_SQL})))
              AS host_idx
       FROM documents)
     SELECT concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com') AS host,

@@ -68,6 +68,11 @@ def main() -> int:
         n_run += 1
         try:
             sdf = norm(fn(spark, sf_dir).toPandas())
+            # queries that persist() multi-consumer frames never get to
+            # unpersist them (they return lazy DataFrames); drop the
+            # blocks here so a 125-query sweep doesn't accumulate a
+            # session-lifetime cache
+            spark.catalog.clearCache()
         except Exception as exc:
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL  {name}: spark error: {exc}")

@@ -62,7 +62,6 @@ def main() -> None:
     bucketed = with_url_bucket(pages)
     half = DEFAULT_BUCKETS // 2
     first_half = bucketed.filter(F.col("bucket") < half).drop("bucket")
-    n_half = first_half.count()
 
     work = tempfile.mkdtemp(prefix="resume_bench_")
     cache_path = f"{work}/cache"
