@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-8 additions: never snapshotted
+    "bm25_retrieval",
     # round-5 session-7 additions: never snapshotted
     "dsir_importance_weights",
     "recrawl_schedule",

@@ -2042,6 +2042,125 @@ def streaming_watermark_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+BM25_TOP_K = 10
+# Fixed retrieval query set (curation-by-retrieval: pull corpus docs
+# matching high-quality seed phrases, the kNN-LM / targeted-crawl shape).
+# A term may serve several queries; terms chosen from the generator's
+# content vocabulary so every query has candidates at every sf.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash"), (1, "join"),
+    (2, "stream"), (2, "batch"), (2, "window"),
+    (3, "spark"), (3, "query"),
+    (4, "vector"), (4, "scan"), (4, "slow"),
+]
+_BM25_VOCAB = sorted({t for _, t in BM25_QUERIES})
+_BM25_VOCAB_LITS = ", ".join(f"'{t}'" for t in _BM25_VOCAB)
+_BM25_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+# Okapi BM25 with k1=1.2, b=0.75, made engine-exact. Per term:
+#   score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = T/N (T = corpus tokens, N = corpus docs) this is the
+# rational form  idf * 22*tf*T / (10*tf*T + 3*T + 9*dl*N)  — every
+# factor an exact int64 cast to double inside an IDENTICAL expression
+# tree in both engines (same IEEE ops in the same association order,
+# so any >2^53 rounding is identical — the doc_tfidf_topk discipline;
+# ln-free idf_ppm = floor(N*1e6/df) for the same libm reason). floor
+# per term then exact int64 sum; ties rank on doc_id.
+_BM25_SCORE_SQL = """
+      CAST(floor(
+        CAST(CAST(floor(CAST(s.n_docs AS DOUBLE) * 1000000.0
+                        / CAST(df.df AS DOUBLE)) AS BIGINT) AS DOUBLE)
+        * (CAST(tf.tf AS DOUBLE) * 22.0 * CAST(s.t_tokens AS DOUBLE))
+        / (CAST(tf.tf AS DOUBLE) * 10.0 * CAST(s.t_tokens AS DOUBLE)
+           + 3.0 * CAST(s.t_tokens AS DOUBLE)
+           + 9.0 * CAST(tf.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+      ) AS BIGINT)"""
+
+
+@register(
+    "bm25_retrieval",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text, len(str_split(text, ' ')) AS dl
+      FROM documents WHERE text <> ''),
+    s AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM docs),
+    q(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs)
+      WHERE term IN ({_BM25_VOCAB_LITS})
+      GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    doc_scores AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum({_BM25_SCORE_SQL}) AS BIGINT) AS score_ppm,
+             CAST(count(*) AS INT) AS terms_hit
+      FROM tf JOIN df USING (term) JOIN q ON q.term = tf.term CROSS JOIN s
+      GROUP BY 1, 2)
+    SELECT CAST(query_id AS INT) AS query_id, doc_id, score_ppm, terms_hit,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_ppm DESC, doc_id) AS rank
+          FROM doc_scores)
+    WHERE rank <= {BM25_TOP_K}
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed seed-query set
+    (the curation-by-retrieval primitive: surface the documents most
+    relevant to seed phrases, e.g. to build a targeted training slice).
+    Inverted-index shape, not a scan-per-query: the query vocabulary is
+    a compile-time literal, so the term filter prunes the exploded
+    stream before the only corpus-keyed shuffle (tf per (doc, term));
+    df and the query map are tiny and broadcast; corpus stats are a
+    1-row broadcast cross join. The final per-query top-k survives
+    the 4-partition window because Spark 4's window-group-limit
+    pushdown takes a per-task top-k BEFORE the exchange (same plan
+    shape corpus_vocabulary relies on) — at 10^12 docs each task ships
+    only BM25_TOP_K rows per query, not its full candidate set."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"), "text")
+    stats = F.broadcast(
+        docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens"))
+    )
+    terms = docs.select(
+        "doc_id", "dl", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(_BM25_VOCAB))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("df")))
+    qdf = F.broadcast(
+        spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    )
+    idf_ppm = F.floor(
+        F.col("n_docs").cast("double") * F.lit(1000000.0) / F.col("df").cast("double")
+    )
+    num = F.col("tf").cast("double") * F.lit(22.0) * F.col("t_tokens").cast("double")
+    den = (
+        F.col("tf").cast("double") * F.lit(10.0) * F.col("t_tokens").cast("double")
+        + F.lit(3.0) * F.col("t_tokens").cast("double")
+        + F.lit(9.0) * F.col("dl").cast("double") * F.col("n_docs").cast("double")
+    )
+    term_score = F.floor(idf_ppm.cast("double") * num / den)
+    doc_scores = (
+        tf.join(df_t, "term")
+        .join(qdf, "term")
+        .crossJoin(stats)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(term_score).alias("score_ppm"),
+            F.count("*").cast("int").alias("terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_ppm").desc(), "doc_id")
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score_ppm", "terms_hit", "rank")
+    )
+
+
 # host-mapped oracles need the Zipf cdf literal (same pattern as
 # pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
