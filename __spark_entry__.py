@@ -43,6 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_PRIORITY = [
     # round-5 session-8 additions: never snapshotted
     "bm25_retrieval",
+    "phrase_search",
+    "eval_ngram_overlap",
+    "url_template_traps",
     # round-5 session-7 additions: never snapshotted
     "dsir_importance_weights",
     "recrawl_schedule",

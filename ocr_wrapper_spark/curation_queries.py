@@ -1287,6 +1287,275 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# measured eval contamination (n-gram overlap ratio)
+# ---------------------------------------------------------------------------
+
+# corpus_decontamination / decontaminate_bloom answer the BINARY
+# question (is the doc's fingerprint in the eval set); this measures
+# HOW contaminated: the fraction of a training doc's token n-grams that
+# also occur anywhere in the held-out eval slice — the GPT-3
+# appendix-C / Dolma "dirty token" ratio. Real pipelines use 8-13-gram
+# windows against natural text; this corpus's generator vocabulary is
+# ~30 words, so 3-grams are the statistically equivalent grain (13-gram
+# collisions would be identically zero and measure nothing).
+CONTAM_K = 3
+CONTAM_PPM = 150_000  # docs with >15% overlapping n-grams are dirty
+
+
+@register(
+    "eval_ngram_overlap",
+    f"""
+    WITH docs AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {CONTAM_K}
+               THEN list_transform(range(0, len(toks) - {CONTAM_K} + 1),
+                    i -> array_to_string(toks[i + 1 : i + {CONTAM_K}], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM docs),
+    eval_set AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM g
+      WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+    train AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM g
+      WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+    tot AS (
+      SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM g
+      WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+    m AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS matched
+      FROM train t JOIN eval_set e USING (shingle) GROUP BY 1)
+    SELECT tot.doc_id, n_grams,
+           CAST(coalesce(matched, 0) AS BIGINT) AS matched,
+           CAST(coalesce(matched, 0) * 1000000 // greatest(n_grams, 1)
+                AS BIGINT) AS overlap_ppm,
+           CAST(CASE WHEN coalesce(matched, 0) * 1000000
+                          // greatest(n_grams, 1) >= {CONTAM_PPM}
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM tot LEFT JOIN m USING (doc_id)
+    """,
+)
+def eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured benchmark contamination: for every training document,
+    the ppm of its token {CONTAM_K}-grams that occur anywhere in the
+    held-out eval slice (doc_id % {EVAL_MOD} == {EVAL_REM}), plus the
+    dirty flag at {CONTAM_PPM} ppm. Counts are per n-gram INSTANCE
+    (positions), matching the dirty-token accounting real
+    decontamination reports use.
+
+    Scale shape: n-grams are built map-side from the scan; the only
+    corpus-scale exchanges are the shingle-keyed equi-join against the
+    eval n-gram set (uniform md5-grade keys — synthetic-text shingles
+    have no Zipf head here; a real corpus would reuse the stop-shingle
+    cut dedup_ngram_jaccard applies) and the per-doc rollup. The
+    zero-match left join is keyed on doc_id. Nothing is collected; the
+    eval side stays distributed (real eval sets are tiny and would
+    broadcast, but the shape must survive an eval slice of any size)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g = d.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= CONTAM_K,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
+                lambda i: F.array_join(F.slice(toks, i + 1, CONTAM_K), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    eval_set = (
+        g.filter(is_eval)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = g.filter(~is_eval)
+    matches = (
+        train.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(eval_set, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+    )
+    tot = train.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+    joined = tot.join(matches, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+        F.greatest(F.col("n_grams"), F.lit(1)).alias("_den"),
+    )
+    ppm = F.expr("matched * 1000000 div _den")
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        "matched",
+        ppm.cast("long").alias("overlap_ppm"),
+        F.when(ppm >= CONTAM_PPM, 1).otherwise(0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawler-trap detection (URL template mining)
+# ---------------------------------------------------------------------------
+
+# Crawlers (Heritrix's PathologicalPath rule, StormCrawler's URL
+# filters) detect traps by collapsing URLs to digit-masked path
+# templates and flagging templates that explode in URL count while the
+# content behind them barely varies (session ids, calendar archives,
+# faceted navigation). The URL lab here is synthesized closed-form from
+# doc_id — five path shapes, one of which (the session-id shape) emits
+# three URL variants per document with IDENTICAL content — so both
+# engines rebuild the same crawl frontier without any fixture file.
+TRAP_HOSTS = 13
+TRAP_MIN_URLS = 12  # templates below this never flag (cold templates)
+TRAP_MAX_CONTENT_PPM = 400_000  # <=40% unique content behind the template
+
+_TRAP_URL_SQL = f"""
+    'https://h' || lpad(CAST(doc_id % {TRAP_HOSTS} AS VARCHAR), 2, '0')
+    || '.example.com' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/2024/' || CAST(1 + doc_id % 12 AS VARCHAR) || '/'
+                  || CAST(doc_id AS VARCHAR) || '/index.html'
+      WHEN 1 THEN '/product/' || CAST(doc_id AS VARCHAR) || '?session='
+                  || CAST((doc_id * 7919 + v * 131) % 100000 AS VARCHAR)
+      WHEN 2 THEN '/tag/t' || CAST(doc_id % 7 AS VARCHAR) || '/page/'
+                  || CAST(doc_id % 500 AS VARCHAR)
+      WHEN 3 THEN '/article/' || CAST(doc_id AS VARCHAR) || '.html'
+      ELSE '/search?q=w' || CAST(doc_id % 11 AS VARCHAR) || '&sort='
+                  || CAST(doc_id % 3 AS VARCHAR)
+    END"""
+
+
+@register(
+    "url_template_traps",
+    f"""
+    WITH variants AS (
+      SELECT doc_id, text, unnest(CASE WHEN doc_id % 5 = 1
+               THEN [0, 1, 2] ELSE [0] END) AS v
+      FROM documents),
+    urls AS (
+      SELECT doc_id, {_TRAP_URL_SQL} AS url, {FP_MD5_SQL} AS fp
+      FROM variants),
+    keyed AS (
+      SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_replace(regexp_extract(url, '^https://[^/]+(.*)$', 1),
+                            '[0-9]+', '<D>', 'g') AS template,
+             fp
+      FROM urls),
+    per_fp AS (
+      SELECT host, template, fp, count(*) AS n
+      FROM keyed GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT host, template,
+             CAST(sum(n) AS BIGINT) AS n_urls,
+             CAST(count(*) AS BIGINT) AS n_contents
+      FROM per_fp GROUP BY 1, 2)
+    SELECT host, template, n_urls, n_contents,
+           CAST(n_contents * 1000000 // n_urls AS BIGINT) AS content_ppm,
+           CAST(CASE WHEN n_urls >= {TRAP_MIN_URLS}
+                      AND n_contents * 1000000 // n_urls
+                          <= {TRAP_MAX_CONTENT_PPM}
+                THEN 1 ELSE 0 END AS INT) AS is_trap
+    FROM agg
+    """,
+)
+def url_template_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection by URL template mining: URLs collapse to
+    digit-masked path templates per host; a template is a trap when it
+    accumulates many URLs ({TRAP_MIN_URLS}+) whose content is mostly
+    duplicated (unique-content ratio <= {TRAP_MAX_CONTENT_PPM} ppm) —
+    the session-id/calendar/faceted-nav signature. The synthetic URL
+    lab plants exactly one trap shape (three session-id URL variants
+    per doc, identical content), so the flag provably separates it from
+    the four honest shapes.
+
+    Scale shape: template masking is a pure map; uniqueness counting is
+    the two-level exact-distinct — groupBy (host, template, fp) with
+    map-side partials, then (host, template) — so no count(DISTINCT)
+    double-exchange and no per-template collect; both exchanges key on
+    (host, template[, fp]), which spreads a trap template's millions of
+    URLs by fingerprint first. Output is one row per (host, template):
+    bounded by the crawl's template diversity, not its URL count."""
+    d = _t(spark, sf_dir, "documents")
+    variants = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_id") % 5 == 1, F.array(F.lit(0), F.lit(1), F.lit(2))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("v"),
+    )
+    host = F.concat(
+        F.lit("h"), F.lpad((F.col("doc_id") % TRAP_HOSTS).cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("/2024/"), (1 + F.col("doc_id") % 12).cast("string"),
+                F.lit("/"), did, F.lit("/index.html"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("/product/"), did, F.lit("?session="),
+                ((F.col("doc_id") * 7919 + F.col("v") * 131) % 100000).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("/tag/t"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("/page/"), (F.col("doc_id") % 500).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("/article/"), did, F.lit(".html")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/search?q=w"), (F.col("doc_id") % 11).cast("string"),
+                F.lit("&sort="), (F.col("doc_id") % 3).cast("string"),
+            )
+        )
+    )
+    keyed = variants.select(
+        host.alias("host"),
+        F.regexp_replace(path, "[0-9]+", "<D>").alias("template"),
+        fp_md5_col(F.col("text")).alias("fp"),
+    )
+    agg = (
+        keyed.groupBy("host", "template", "fp")
+        .agg(F.count("*").alias("n"))
+        .groupBy("host", "template")
+        .agg(
+            F.sum("n").cast("long").alias("n_urls"),
+            F.count("*").cast("long").alias("n_contents"),
+        )
+    )
+    ratio = F.expr("n_contents * 1000000 div n_urls")
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_contents",
+        ratio.cast("long").alias("content_ppm"),
+        F.when(
+            (F.col("n_urls") >= TRAP_MIN_URLS) & (ratio <= TRAP_MAX_CONTENT_PPM), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_trap"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())

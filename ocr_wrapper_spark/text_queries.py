@@ -2161,6 +2161,100 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed phrase set for exact phrase search (multi-token literals from
+# the generator vocabulary so every phrase has matches at every sf).
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "table hash"),
+    (2, "merge order"),
+    (3, "slow hash batch"),
+    (4, "part filter scan"),
+]
+_PHRASE_ROWS: list[tuple[int, int, str, int]] = [
+    (pid, slot, term, len(phrase.split(" ")))
+    for pid, phrase in PHRASE_QUERIES
+    for slot, term in enumerate(phrase.split(" "))
+]
+_PHRASE_TERMS = sorted({t for _, _, t, _ in _PHRASE_ROWS})
+_PHRASE_TERM_LITS = ", ".join(f"'{t}'" for t in _PHRASE_TERMS)
+_PHRASE_VALUES = ", ".join(
+    f"({p}, {s}, '{t}', {n})" for p, s, t, n in _PHRASE_ROWS
+)
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+      WHERE text <> ''),
+    tok AS (
+      SELECT doc_id,
+             unnest(toks) AS term,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM docs),
+    ph(phrase_id, slot, term, plen) AS (VALUES {_PHRASE_VALUES}),
+    cand AS (
+      SELECT ph.phrase_id, t.doc_id, t.pos - ph.slot AS start,
+             ph.slot, ph.plen
+      FROM tok t JOIN ph ON t.term = ph.term),
+    hits AS (
+      SELECT phrase_id, doc_id, start
+      FROM cand GROUP BY 1, 2, 3
+      HAVING count(DISTINCT slot) = min(plen))
+    SELECT CAST(phrase_id AS INT) AS phrase_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(start) AS INT) AS first_pos
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings — the inverted-index
+    companion to bm25_retrieval (Lucene PhraseQuery / Common-Crawl
+    columnar-index shape): a token matches phrase slot s at position p
+    iff every other slot s' of the phrase matches at p + (s' - s), i.e.
+    all slots of one occurrence share the same start = pos - slot.
+
+    Scale shape: the positional token stream is pruned to the phrase
+    vocabulary (a compile-time literal) BEFORE the only corpus-keyed
+    exchange, so at 10^12 docs only postings of the queried terms ever
+    cross the wire; the phrase table is a broadcast literal; occurrence
+    detection is one groupBy (phrase, doc, start) with map-side
+    partials (slots per group <= max phrase length, so the per-group
+    state is O(1)), then a per-(phrase, doc) rollup. No window, no
+    sort, no self-join on positions (the classic pos+1 adjacency
+    self-join re-shuffles the postings once per phrase length; the
+    shared-start trick does every phrase length in one pass)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term").isin(_PHRASE_TERMS))
+    ph = F.broadcast(
+        spark.createDataFrame(
+            _PHRASE_ROWS, "phrase_id int, slot int, term string, plen int"
+        )
+    )
+    # 1-based pos to match the oracle's generate_series; start = pos - slot
+    cand = tok.join(ph, "term").select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") + 1 - F.col("slot")).alias("start"),
+        "slot",
+        "plen",
+    )
+    hits = (
+        cand.groupBy("phrase_id", "doc_id", "start")
+        .agg(
+            F.size(F.collect_set("slot")).alias("n_slots"),
+            F.min("plen").alias("plen"),
+        )
+        .filter(F.col("n_slots") == F.col("plen"))
+    )
+    return hits.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("start").cast("int").alias("first_pos"),
+    )
+
+
 # host-mapped oracles need the Zipf cdf literal (same pattern as
 # pipeline_host_stats); splice it in after registration
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
