@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_PRIORITY = [
     # round-5 session-8 additions: never snapshotted
     "bm25_retrieval",
+    "retrieval_eval_mrr",
     "phrase_search",
     "eval_ngram_overlap",
     "url_template_traps",

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",  # paragraph-granularity fp shuffle (r5)
     "crawl_pagerank",  # iterative graph loop on aggregated edges (r5)
     "html_anchor_stats",  # raw-payload regex mining over pages (r5)
+    "bm25_retrieval",  # inverted-index ranked retrieval (r5 s8)
+    "eval_ngram_overlap",  # shingle-join contamination measure (r5 s8)
 ]
 
 

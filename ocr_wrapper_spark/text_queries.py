@@ -2077,10 +2077,9 @@ _BM25_SCORE_SQL = """
       ) AS BIGINT)"""
 
 
-@register(
-    "bm25_retrieval",
-    f"""
-    WITH docs AS (
+# shared CTE prefix: corpus stats, pruned postings, df, per-(query, doc)
+# BM25 scores — bm25_retrieval ranks it, retrieval_eval_mrr grades it
+_BM25_CORE_CTES = f"""docs AS (
       SELECT doc_id, text, len(str_split(text, ' ')) AS dl
       FROM documents WHERE text <> ''),
     s AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM docs),
@@ -2096,7 +2095,13 @@ _BM25_SCORE_SQL = """
              CAST(sum({_BM25_SCORE_SQL}) AS BIGINT) AS score_ppm,
              CAST(count(*) AS INT) AS terms_hit
       FROM tf JOIN df USING (term) JOIN q ON q.term = tf.term CROSS JOIN s
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "bm25_retrieval",
+    f"""
+    WITH {_BM25_CORE_CTES}
     SELECT CAST(query_id AS INT) AS query_id, doc_id, score_ppm, terms_hit,
            CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2158,6 +2163,120 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_scores.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("query_id", "doc_id", "score_ppm", "terms_hit", "rank")
+    )
+
+
+_BM25_QLEN_VALUES = ", ".join(
+    f"({q}, {sum(1 for qq, _ in BM25_QUERIES if qq == q)})"
+    for q in sorted({q for q, _ in BM25_QUERIES})
+)
+
+
+@register(
+    "retrieval_eval_mrr",
+    f"""
+    WITH {_BM25_CORE_CTES},
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_ppm DESC, doc_id) AS rank
+      FROM doc_scores),
+    qlen(query_id, n_terms) AS (VALUES {_BM25_QLEN_VALUES}),
+    rel AS (
+      SELECT c.query_id, c.doc_id
+      FROM (SELECT q.query_id, tf.doc_id,
+                   count(DISTINCT tf.term) AS nt
+            FROM tf JOIN q ON q.term = tf.term GROUP BY 1, 2) c
+      JOIN qlen USING (query_id)
+      WHERE c.nt = qlen.n_terms),
+    nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1),
+    hits AS (
+      SELECT r.query_id, count(*) AS hits_at_k, min(r.rank) AS first_rank
+      FROM (SELECT * FROM ranked WHERE rank <= {BM25_TOP_K}) r
+      JOIN rel USING (query_id, doc_id)
+      GROUP BY 1)
+    SELECT CAST(qlen.query_id AS INT) AS query_id,
+           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           CAST(coalesce(hits_at_k, 0) * 1000000
+                // greatest(coalesce(n_relevant, 0), 1) AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN first_rank IS NULL THEN 0
+                ELSE 1000000 // first_rank END AS BIGINT) AS mrr_ppm
+    FROM qlen LEFT JOIN nrel USING (query_id) LEFT JOIN hits USING (query_id)
+    """,
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking: per query,
+    recall@{BM25_TOP_K} and MRR (in ppm, 1e6/first-relevant-rank,
+    floor-div exact) against closed-form conjunctive relevance labels —
+    a document is relevant iff it contains EVERY term of the query.
+    This is the search-eval loop a curation-by-retrieval pipeline runs
+    to validate its ranker before trusting it to pick training slices.
+
+    Scale shape: the label side reuses bm25's pruned-postings trick —
+    only postings of query terms reach the (query, doc) conjunction
+    check (size(collect_set) over <= |query| terms, never a
+    count(DISTINCT) double exchange); the ranked side is <= K rows per
+    query and rides a broadcast into the hit join, so grading touches
+    the corpus exactly once more than ranking it did. Final metrics
+    are a left join on the |Q|-row query table."""
+    ranked = bm25_retrieval(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    terms = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(_BM25_VOCAB))
+        .distinct()
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    )
+    qlen_rows = sorted(
+        (q, sum(1 for qq, _ in BM25_QUERIES if qq == q))
+        for q in {q for q, _ in BM25_QUERIES}
+    )
+    qlen_df = spark.createDataFrame(qlen_rows, "query_id int, n_terms int")
+    qlen = F.broadcast(qlen_df)
+    rel = (
+        terms.join(qdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.size(F.collect_set("term")).alias("nt"))
+        .join(qlen, "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    hits = (
+        rel.join(F.broadcast(ranked.select("query_id", "doc_id", "rank")),
+                 ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("hits_at_k"),
+            F.min("rank").alias("first_rank"),
+        )
+    )
+    # unhinted LEFT side (a broadcast hint on the left of a left join is
+    # unsatisfiable); the per-query aggregates on the right are <=|Q|
+    # rows and broadcast cleanly
+    out = (
+        qlen_df.select("query_id")
+        .join(F.broadcast(nrel), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.expr(
+            "CAST(coalesce(hits_at_k, 0) * 1000000"
+            " div greatest(coalesce(n_relevant, 0), 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.when(F.col("first_rank").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000 div first_rank"))
+        .cast("long")
+        .alias("mrr_ppm"),
     )
 
 

@@ -51,6 +51,7 @@ WHITELIST: dict[str, str] = {
     "crawl_hits": "1-row L1-normalization total broadcast over the |hosts|-row score vector",
     "dsir_importance_weights": "1-row smoothed token totals (qt, pt) cross-joined onto the <=B-row bucket-ratio table",
     "bm25_retrieval": "1-row corpus stats (n_docs, t_tokens) broadcast onto the per-(doc,term) tf table",
+    "retrieval_eval_mrr": "embeds bm25_retrieval's 1-row corpus-stats broadcast (the ranking being graded)",
 }
 
 

@@ -93,3 +93,76 @@ def test_bm25_plan_group_limits_before_exchange(spark):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _python_mrr(texts, queries, top_k):
+    """Metric replica on top of the bm25 replica: conjunctive relevance
+    (doc contains EVERY query term), recall@k and MRR in floor-div ppm."""
+    ranked = _python_bm25(texts, queries, top_k)
+    qterms: dict[int, set] = {}
+    for qid, t in queries:
+        qterms.setdefault(qid, set()).add(t)
+    out = []
+    for qid, terms in sorted(qterms.items()):
+        rel = {
+            d for d, t in texts.items() if t != "" and terms <= set(t.split(" "))
+        }
+        hit_ranks = [r[4] for r in ranked if r[0] == qid and r[1] in rel]
+        out.append(
+            (
+                qid,
+                len(rel),
+                len(hit_ranks),
+                len(hit_ranks) * 1_000_000 // max(len(rel), 1),
+                1_000_000 // min(hit_ranks) if hit_ranks else 0,
+            )
+        )
+    return out
+
+
+def test_retrieval_eval_mrr_matches_replica(spark, tmp_path):
+    from ocr_wrapper_spark.text_queries import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        retrieval_eval_mrr,
+    )
+
+    texts = {
+        0: "hash join hash join hash scan",  # q1-relevant (hash AND join)
+        1: "stream batch window stream",  # q2-relevant
+        2: "spark query spark query spark query spark",  # q3-relevant
+        3: "vector scan slow vector",  # q4-relevant
+        4: "hash",  # partial q1: ranked but NOT relevant
+        5: "",
+        6: "window window window batch stream slow join",  # q2-relevant
+        7: "filler words only here nothing relevant",
+    }
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.query_id, r.n_relevant, r.hits_at_k, r.recall_ppm, r.mrr_ppm)
+        for r in retrieval_eval_mrr(spark, sf_dir).collect()
+    )
+    assert got == _python_mrr(texts, BM25_QUERIES, BM25_TOP_K)
+    by_q = {r[0]: r for r in got}
+    # q2's two conjunctive docs both land in the top-10: perfect recall
+    assert by_q[2][1] == 2 and by_q[2][3] == 1_000_000
+    # doc 4 ranks for q1 but misses 'join': relevance stays conjunctive
+    assert by_q[1][1] == 1
+
+
+def test_retrieval_eval_plan_broadcasts_the_ranking(spark):
+    from ocr_wrapper_spark.text_queries import retrieval_eval_mrr
+
+    plan = (
+        retrieval_eval_mrr(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the <=K*|Q|-row ranked side must ride a broadcast into the hit
+    # join; the corpus never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
