@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-8 additions: never snapshotted
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "dedup_canonical_selection",
     "bm25_retrieval",
     "retrieval_eval_mrr",
     "phrase_search",

@@ -1556,10 +1556,321 @@ def url_template_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# tokenizer training prep: BPE pair statistics and learned merges
+# ---------------------------------------------------------------------------
+
+# The corpus-side half of BPE tokenizer training (Sennrich et al. 2016;
+# the GPT-2/SentencePiece preprocessing shape): adjacent-symbol pair
+# frequencies over the word-frequency table, and the first BPE_MERGES
+# greedy merges learned exactly. Words — not raw text — are the unit:
+# the word-frequency aggregation collapses the corpus to its vocabulary
+# once, and every BPE iteration is an aggregation over that bounded
+# table, never a corpus rescan.
+BPE_TOP_PAIRS = 50
+BPE_MERGES = 3
+
+# Symbol representation for the merge iterations: every symbol boundary
+# carries a DOUBLED \x01 delimiter ("\x01\x01a\x01\x01b\x01\x01"), and a
+# merge of (l, r) string-replaces "\x01l\x01\x01r\x01" with
+# "\x01lr\x01". Single delimiters would break on adjacent occurrences:
+# replace() scans left to right without overlap, so with "a a a a" and
+# single separators the second "a a" straddles a consumed space and is
+# missed — doubling gives each occurrence its own boundary chars, which
+# makes non-overlapping replace EXACTLY greedy left-to-right BPE (both
+# engines' replace() scans identically; verified in tests). The outer
+# single \x01 on each side of the pattern also pins l and r to full
+# symbols ("\x01h\x01\x01e\x01" cannot match inside "...\x01th\x01\x01e…"
+# because the char before "h" there is "t", not a delimiter).
+_BPE_S = "\x01"
+_BPE_D = _BPE_S * 2
+
+_BPE_WORDS_CTE = f"""words AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(str_split(text, ' ')) AS term
+            FROM documents WHERE text <> '')
+      WHERE term <> '' AND NOT contains(term, '{_BPE_S}')
+      GROUP BY term)"""
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH {_BPE_WORDS_CTE},
+    pairs AS (
+      SELECT substr(term, CAST(i AS INT), 1) AS left_sym,
+             substr(term, CAST(i AS INT) + 1, 1) AS right_sym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM words, unnest(range(1, len(term))) AS r(i)
+      GROUP BY 1, 2)
+    SELECT left_sym, right_sym, pair_count, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY pair_count DESC,
+                                       left_sym, right_sym) AS rank
+          FROM pairs)
+    WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-0 BPE statistics: frequency of every adjacent character
+    pair, weighted by word frequency — the table the first merge is read
+    from, and the tokenizer-training analogue of corpus_vocabulary.
+
+    Scale shape: the corpus collapses to the word-frequency table in one
+    map-side-combinable aggregation (vocabulary-bounded output); the
+    pair explode then runs over VOCABULARY rows, not corpus rows, and
+    re-aggregates into an alphabet^2-bounded table. The top-50 rank uses
+    the constant-non-foldable window key so Spark plans a per-partition
+    WindowGroupLimit before the single-partition exchange (the
+    corpus_vocabulary discipline — a bare global orderBy would sort
+    every pair in one task)."""
+    words = _bpe_words(spark, sf_dir)
+    pairs = (
+        words.filter(F.length("term") >= 2)
+        .select(
+            "term",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(term, i, 1)").alias("left_sym"),
+            F.expr("substring(term, i + 1, 1)").alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+    w = Window.partitionBy(F.col("pair_count") % 1).orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("left_sym", "right_sym", "pair_count", "rank")
+    )
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table (term, freq) — the bounded working set every
+    BPE stage aggregates over. Words containing the \\x01 delimiter are
+    dropped on BOTH sides (hostile bytes must not alias a symbol
+    boundary)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text") != "")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter((F.col("term") != "") & (~F.col("term").contains(_BPE_S)))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _bpe_pairs_from_rep(reps: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts from the delimited representation.
+    split(rep, \\x01\\x01) yields ['', s1, ..., sn, ''] so symbol i sits
+    at 1-based position i+1; pairs exist only when n >= 2 (size >= 4)."""
+    tk = F.split(F.col("rep"), _BPE_D)
+    return (
+        reps.select("freq", tk.alias("tk"))
+        .filter(F.size("tk") >= 4)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk) - 2), i -> "
+                    "struct(element_at(tk, i) AS left_sym, "
+                    "element_at(tk, i + 1) AS right_sym))"
+                )
+            ).alias("p"),
+        )
+        .select("p.left_sym", "p.right_sym", "freq")
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _bpe_oracle() -> str:
+    d, s = _BPE_D, _BPE_S
+    sql = f"""
+    WITH {_BPE_WORDS_CTE},
+    rep0 AS (
+      SELECT freq,
+             '{d}' || array_to_string(str_split(term, ''), '{d}') || '{d}' AS rep
+      FROM words)"""
+    for it in range(1, BPE_MERGES + 1):
+        prev = f"rep{it - 1}"
+        sql += f""",
+    p{it} AS (
+      SELECT tk[CAST(i AS INT)] AS left_sym,
+             tk[CAST(i AS INT) + 1] AS right_sym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq, str_split(rep, '{d}') AS tk FROM {prev}),
+           unnest(range(2, len(tk) - 1)) AS r(i)
+      GROUP BY 1, 2),
+    m{it} AS (
+      SELECT left_sym, right_sym, pair_count FROM p{it}
+      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"""
+        if it < BPE_MERGES:
+            sql += f""",
+    rep{it} AS (
+      SELECT freq,
+             replace(rep, '{s}' || left_sym || '{d}' || right_sym || '{s}',
+                          '{s}' || left_sym || right_sym || '{s}') AS rep
+      FROM {prev}, m{it})"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT {it} AS iteration, left_sym, right_sym, pair_count FROM m{it}"
+        for it in range(1, BPE_MERGES + 1)
+    )
+    return sql + "\n    " + union
+
+
+@register("bpe_learn_merges", _bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_MERGES greedy BPE merges, learned exactly: each
+    iteration counts adjacent-symbol pairs over the word-frequency
+    table, takes the global argmax (ties: count desc, then left/right
+    symbol), and applies it via the doubled-delimiter string replace —
+    provably equal to greedy left-to-right pair merging (see _BPE_D).
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregation, persisted — vocabulary-bounded); every iteration after
+    that is a pair aggregation over vocabulary rows with map-side
+    combine, a 1-row argmax via the WindowGroupLimit constant-key idiom,
+    and a 1-row broadcast joined back to apply the merge (whitelisted in
+    the plan audit — the same unrolled-iteration shape as
+    ann_topk_ivf_lloyd). Output: (iteration, left_sym, right_sym,
+    pair_count), one row per learned merge."""
+    from pyspark import StorageLevel
+
+    reps = (
+        _bpe_words(spark, sf_dir)
+        .select(
+            "freq",
+            F.concat(
+                F.lit(_BPE_D),
+                F.array_join(F.split("term", ""), _BPE_D),
+                F.lit(_BPE_D),
+            ).alias("rep"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: DataFrame | None = None
+    for it in range(1, BPE_MERGES + 1):
+        pairs = _bpe_pairs_from_rep(reps)
+        w = Window.partitionBy(F.col("pair_count") % 1).orderBy(
+            F.col("pair_count").desc(), "left_sym", "right_sym"
+        )
+        top = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("left_sym", "right_sym", "pair_count")
+        )
+        row = top.select(
+            F.lit(it).alias("iteration"), "left_sym", "right_sym", "pair_count"
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        if it < BPE_MERGES:
+            reps = (
+                reps.crossJoin(F.broadcast(top))
+                .withColumn(
+                    "rep",
+                    F.replace(
+                        F.col("rep"),
+                        F.concat(
+                            F.lit(_BPE_S),
+                            F.col("left_sym"),
+                            F.lit(_BPE_D),
+                            F.col("right_sym"),
+                            F.lit(_BPE_S),
+                        ),
+                        F.concat(
+                            F.lit(_BPE_S),
+                            F.col("left_sym"),
+                            F.col("right_sym"),
+                            F.lit(_BPE_S),
+                        ),
+                    ),
+                )
+                .select("freq", "rep")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+    assert merges is not None
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# canonical-document selection over near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_selection",
+    f"""
+    WITH comp AS ({{dedup_clusters_oracle}}),
+    scored AS (
+      SELECT c.node, c.component,
+             CASE WHEN d.text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END AS score_ppm
+      FROM comp c JOIN documents d ON d.doc_id = c.node),
+    ranked AS (
+      SELECT node, component, score_ppm,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY score_ppm DESC, node) AS rk
+      FROM scored)
+    SELECT node AS doc_id, component, score_ppm, n_members,
+           (rk = 1) AS is_canonical
+    FROM ranked
+    """,
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-dup cluster
+    (dedup_clusters' n-gram-Jaccard components), keep the member with
+    the best hashed-linear quality score (ties: lowest doc_id) — the
+    step every production dedup pipeline runs AFTER clustering, since
+    dropping all-but-first by doc_id discards the best-written copy.
+
+    Scale shape: cluster membership comes from the capped shingle
+    equi-join + min-label propagation (dedup_clusters); the quality
+    score is a narrow JVM map (no shuffle); the only new exchange keys
+    on `component`, whose groups are near-dup clusters — small by
+    construction (the max_df=30 stop-shingle cut bounds candidate
+    fanout), so the per-cluster window never sees a skewed partition."""
+    from .text_queries import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "text"
+    )
+    score = F.when(F.col("text") == "", F.lit(0).cast("long")).otherwise(
+        _qc_score_col(F.split(F.col("text"), " "))
+    )
+    scored = clusters.join(d, "node").select(
+        "node", "component", score.alias("score_ppm")
+    )
+    w_rank = Window.partitionBy("component").orderBy(
+        F.col("score_ppm").desc(), "node"
+    )
+    w_all = Window.partitionBy("component")
+    return scored.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "score_ppm",
+        F.count("*").over(w_all).cast("long").alias("n_members"),
+        (F.row_number().over(w_rank) == 1).alias("is_canonical"),
+    )
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())
 _ORACLES["cdx_url_index"] = _cdx_oracle().replace("{cdf}", _cdf_sql_fn())
 _ORACLES["host_downsample_cap"] = _host_downsample_oracle().replace(
     "{cdf}", _cdf_sql_fn()
+)
+# the canonical-selection oracle nests dedup_clusters' full recursive
+# transitive-closure CTE (registered by text_queries before this module
+# imports), so the cluster definition can never drift between the two
+_ORACLES["dedup_canonical_selection"] = _ORACLES["dedup_canonical_selection"].replace(
+    "{dedup_clusters_oracle}", _ORACLES["dedup_clusters"]
 )
