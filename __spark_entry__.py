@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-9 additions: never snapshotted
+    "char_coverage_alphabet",
+    "bpe_encode_lengths",
+    "dedup_minhash_eval",
     # round-5 session-8 additions: never snapshotted
     "bpe_pair_counts",
     "bpe_learn_merges",

@@ -1688,7 +1688,11 @@ def _bpe_pairs_from_rep(reps: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
+def _bpe_merge_ctes() -> str:
+    """The shared WITH prefix learning the BPE_MERGES merges: words,
+    rep0, then per-iteration pair counts (p{i}) and the 1-row argmax
+    (m{i}). Both the learn oracle and the encode oracle splice this in,
+    so the two queries read the exact same merge table."""
     d, s = _BPE_D, _BPE_S
     sql = f"""
     WITH {_BPE_WORDS_CTE},
@@ -1716,11 +1720,15 @@ def _bpe_oracle() -> str:
              replace(rep, '{s}' || left_sym || '{d}' || right_sym || '{s}',
                           '{s}' || left_sym || right_sym || '{s}') AS rep
       FROM {prev}, m{it})"""
+    return sql
+
+
+def _bpe_oracle() -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT {it} AS iteration, left_sym, right_sym, pair_count FROM m{it}"
         for it in range(1, BPE_MERGES + 1)
     )
-    return sql + "\n    " + union
+    return _bpe_merge_ctes() + "\n    " + union
 
 
 @register("bpe_learn_merges", _bpe_oracle())
@@ -1858,6 +1866,348 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_ppm",
         F.count("*").over(w_all).cast("long").alias("n_members"),
         (F.row_number().over(w_rank) == 1).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer training prep, part 2: alphabet coverage and encoded lengths
+# ---------------------------------------------------------------------------
+
+# SentencePiece-style character coverage: keep the smallest
+# frequency-ranked character prefix covering >= 0.9995 of corpus
+# character occurrences (the default character_coverage). Expressed as
+# the reduced fraction 1999/2000 so the keep test is pure int64 —
+# cum_prev/total < 0.9995  <=>  cum_prev * 2000 < 1999 * total — and the
+# multiplier 2000 keeps the product inside int64 up to ~4.6e15 corpus
+# characters (a ppm-scaled comparison would overflow 1000x sooner).
+CHAR_COVERAGE_NUM = 1999
+CHAR_COVERAGE_DEN = 2000
+
+
+@register(
+    "char_coverage_alphabet",
+    f"""
+    WITH {_BPE_WORDS_CTE},
+    chars AS (
+      SELECT ch, CAST(sum(freq) AS BIGINT) AS char_count
+      FROM (SELECT unnest(str_split(term, '')) AS ch, freq FROM words)
+      WHERE ch <> '' GROUP BY ch),
+    ranked AS (
+      SELECT ch, char_count,
+             CAST(row_number() OVER (ORDER BY char_count DESC, ch) AS INT)
+               AS rank,
+             CAST(sum(char_count) OVER (ORDER BY char_count DESC, ch
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count,
+             CAST(sum(char_count) OVER () AS BIGINT) AS total_count
+      FROM chars)
+    SELECT ch, char_count, rank, cum_count, total_count,
+           ((cum_count - char_count) * {CHAR_COVERAGE_DEN}
+              < {CHAR_COVERAGE_NUM} * total_count) AS kept
+    FROM ranked
+    """,
+)
+def char_coverage_alphabet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alphabet selection for tokenizer training (the character_coverage
+    stage of SentencePiece/BPE prep): per-character corpus frequencies
+    weighted by word frequency, ranked descending, and the minimal
+    prefix covering CHAR_COVERAGE_NUM/DEN of all character occurrences
+    marked kept — everything outside it becomes the UNK byte-fallback
+    tail. A character is kept iff the cumulative count BEFORE it is
+    still short of the coverage bar, so the boundary character itself
+    is always kept.
+
+    Scale shape: the corpus collapses to the word-frequency table in
+    one map-side-combinable aggregation (the same _bpe_words collapse
+    the BPE queries use); the char explode runs over VOCABULARY rows
+    and re-aggregates into an alphabet-bounded table. The rank /
+    prefix-sum / total windows are global but run over that bounded
+    alphabet table — the doc_quality_tiers discipline (prefix sums on
+    a bounded domain, never a corpus sort). Characters are JVM string
+    code units on the Spark side and code points in DuckDB; identical
+    over BMP text, and the \\x01 delimiter guard upstream already drops
+    hostile words. At test scale the 24-letter synthetic alphabet has
+    no sub-coverage tail (every char clears the 0.9995 bar); the
+    kept=False boundary is exercised by the unit test's Zipf alphabet."""
+    words = _bpe_words(spark, sf_dir)
+    chars = (
+        words.select(F.explode(F.split("term", "")).alias("ch"), "freq")
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.sum("freq").cast("long").alias("char_count"))
+    )
+    part = F.col("char_count") % 1  # non-foldable constant partition key
+    w_ord = Window.partitionBy(part).orderBy(F.col("char_count").desc(), "ch")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(part)
+    ranked = chars.select(
+        "ch",
+        "char_count",
+        F.row_number().over(w_ord).cast("int").alias("rank"),
+        F.sum("char_count").over(w_cum).cast("long").alias("cum_count"),
+        F.sum("char_count").over(w_all).cast("long").alias("total_count"),
+    )
+    kept = (F.col("cum_count") - F.col("char_count")) * CHAR_COVERAGE_DEN < (
+        F.col("total_count") * CHAR_COVERAGE_NUM
+    )
+    return ranked.withColumn("kept", kept)
+
+
+def _bpe_encode_oracle() -> str:
+    d, s = _BPE_D, _BPE_S
+    rep = "rep"
+    for it in range(1, BPE_MERGES + 1):
+        rep = f"""replace({rep},
+             '{s}' || m{it}.left_sym || '{d}' || m{it}.right_sym || '{s}',
+             '{s}' || m{it}.left_sym || m{it}.right_sym || '{s}')"""
+    froms = ", ".join(f"m{it}" for it in range(1, BPE_MERGES + 1))
+    return f"""
+    {_bpe_merge_ctes()},
+    docw AS (
+      SELECT doc_id,
+             list_filter(str_split(text, ' '),
+                         w -> w <> '' AND NOT contains(w, '{s}')) AS ws
+      FROM documents),
+    docrep AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
+             array_to_string(list_transform(ws, w ->
+               '{d}' || array_to_string(str_split(w, ''), '{d}') || '{d}'),
+               '') AS rep
+      FROM docw),
+    enc AS (
+      SELECT doc_id, n_words, n_chars,
+             CAST(len(str_split({rep}, '{d}')) - n_words - 1 AS BIGINT)
+               AS n_tokens
+      FROM docrep, {froms})
+    SELECT doc_id, n_words, n_chars, n_tokens,
+           CASE WHEN n_chars > 0 THEN n_tokens * 1000 // n_chars
+                ELSE CAST(0 AS BIGINT) END AS tok_per_kchar
+    FROM enc
+    """
+
+
+@register("bpe_encode_lengths", _bpe_encode_oracle())
+def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to every document: per-doc encoded
+    sequence length after the BPE_MERGES merges, plus the fertility
+    metric tokens-per-1000-chars — the numbers that size sequence
+    packing and tokenizer vocab decisions. The whole document is
+    encoded as one doubled-delimiter string (each word wrapped in its
+    own delimiters, concatenated), so one chain of BPE_MERGES string
+    replaces encodes every word at once: the 4-delimiter word junction
+    can never match a merge pattern (patterns need exactly two
+    delimiters between member symbols, and symbols never contain the
+    delimiter), so doc-level replace equals per-word greedy BPE.
+
+    Scale shape: the merges come from the vocabulary-bounded learn
+    path (one corpus scan) and reach the encode stage as a 1-row
+    broadcast of the sorted merge array (whitelisted in the plan
+    audit); the encode itself is a narrow JVM map over documents —
+    NO corpus shuffle at all, unlike a join against a per-word token
+    table, which would shuffle on the Zipf-skewed term key. Token
+    count per doc is size(split(rep)) - n_words - 1: split yields
+    ['', sym..., ''] per word with one extra '' at each word junction.
+    Words containing the delimiter byte are excluded exactly as in
+    training (hostile bytes must not alias a symbol boundary)."""
+    merges = bpe_learn_merges(spark, sf_dir)
+    ms_row = merges.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("iteration", "left_sym", "right_sym"))
+        ).alias("ms")
+    )
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split("text", " "),
+        lambda w: (w != F.lit("")) & (~w.contains(_BPE_S)),
+    )
+    doc = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.length(F.array_join("ws", "")).cast("long").alias("n_chars"),
+        F.array_join(
+            F.transform(
+                "ws",
+                lambda w: F.concat(
+                    F.lit(_BPE_D),
+                    F.array_join(F.split(w, ""), _BPE_D),
+                    F.lit(_BPE_D),
+                ),
+            ),
+            "",
+        ).alias("rep"),
+    )
+    rep = F.col("rep")
+    for it in range(1, BPE_MERGES + 1):
+        m = F.element_at(F.col("ms"), it)
+        left, right = m.getField("left_sym"), m.getField("right_sym")
+        rep = F.replace(
+            rep,
+            F.concat(F.lit(_BPE_S), left, F.lit(_BPE_D), right, F.lit(_BPE_S)),
+            F.concat(F.lit(_BPE_S), left, right, F.lit(_BPE_S)),
+        )
+    enc = doc.crossJoin(F.broadcast(ms_row)).select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        (F.size(F.split(rep, _BPE_D)) - F.col("n_words") - 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return enc.withColumn(
+        "tok_per_kchar",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN n_tokens * 1000 div n_chars"
+            " ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# measured MinHash-LSH quality: empirical S-curve vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+JACC_BUCKET_PPM = 100_000  # decile width of the exact-Jaccard buckets
+
+
+def _minhash_eval_oracle() -> str:
+    from .text_queries import NGRAM_MAX_DF, _minhash_oracle
+    from .operators import dedup as _dd
+
+    k = _dd.SHINGLE_K
+    return f"""
+    WITH cand AS ({_minhash_oracle()}),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(str_split(text, ' ')) >= {k}
+               THEN list_transform(range(0, len(str_split(text, ' ')) - {k} + 1),
+                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {k}], ' '))
+               ELSE [text] END) AS shingles
+      FROM documents),
+    exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    keep AS (SELECT shingle FROM exploded_all
+             GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}),
+    exploded AS (SELECT e.doc_id, e.shingle
+                 FROM exploded_all e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    uni AS (
+      SELECT id_a, id_b,
+             n_inter * 1000000 // (sa.n_sh + sb.n_sh - n_inter) AS jacc_ppm
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b),
+    j AS (
+      SELECT u.jacc_ppm, (c.id_a IS NOT NULL) AS is_cand
+      FROM uni u FULL OUTER JOIN cand c
+        ON u.id_a = c.id_a AND u.id_b = c.id_b)
+    SELECT CAST(CASE WHEN jacc_ppm IS NULL THEN -1
+                     ELSE jacc_ppm // {JACC_BUCKET_PPM} END AS INT)
+             AS jacc_bucket,
+           CAST(count(jacc_ppm) AS BIGINT) AS n_pairs,
+           CAST(count(CASE WHEN is_cand THEN 1 END) AS BIGINT)
+             AS n_candidates,
+           CASE WHEN count(jacc_ppm) > 0
+                THEN CAST(count(CASE WHEN is_cand THEN 1 END)
+                          * 1000000 // count(jacc_ppm) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_ppm
+    FROM j GROUP BY 1
+    """
+
+
+@register("dedup_minhash_eval", _minhash_eval_oracle())
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the MinHash-LSH candidate generation: the
+    empirical LSH S-curve. Ground truth is exact n-gram Jaccard (the
+    dedup_ngram_jaccard definition: distinct token 3-shingles under the
+    max_df stop-shingle cut, integer-ppm Jaccard); pairs are bucketed
+    by Jaccard decile and each bucket reports how many the banded LSH
+    join surfaced as candidates — the measured counterpart of the
+    theoretical 1-(1-s^r)^b hit curve, graded the way retrieval_eval_mrr
+    grades BM25. Bucket -1 collects LSH candidates whose documents
+    share NO discriminative shingle (band collisions / cut-shingle
+    overlap): its n_candidates over the total is the false-positive
+    cost the verify stage pays.
+
+    Scale shape: the truth side is the same bounded stop-shingle
+    equi-join dedup_ngram_jaccard runs (fanout capped by max_df); the
+    candidate side is the capped banded equi-join; the comparison is a
+    pair-keyed full outer join between two already-bounded pair tables
+    and a rollup into <= 12 decile rows. Nothing here is new exchange
+    territory — the eval reuses the exact shapes of the two queries it
+    grades."""
+    from .operators import dedup as _dd
+    from .text_queries import NGRAM_MAX_DF
+
+    d = _t(spark, sf_dir, "documents")
+    shingled = _dd._doc_shingles(d, "doc_id", "text", _dd.SHINGLE_K)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
+    kept = exploded.join(
+        dfreq.filter(F.col("_df") <= NGRAM_MAX_DF), "shingle"
+    ).select("doc_id", "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    uni = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias(
+                "jacc_ppm"
+            ),
+        )
+    )
+    cand = _dd.lsh_candidate_pairs(d).withColumn("is_cand", F.lit(True))
+    joined = uni.join(cand, ["id_a", "id_b"], "full_outer")
+    bucket = (
+        F.when(F.col("jacc_ppm").isNull(), F.lit(-1))
+        .otherwise(F.expr(f"jacc_ppm div {JACC_BUCKET_PPM}"))
+        .cast("int")
+    )
+    return (
+        joined.select(
+            bucket.alias("jacc_bucket"),
+            F.col("jacc_ppm").isNotNull().alias("in_uni"),
+            F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+        )
+        .groupBy("jacc_bucket")
+        .agg(
+            F.sum(F.when(F.col("in_uni"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CASE WHEN n_pairs > 0"
+                " THEN n_candidates * 1000000 div n_pairs"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
     )
 
 
