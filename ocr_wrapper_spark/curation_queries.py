@@ -1953,32 +1953,44 @@ def char_coverage_alphabet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
+    # Each merge is read through a scalar subquery and applied as
+    # coalesce(replace(rep, pat, sub), rep): a corpus that learns fewer
+    # than BPE_MERGES merges (all-single-symbol words) yields an empty
+    # m{it}, the scalar subquery returns NULL, replace() propagates it,
+    # and the coalesce makes the missing merge a no-op instead of
+    # wiping every row (a bare cross join against the empty m{it}
+    # would) — mirroring the Spark side's NULL-safe F.get guard.
     d, s = _BPE_D, _BPE_S
-    rep = "rep"
-    for it in range(1, BPE_MERGES + 1):
-        rep = f"""replace({rep},
-             '{s}' || m{it}.left_sym || '{d}' || m{it}.right_sym || '{s}',
-             '{s}' || m{it}.left_sym || m{it}.right_sym || '{s}')"""
-    froms = ", ".join(f"m{it}" for it in range(1, BPE_MERGES + 1))
-    return f"""
+    sql = f"""
     {_bpe_merge_ctes()},
     docw AS (
       SELECT doc_id,
              list_filter(str_split(text, ' '),
                          w -> w <> '' AND NOT contains(w, '{s}')) AS ws
       FROM documents),
-    docrep AS (
+    e0 AS (
       SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
              CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
              array_to_string(list_transform(ws, w ->
                '{d}' || array_to_string(str_split(w, ''), '{d}') || '{d}'),
                '') AS rep
-      FROM docw),
+      FROM docw)"""
+    for it in range(1, BPE_MERGES + 1):
+        l = f"(SELECT left_sym FROM m{it})"
+        r = f"(SELECT right_sym FROM m{it})"
+        sql += f""",
+    e{it} AS (
+      SELECT doc_id, n_words, n_chars,
+             coalesce(replace(rep,
+               '{s}' || {l} || '{d}' || {r} || '{s}',
+               '{s}' || {l} || {r} || '{s}'), rep) AS rep
+      FROM e{it - 1})"""
+    return sql + f""",
     enc AS (
       SELECT doc_id, n_words, n_chars,
-             CAST(len(str_split({rep}, '{d}')) - n_words - 1 AS BIGINT)
+             CAST(len(str_split(rep, '{d}')) - n_words - 1 AS BIGINT)
                AS n_tokens
-      FROM docrep, {froms})
+      FROM e{BPE_MERGES})
     SELECT doc_id, n_words, n_chars, n_tokens,
            CASE WHEN n_chars > 0 THEN n_tokens * 1000 // n_chars
                 ELSE CAST(0 AS BIGINT) END AS tok_per_kchar
@@ -2038,12 +2050,22 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = F.col("rep")
     for it in range(1, BPE_MERGES + 1):
-        m = F.element_at(F.col("ms"), it)
+        # F.get is 0-based and NULL-safe (element_at throws under ANSI
+        # when a degenerate corpus learns < BPE_MERGES merges); the
+        # NULL pattern propagates through replace and the coalesce
+        # turns the missing merge into a no-op — mirrored in the
+        # oracle's scalar-subquery + coalesce chain.
+        m = F.get(F.col("ms"), it - 1)
         left, right = m.getField("left_sym"), m.getField("right_sym")
-        rep = F.replace(
+        rep = F.coalesce(
+            F.replace(
+                rep,
+                F.concat(
+                    F.lit(_BPE_S), left, F.lit(_BPE_D), right, F.lit(_BPE_S)
+                ),
+                F.concat(F.lit(_BPE_S), left, right, F.lit(_BPE_S)),
+            ),
             rep,
-            F.concat(F.lit(_BPE_S), left, F.lit(_BPE_D), right, F.lit(_BPE_S)),
-            F.concat(F.lit(_BPE_S), left, right, F.lit(_BPE_S)),
         )
     enc = doc.crossJoin(F.broadcast(ms_row)).select(
         "doc_id",

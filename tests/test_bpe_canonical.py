@@ -60,6 +60,8 @@ def _python_bpe(texts, n_merges):
     learned = []
     for it in range(1, n_merges + 1):
         pairs = _pair_counts(reps)
+        if not pairs:  # degenerate corpus: fewer learnable merges
+            break
         (left, right), cnt = sorted(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )[0]

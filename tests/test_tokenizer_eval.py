@@ -134,6 +134,24 @@ def test_bpe_encode_lengths_matches_pure_python(spark, tmp_path):
     assert by_id[0][3] < by_id[0][2]
 
 
+def test_bpe_encode_degenerate_corpus_is_merge_noop(spark, tmp_path):
+    """A corpus of single-symbol words learns ZERO merges; the encode
+    must degrade to n_tokens == n_chars (missing merges are no-ops),
+    not throw INVALID_ARRAY_INDEX (ANSI element_at) or drop every row
+    (a cross join against the empty merge table)."""
+    from ocr_wrapper_spark import curation_queries as cq
+
+    texts = {0: "x q x", 1: "a b a", 2: ""}
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    assert cq.bpe_learn_merges(spark, sf_dir).count() == 0
+    got = sorted(
+        (r.doc_id, r.n_words, r.n_chars, r.n_tokens)
+        for r in cq.bpe_encode_lengths(spark, sf_dir).collect()
+    )
+    assert got == [(0, 3, 3, 3), (1, 3, 3, 3), (2, 0, 0, 0)]
+    assert got == [t[:4] for t in _python_encode(texts, cq.BPE_MERGES)]
+
+
 def test_bpe_encode_plan_is_broadcast_only_on_documents(spark, tmp_path):
     """The encode stage must not shuffle the corpus: the merges arrive
     as a 1-row broadcast (BroadcastNestedLoopJoin) and the token count
