@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-9 additions: never snapshotted
+    "quality_classifier_eval",
+    "doc_blocklist_filter",
     "char_coverage_alphabet",
     "bpe_encode_lengths",
     "dedup_minhash_eval",

@@ -2233,6 +2233,242 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# classifier-vs-heuristic agreement, and wordlist blocklist filtering
+# ---------------------------------------------------------------------------
+
+# Gopher-style heuristic keep rule, all-integer (the label side of the
+# classifier eval): token count within bounds, mean word length within
+# [3, 10] via cross-multiplication, and at least QL_MIN_STOP stopword
+# tokens. The token bound is Gopher's real 50-token floor, which (with
+# the stopword floor) produces genuine label variety at test scale.
+QL_MIN_TOKENS, QL_MAX_TOKENS = 50, 100_000
+QL_MIN_MWL, QL_MAX_MWL = 3, 10
+QL_MIN_STOP = 2
+
+from .operators.textstats import STOPWORDS_EN as _QL_STOPWORDS  # noqa: E402
+
+_QL_STOP_LITS = ", ".join(f"'{w}'" for w in _QL_STOPWORDS)
+
+_QL_LABEL_SQL = f"""(
+      n_tokens >= {QL_MIN_TOKENS} AND n_tokens <= {QL_MAX_TOKENS}
+      AND n_letters >= {QL_MIN_MWL} * n_tokens
+      AND n_letters <= {QL_MAX_MWL} * n_tokens
+      AND n_stop >= {QL_MIN_STOP})"""
+
+
+@register(
+    "quality_classifier_eval",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END AS score_ppm,
+             (text = '' OR (CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END) > 0) AS pred_keep,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(str_split(text, ' ')) AS BIGINT) END
+               AS n_tokens,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(text) - len(str_split(text, ' ')) + 1
+                       AS BIGINT) END AS n_letters,
+             CAST(len(list_filter(str_split(text, ' '),
+                  x -> list_contains([{_QL_STOP_LITS}], x))) AS BIGINT)
+               AS n_stop
+      FROM documents),
+    labeled AS (
+      SELECT CAST(CASE WHEN score_ppm = 0 THEN 0
+                       WHEN score_ppm > 0 THEN length(bin(score_ppm))
+                       ELSE -length(bin(-score_ppm)) END AS INT)
+               AS score_bucket,
+             pred_keep, {_QL_LABEL_SQL} AS label_keep
+      FROM scored)
+    SELECT score_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN pred_keep THEN 1 END) AS BIGINT)
+             AS n_pred_keep,
+           CAST(count(CASE WHEN label_keep THEN 1 END) AS BIGINT)
+             AS n_label_keep,
+           CAST(count(CASE WHEN pred_keep AND label_keep THEN 1 END)
+                AS BIGINT) AS n_both_keep,
+           CAST(count(CASE WHEN label_keep THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS label_keep_ppm
+    FROM labeled GROUP BY score_bucket
+    """,
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured agreement between the two registered quality filters:
+    the hashed-linear classifier (doc_quality_classifier's prediction)
+    against an all-integer Gopher-style heuristic label (token-count
+    bounds, mean word length in [3,10] by cross-multiplication, >=2
+    stopwords). Documents bucket by signed log2 of the classifier
+    score (the doc_length_histogram bin idiom), and each bucket
+    reports prediction/label/agreement counts plus the label-keep rate
+    — the calibration curve a production pipeline watches when a
+    classifier gates training data. With the deterministic stand-in
+    weights the curve reads flat (score is independent of quality —
+    exactly what the harness should show for an untrained model);
+    learned weights drop in without changing the plan or the oracle
+    shape.
+
+    Scale shape: score, prediction, and label are all narrow JVM maps
+    over one documents scan (the classifier's F.aggregate sum, a
+    length arithmetic, and a stopword-literal filter); the only
+    exchange is the final map-side-combinable rollup into <= ~128
+    signed-log2 buckets."""
+    from .operators import textstats as _ts
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    empty = F.col("text") == ""
+    score = F.when(empty, F.lit(0).cast("long")).otherwise(_qc_score_col(toks))
+    n_tokens = F.when(empty, F.lit(0).cast("long")).otherwise(
+        F.size(toks).cast("long")
+    )
+    n_letters = F.when(empty, F.lit(0).cast("long")).otherwise(
+        (F.length("text") - F.size(toks) + 1).cast("long")
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*_ts.STOPWORDS_EN))
+    ).cast("long")
+    scored = d.select(
+        score.alias("score_ppm"),
+        (empty | (score > 0)).alias("pred_keep"),
+        n_tokens.alias("n_tokens"),
+        n_letters.alias("n_letters"),
+        n_stop.alias("n_stop"),
+    )
+    label = (
+        (F.col("n_tokens") >= QL_MIN_TOKENS)
+        & (F.col("n_tokens") <= QL_MAX_TOKENS)
+        & (F.col("n_letters") >= QL_MIN_MWL * F.col("n_tokens"))
+        & (F.col("n_letters") <= QL_MAX_MWL * F.col("n_tokens"))
+        & (F.col("n_stop") >= QL_MIN_STOP)
+    )
+    bucket = (
+        F.when(F.col("score_ppm") == 0, F.lit(0))
+        .when(
+            F.col("score_ppm") > 0, F.length(F.bin(F.col("score_ppm")))
+        )
+        .otherwise(-F.length(F.bin(-F.col("score_ppm"))))
+        .cast("int")
+    )
+    labeled = scored.select(
+        bucket.alias("score_bucket"),
+        "pred_keep",
+        label.alias("label_keep"),
+    )
+    agg = labeled.groupBy("score_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pred_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_keep"),
+        F.sum(F.when(F.col("label_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_label_keep"),
+        F.sum(F.when(F.col("pred_keep") & F.col("label_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_keep"),
+    )
+    return agg.withColumn(
+        "label_keep_ppm",
+        F.expr("n_label_keep * 1000000 div n_docs"),
+    )
+
+
+# UT1-style category blocklist over token sets: each category is a
+# wordlist, a document is blocked when ANY category's token share
+# exceeds BLOCK_MAX_PPM. Real deployments broadcast multi-million-entry
+# lists (UT1 et al.) as a bucket->category map; the compile-time
+# literals here keep the oracle exact while exercising the same plan.
+# The first two categories deliberately contain corpus-vocabulary words
+# (the SHINGLE_MONITOR_DF convention: the query must return verdict
+# variety at test scale); the third is a real-world list exercising the
+# zero-hit path.
+BLOCKLIST: dict[str, list[str]] = {
+    "infra_jargon": ["spark", "hash", "shuffle"],
+    "sales_spam": ["customer", "order", "big"],
+    "adult": ["xxx", "porn", "casino"],
+}
+# Block when a category holds > 16% of a doc's tokens. Calibrated to
+# the synthetic vocabulary (a 3-word category of the ~30-word Zipf
+# vocab holds ~10% of a typical doc): the p90 of the max category
+# share, so the filter blocks a realistic ~10% minority at test scale
+# instead of everything or nothing.
+BLOCK_MAX_PPM = 160_000
+
+
+def _blocklist_oracle() -> str:
+    cats = []
+    for cat, words in BLOCKLIST.items():
+        lits = ", ".join(f"'{w}'" for w in words)
+        cats.append(
+            f"""CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(list_filter(str_split(text, ' '),
+                     x -> list_contains([{lits}], x))) * 1000000
+                     // len(str_split(text, ' ')) AS BIGINT) END
+               AS {cat}_ppm"""
+        )
+    cols = ",\n             ".join(cats)
+    keep = " AND ".join(f"{cat}_ppm <= {BLOCK_MAX_PPM}" for cat in BLOCKLIST)
+    return f"""
+    WITH hit AS (
+      SELECT doc_id,
+             {cols}
+      FROM documents)
+    SELECT doc_id, {", ".join(f"{c}_ppm" for c in BLOCKLIST)},
+           ({keep}) AS keep
+    FROM hit
+    """
+
+
+@register("doc_blocklist_filter", _blocklist_oracle())
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-wordlist blocklist filtering (the UT1/RefinedWeb URL- and
+    word-list stage): per-document token share of each blocklist
+    category in integer ppm, and a keep verdict that blocks the
+    document when ANY category exceeds BLOCK_MAX_PPM of its tokens.
+
+    Scale shape: pure narrow JVM maps — one size(filter(tokens in
+    list)) per category over the split array, integer ppm floor-div,
+    no shuffle, no Python, no join. A production-size list (UT1 runs
+    to millions of entries) swaps the literal for a broadcast
+    bucket->category map probed with the same hashed-feature scheme
+    doc_quality_classifier uses, leaving the plan shape unchanged.
+    Empty documents keep (0 tokens, 0 ppm in every category)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    empty = F.col("text") == ""
+    def _hits(words: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    counted = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("_n_toks"),
+        empty.alias("_empty"),
+        *(
+            _hits(words).alias(f"_{cat}_hits")
+            for cat, words in BLOCKLIST.items()
+        ),
+    )
+    # integer ppm with int64 floor-div (the repo-wide exactness grain;
+    # a double divide-and-cast truncates differently at scale)
+    out = counted.select(
+        "doc_id",
+        *(
+            F.when(F.col("_empty"), F.lit(0).cast("long"))
+            .otherwise(F.expr(f"_{cat}_hits * 1000000 div _n_toks"))
+            .alias(f"{cat}_ppm")
+            for cat in BLOCKLIST
+        ),
+    )
+    keep = None
+    for cat in BLOCKLIST:
+        cond = F.col(f"{cat}_ppm") <= BLOCK_MAX_PPM
+        keep = cond if keep is None else (keep & cond)
+    return out.withColumn("keep", keep)
+
+
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 _ORACLES["host_components"] = _host_components_oracle().replace("{cdf}", _cdf_sql_fn())
