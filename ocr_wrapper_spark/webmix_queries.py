@@ -1,0 +1,280 @@
+"""Corpus-mix queries: site-template boilerplate, language sampling, lang-ID eval.
+
+Three late-pipeline curation stages a web-scale training corpus runs
+between extraction and shard writing:
+
+* **Site-template boilerplate** — the per-HOST analogue of CCNet's
+  paragraph dedup: a paragraph that repeats across *different pages of
+  the same site* is navigation/footer template, not content, even when
+  the corpus-wide duplicate count is too low to trip global dedup.
+* **Temperature language sampling** — the mC4 / CC-100 alpha-smoothed
+  multinomial: per-language sampling rates proportional to p_lang^0.5
+  (alpha = 0.5), normalized so the largest language keeps rate 1.0, then
+  applied per document with the repo's deterministic Knuth hash.
+* **Lang-ID confusion eval** — grades `doc_lang_id`'s n-gram-marker
+  classifier against the table's ground-truth `lang` column, the same
+  way `quality_classifier_eval` grades the hashed-linear classifier.
+
+All registered into the queries()/oracle_sql() registry with exact
+DuckDB oracles. Arithmetic discipline repo-wide: integer ppm/floor-div
+on non-negative int64 where values meet an ORDER or verdict; the one
+double in this module (sqrt of an exact int64 ratio) is IEEE-exact in
+both engines (division and sqrt are correctly-rounded operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .graph_queries import PARA_WORDS
+from .operators.sampling import knuth_u
+from .relational import ORACLES as _ORACLES
+from .relational import register
+from .text_queries import (
+    _HOST_NAME_SQL,
+    _HOSTED_CTE_SQL,
+    _host_idx_col,
+    _host_name_col,
+    _lang_id_oracle,
+    _t,
+    _U_SQL,
+    doc_lang_id,
+)
+
+# ---------------------------------------------------------------------------
+# site-template boilerplate (per-host paragraph repeats)
+# ---------------------------------------------------------------------------
+
+# A paragraph fingerprint is "template" on a host when it appears on at
+# least this many DISTINCT pages of that host. Share-of-host is reported
+# for observability but deliberately not part of the rule: a footer on 2
+# of a million pages of a big host is still not content on either page.
+TEMPLATE_MIN_DOCS = 2
+# quality verdict: a page more than this fraction template is a shell
+# (nav/footer/boilerplate dominates whatever content it has)
+TEMPLATE_MAX_PPM = 300_000
+
+_HOST_PARAS_CTES_SQL = f"""t AS (
+      SELECT doc_id, host_idx, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM hosted WHERE text <> ''),
+    paras AS (
+      SELECT doc_id, host_idx,
+             md5(array_to_string(
+               tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {PARA_WORDS}], ' ')) AS fp_md5
+      FROM t, unnest(range(0, n, {PARA_WORDS})) AS r(s)),
+    tmpl AS (
+      SELECT host_idx, fp_md5,
+             count(DISTINCT doc_id) >= {TEMPLATE_MIN_DOCS} AS is_template
+      FROM paras GROUP BY host_idx, fp_md5)"""
+
+
+@register(
+    "host_template_paragraphs",
+    f"""
+    WITH {_HOSTED_CTE_SQL},
+    {_HOST_PARAS_CTES_SQL}
+    SELECT p.doc_id,
+           {_HOST_NAME_SQL} AS host,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN m.is_template THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_template,
+           CAST(sum(CASE WHEN m.is_template THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS template_ppm,
+           CAST(sum(CASE WHEN m.is_template THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) <= {TEMPLATE_MAX_PPM} AS keep
+    FROM paras p JOIN tmpl m USING (host_idx, fp_md5)
+    GROUP BY p.doc_id, p.host_idx
+    """,
+)
+def host_template_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate detection: fixed PARA_WORDS-word
+    paragraphs that repeat on >= TEMPLATE_MIN_DOCS distinct pages of the
+    SAME host are template (navigation, footers, cookie banners — the
+    boilerplate global dedup misses because each site's shell is unique
+    to that site). Per page: paragraph count, template-paragraph count,
+    template ppm, and the shell-page verdict.
+
+    Scale shape at 10^12 pages: paragraph split/md5 are narrow JVM
+    expressions; the distinct-doc count is a plain count window over
+    (host_idx, fp_md5) on the already-deduped (doc, fingerprint) frame —
+    the md5 component makes the key uniform, so the Zipf host skew that
+    forces salting in pipeline_host_stats never concentrates here (the
+    top host's rows spread across all fp buckets, and each window group
+    is one fingerprint's occurrence list, tiny by construction). The
+    final rollup is doc_id-keyed with map-side combine. Empty pages
+    carry no paragraphs and are excluded, matching paragraph_dup_ratio's
+    contract."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
+    paras = d.select(
+        "doc_id",
+        _host_idx_col().alias("host_idx"),
+        toks.alias("tk"),
+        F.explode(starts).alias("s"),
+    ).select(
+        "doc_id",
+        "host_idx",
+        F.md5(
+            F.array_join(F.slice(F.col("tk"), F.col("s") + 1, PARA_WORDS), " ")
+        ).alias("fp_md5"),
+    )
+    # one row per (doc, fingerprint) first, so a plain count window over
+    # (host_idx, fp_md5) IS the distinct-doc count — no self-join of the
+    # paras frame (which trips Catalyst's ambiguous-lineage binding) and
+    # no unsupported countDistinct-over-window
+    per_doc = paras.groupBy("doc_id", "host_idx", "fp_md5").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    nd = F.count("*").over(Window.partitionBy("host_idx", "fp_md5"))
+    flagged = per_doc.withColumn("is_template", nd >= TEMPLATE_MIN_DOCS)
+    agg = flagged.groupBy("doc_id", "host_idx").agg(
+        F.sum("n_in_doc").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("is_template"), F.col("n_in_doc")).otherwise(0))
+        .cast("long")
+        .alias("n_template"),
+    )
+    ppm = F.expr("n_template * 1000000 div n_paras")
+    return agg.select(
+        "doc_id",
+        _host_name_col().alias("host"),
+        "n_paras",
+        "n_template",
+        ppm.alias("template_ppm"),
+        (ppm <= TEMPLATE_MAX_PPM).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature (alpha) language sampling
+# ---------------------------------------------------------------------------
+
+# mC4/CC-100 alpha-smoothing exponent. 0.5 (= sqrt) is chosen from the
+# published alpha range [0.2, 0.7] specifically because sqrt is an
+# IEEE-754 correctly-rounded primitive: sqrt(n_lang / n_max) is
+# bit-identical in the JVM and DuckDB, so the ppm rate needs no
+# tolerance. rate_lang = (p_lang / p_max)^alpha, i.e. normalized so the
+# largest language is kept whole and smaller languages are UP-weighted
+# relative to proportional sampling.
+LANG_ALPHA_RATE_SQL = (
+    "CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "lang_alpha_sampling",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    rated AS (
+      SELECT lang, n_docs,
+             {LANG_ALPHA_RATE_SQL.replace("n_max", "(SELECT max(n_docs) FROM counts)")}
+               AS rate_ppm
+      FROM counts)
+    SELECT r.lang, r.n_docs, r.rate_ppm,
+           CAST(sum(CASE WHEN ({_U_SQL}) * 1000000 < CAST(r.rate_ppm AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rated r USING (lang)
+    GROUP BY r.lang, r.n_docs, r.rate_ppm
+    """,
+)
+def lang_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling (mC4 §3.1 / CC-100 shape):
+    per-language keep rates proportional to p_lang^alpha with
+    alpha = 0.5, normalized to the largest language, applied per
+    document with the deterministic Knuth hash and reported as
+    (n_docs, rate_ppm, n_sampled) per language.
+
+    Scale shape: one map-side-combinable groupBy over |langs| keys
+    (~hundreds at web scale); the max is a constant-key window over that
+    tiny table; the rate table broadcast-joins back to the corpus; the
+    final rollup is again |langs|-keyed with map-side combine — the
+    corpus is scanned once and never shuffled on a skewed key. The
+    verdict per document is u(doc_id) < rate, so re-running the job (or
+    growing the corpus) never flips a previously-kept document's fate
+    unless its language's rate itself moved."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    # constant non-foldable key keeps the deliberate single-partition
+    # window over the tiny counts table warning-free (repo idiom)
+    rated = counts.withColumn(
+        "n_max", F.max("n_docs").over(Window.partitionBy(F.expr("length(lang) * 0")))
+    ).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_max").cast("double"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    kept = F.when(
+        knuth_u(F.col("doc_id")) * 1_000_000 < F.col("rate_ppm").cast("double"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(rated), "lang")
+        .groupBy("lang", "n_docs", "rate_ppm")
+        .agg(F.sum(kept).cast("long").alias("n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang-ID confusion eval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion_eval",
+    f"""
+    WITH pred AS ({_lang_id_oracle()})
+    SELECT lang, lang_guess,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+           CAST(count(*) * 1000000
+                // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm,
+           lang = lang_guess AS is_correct
+    FROM pred
+    GROUP BY lang, lang_guess
+    """,
+)
+def langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the n-gram-marker language classifier
+    (doc_lang_id) against the corpus's ground-truth lang column: per
+    (true, predicted) pair the document count, the true-language total,
+    the share in ppm (the diagonal rows are per-language recall), and
+    the diagonal flag. The eval that tells a curation pipeline whether
+    its lang-ID stage is safe to filter on — same pattern as
+    quality_classifier_eval / retrieval_eval_mrr.
+
+    Scale shape: the classifier is a narrow JVM expression over the
+    scan; one map-side-combinable groupBy over |langs|^2 keys; the
+    lang_total window runs over the already-aggregated tiny table."""
+    pred = doc_lang_id(spark, sf_dir)
+    agg = pred.groupBy("lang", "lang_guess").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    with_total = agg.withColumn(
+        "lang_total",
+        F.sum("n_docs").over(Window.partitionBy("lang")).cast("long"),
+    )
+    return with_total.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        "lang_total",
+        F.expr("n_docs * 1000000 div lang_total").alias("share_ppm"),
+        (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
+    )
+
+
+# host-mapped oracle needs the Zipf cdf literal (same post-registration
+# splice as text_queries / graph_queries)
+from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
+
+_ORACLES["host_template_paragraphs"] = _ORACLES["host_template_paragraphs"].replace(
+    "{cdf}", _cdf_sql_fn()
+)
