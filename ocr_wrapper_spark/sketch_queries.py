@@ -1,0 +1,535 @@
+"""Cardinality / frequency sketches and priority sampling.
+
+At 10^12 documents, exact per-host distinct counts and global term
+frequencies are shuffle-bound; production crawl pipelines answer them
+with fixed-size sketches instead. This module implements the three
+classics — KMV (bottom-k) distinct counting, HyperLogLog registers,
+and a Count-Min frequency sketch — plus Duffield–Lund–Thorup priority
+sampling, each as a registered query with an exact DuckDB oracle AND
+the exact count it approximates in the same result row, so the driver
+verifies both the sketch arithmetic and its measured error.
+
+Spark's own `approx_count_distinct` is a HLL++ whose register layout is
+engine-private (not reproducible in DuckDB), so these queries build the
+sketches from first principles on deterministic md5-derived hashes:
+identical bit-for-bit on both engines, and — unlike the built-in — the
+intermediate sketch is an inspectable DataFrame.
+
+All arithmetic is non-negative int64 (floor/trunc div agree there);
+leading-zero counts come from `length(bin(x))` which both engines
+define identically for positive ints. No libm anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .pipeline_queries import _host_cdf_sql
+from .relational import register
+from .text_queries import _host_idx_col, _host_name_col, _t
+
+# ---------------------------------------------------------------------------
+# shared: 60-bit md5 hashes (the curation-module convention: 15 hex
+# chars = 60 bits, below the int64 sign bit on both engines)
+# ---------------------------------------------------------------------------
+
+HASH_BITS = 60
+_HEX60_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+_HEX60B_SQL = "CAST(CAST(('0x' || substr(md5({x}), 16, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _hash60_col(col, start: int = 1):
+    return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long")
+
+
+# Zipf host assignment + per-host distinct term hashes, shared by the
+# two cardinality sketches. (host_idx mirrors sources/pages.py
+# host_for_doc; see text_queries._host_idx_col.)
+def _host_term_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.filter(F.col("text") != "")
+        .select(
+            _host_idx_col().alias("host_idx"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .select("host_idx", _hash60_col(F.col("term")).alias("h"))
+        .distinct()
+    )
+    return terms
+
+
+def _host_term_hashes_sql() -> str:
+    return f"""hosted AS (
+      SELECT doc_id, text,
+             len(list_filter({_host_cdf_sql()},
+                 c -> c < ((((doc_id) % 4294967296 + 4294967296) % 4294967296 % 65536) * 2654435761
+                           + ((((doc_id) % 4294967296 + 4294967296) % 4294967296) // 65536 * 2654435761)
+                             % 4294967296 * 65536) % 4294967296 / 4294967296.0))
+             AS host_idx
+      FROM documents),
+    dh AS (
+      SELECT DISTINCT host_idx, {_HEX60_SQL.format(x="term")} AS h
+      FROM (SELECT host_idx, unnest(str_split(text, ' ')) AS term
+            FROM hosted WHERE text <> ''))"""
+
+
+_HOST_NAME_SQL = "concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com')"
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# estimator works on the top 40 bits so (K-1) * 2^40 stays far below
+# int64; order is preserved (h -> h >> 20 is monotone)
+_KMV_SHIFT = 1 << 20
+_KMV_SPACE = 1 << 40
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH {_host_term_hashes_sql()},
+    ranked AS (
+      SELECT host_idx, h,
+             row_number() OVER (PARTITION BY host_idx ORDER BY h) AS rank
+      FROM dh),
+    stats AS (
+      SELECT host_idx, CAST(count(*) AS BIGINT) AS n_distinct FROM dh GROUP BY host_idx),
+    kth AS (
+      SELECT host_idx, max(CASE WHEN rank = {KMV_K} THEN h END) AS h_k
+      FROM ranked WHERE rank <= {KMV_K} GROUP BY host_idx),
+    est AS (
+      SELECT s.host_idx, s.n_distinct,
+             coalesce(k.h_k, -1) AS kth_min,
+             CASE WHEN k.h_k IS NULL THEN s.n_distinct
+                  ELSE {KMV_K - 1} * {_KMV_SPACE}
+                       // greatest(k.h_k // {_KMV_SHIFT}, 1) END AS kmv_estimate
+      FROM stats s LEFT JOIN kth k USING (host_idx))
+    SELECT {_HOST_NAME_SQL} AS host, n_distinct, kth_min, kmv_estimate,
+           abs(kmv_estimate - n_distinct) * 1000000 // n_distinct AS err_ppm
+    FROM est
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-term cardinality via a K-minimum-values sketch
+    (Bar-Yossef et al.): keep the K smallest 60-bit term hashes per
+    host; estimate distinct = (K-1) * SPACE / h_K. The result row
+    carries the exact count next to the estimate, so the oracle checks
+    the sketch bit-for-bit and the driver sees its measured error.
+
+    Scale shape: the bottom-K is two group-limited windows — rank
+    within (host, h%64) salt groups first, then within host over the
+    <= 64*K survivors. Both windows carry a partition spec, so Spark 4
+    pushes the rank<=K filter down to a per-partition WindowGroupLimit
+    BEFORE each exchange (the corpus_vocabulary trick): every map task
+    ships at most K rows per (host, salt), and the Zipf top host never
+    sorts in one task. "Exact" distinct here is distinct 60-bit hashes
+    (collision odds ~n^2/2^61 — zero at any real host size), which is
+    what keeps the whole query one scan instead of two."""
+    dh = _host_term_hashes(spark, sf_dir)
+    w_salt = Window.partitionBy("host_idx", F.col("h") % 64).orderBy("h")
+    cand = (
+        dh.withColumn("r", F.row_number().over(w_salt))
+        .filter(F.col("r") <= KMV_K)
+        .drop("r")
+    )
+    w_host = Window.partitionBy("host_idx").orderBy("h")
+    ranked = cand.withColumn("rank", F.row_number().over(w_host)).filter(
+        F.col("rank") <= KMV_K
+    )
+    kth = ranked.groupBy("host_idx").agg(
+        F.max(F.when(F.col("rank") == KMV_K, F.col("h"))).alias("h_k")
+    )
+    stats = dh.groupBy("host_idx").agg(F.count("*").alias("n_distinct"))
+    # integer divs: expr div (trunc) == floor for non-negative operands
+    est = F.expr(
+        f"CASE WHEN h_k IS NULL THEN n_distinct "
+        f"ELSE {(KMV_K - 1) * _KMV_SPACE} div greatest(h_k div {_KMV_SHIFT}, 1) END"
+    )
+    joined = stats.join(kth, "host_idx", "left").select(
+        "host_idx",
+        "n_distinct",
+        F.coalesce(F.col("h_k"), F.lit(-1)).alias("kth_min"),
+        est.alias("kmv_estimate"),
+    )
+    return joined.select(
+        _host_name_col().alias("host"),
+        "n_distinct",
+        "kth_min",
+        "kmv_estimate",
+        F.expr("abs(kmv_estimate - n_distinct) * 1000000 div n_distinct").alias(
+            "err_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers; register index = h % m, pattern = h // m (52 bits)
+_HLL_PAT_BITS = HASH_BITS - 8  # 52
+_HLL_RHO_MAX = _HLL_PAT_BITS + 1  # rho when the pattern is all zeros
+# raw-estimate numerator: round(alpha_256 * m^2) * 2^53, alpha_256 =
+# 0.7213 / (1 + 1.079/256) = 0.7182724 -> 47073 after * m^2. A shared
+# integer constant, so both engines floor-divide the same numerator.
+# 47073 * 2^53 ~ 4.2e20 exceeds int64, so the ONE division runs in
+# 128-bit on both engines (DuckDB HUGEINT //, Spark DECIMAL(38,0) div
+# which returns BIGINT) — exact integer floor either way, and the
+# quotient is back under 2^63 for any non-empty register set.
+_HLL_EST_NUM = 47073 * (1 << _HLL_RHO_MAX)
+
+
+@register(
+    "hll_register_estimate",
+    f"""
+    WITH {_host_term_hashes_sql()},
+    regs AS (
+      SELECT host_idx, h % {HLL_M} AS reg,
+             max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO_MAX}
+                      ELSE {_HLL_RHO_MAX} - length(bin(h // {HLL_M})) END) AS rho,
+             CAST(count(*) AS BIGINT) AS n_reg
+      FROM dh GROUP BY host_idx, reg),
+    hosts AS (
+      SELECT host_idx,
+             CAST(sum(n_reg) AS BIGINT) AS n_distinct,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - rho)) AS BIGINT)
+               AS s_present
+      FROM regs GROUP BY host_idx),
+    est AS (
+      SELECT host_idx, n_distinct,
+             CAST(CAST({_HLL_EST_NUM} AS HUGEINT)
+             // (s_present + ({HLL_M} - n_present) * CAST({1 << _HLL_RHO_MAX} AS BIGINT))
+               AS BIGINT) AS hll_estimate
+      FROM hosts)
+    SELECT {_HOST_NAME_SQL} AS host, n_distinct, hll_estimate,
+           abs(hll_estimate - n_distinct) * 1000000 // n_distinct AS abs_err_ppm,
+           hll_estimate >= n_distinct AS overestimate
+    FROM est
+    """,
+)
+def hll_register_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-term cardinality via HyperLogLog registers
+    (Flajolet et al.): register j keeps the max leading-zero rank rho
+    of hashes landing in it; the raw estimate is
+    alpha_m * m^2 / sum_j 2^-rho_j. The harmonic sum is scaled by 2^53
+    and stays int64 (empty registers contribute 2^53 each; max total
+    256 * 2^53 = 2^61); the one division runs 128-bit (HUGEINT //
+    DECIMAL(38,0) div) because the scaled numerator is ~4.2e20 — both
+    engines floor the same exact integer quotient. rho comes from
+    `length(bin(pattern))` — identical on both engines for positive
+    ints — so the estimate is bit-exact, no libm. (No small-range
+    linear-counting correction: that needs ln(); the raw estimate is
+    the deterministic spec, and the measured abs_err_ppm column is the
+    point of the query.)
+
+    Scale shape: ONE pass — groupBy(host, reg) keeps max(rho) AND the
+    distinct-hash count per register (dh is already distinct, so
+    sum(n_reg) = exact distinct), then a <= 256-rows-per-host rollup.
+    Both aggs combine map-side; nothing is ever wider than m rows per
+    host, however big the host."""
+    dh = _host_term_hashes(spark, sf_dir)
+    pat = F.expr(f"h div {HLL_M}")
+    rho = F.when(pat == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(pat))
+    )
+    regs = dh.groupBy("host_idx", (F.col("h") % HLL_M).alias("reg")).agg(
+        F.max(rho).alias("rho"), F.count("*").alias("n_reg")
+    )
+    hosts = regs.groupBy("host_idx").agg(
+        F.sum("n_reg").alias("n_distinct"),
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")).alias(
+            "s_present"
+        ),
+    )
+    s_total = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(
+        1 << _HLL_RHO_MAX
+    )
+    out = hosts.select(
+        "host_idx",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        s_total.alias("_s"),
+    ).select(
+        "host_idx",
+        "n_distinct",
+        F.expr(f"CAST(CAST({_HLL_EST_NUM} AS DECIMAL(38,0)) div _s AS BIGINT)").alias(
+            "hll_estimate"
+        ),
+    )
+    return out.select(
+        _host_name_col().alias("host"),
+        "n_distinct",
+        "hll_estimate",
+        F.expr("abs(hll_estimate - n_distinct) * 1000000 div n_distinct").alias(
+            "abs_err_ppm"
+        ),
+        (F.col("hll_estimate") >= F.col("n_distinct")).alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+CMS_TOP_K = 20
+
+
+def _cms_bucket_sql(d: int) -> str:
+    a = _HEX60_SQL.format(x="term")
+    b = _HEX60B_SQL.format(x="term")
+    return f"(({a}) + {d} * ({b})) % {CMS_WIDTH}"
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH occ AS (
+      SELECT unnest(str_split(text, ' ')) AS term FROM documents WHERE text <> ''),
+    hashed AS (
+      SELECT term,
+             {_HEX60_SQL.format(x="term")} AS a,
+             {_HEX60B_SQL.format(x="term")} AS b
+      FROM occ),
+    sketch AS (
+      SELECT j AS depth, (a + CAST(j AS BIGINT) * b) % {CMS_WIDTH} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM hashed, unnest(range(0, {CMS_DEPTH})) AS r(j)
+      GROUP BY depth, bucket),
+    truth AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS true_count,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+      FROM occ GROUP BY term),
+    cand AS (
+      SELECT term, true_count, rank,
+             {_HEX60_SQL.format(x="term")} AS a,
+             {_HEX60B_SQL.format(x="term")} AS b
+      FROM truth WHERE rank <= {CMS_TOP_K}),
+    probed AS (
+      SELECT c.term, c.true_count, c.rank, min(s.cnt) AS cms_estimate
+      FROM cand c, unnest(range(0, {CMS_DEPTH})) AS r(j)
+      JOIN sketch s
+        ON s.depth = j AND s.bucket = (c.a + CAST(j AS BIGINT) * c.b) % {CMS_WIDTH}
+      GROUP BY c.term, c.true_count, c.rank)
+    SELECT term, true_count, cms_estimate,
+           cms_estimate - true_count AS overcount, rank
+    FROM probed
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode–Muthukrishnan) over all term
+    occurrences: DEPTH x WIDTH counters addressed by Kirsch–
+    Mitzenmacher double hashing (bucket_d = (a + d*b) % W from the two
+    60-bit md5 halves — the decontaminate_bloom convention), probed at
+    the true top-K terms. `cms_estimate >= true_count` always (the CMS
+    one-sided error guarantee); the overcount column is the measured
+    collision error the driver hash-checks.
+
+    Scale shape: the sketch build is posexplode(4 buckets) + groupBy —
+    map-side combine collapses each task to <= D*W = 32768 partials, so
+    the shuffle is O(tasks * 32k) regardless of corpus size. Truth-side
+    top-K uses the constant-key WindowGroupLimit trick (per-partition
+    rank<=K before the exchange). The probe joins a K-row candidate
+    list against the <= 32k-row sketch — broadcast, no corpus data
+    moves."""
+    d = _t(spark, sf_dir, "documents")
+    occ = d.filter(F.col("text") != "").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    a = _hash60_col(F.col("term"), 1)
+    b = _hash60_col(F.col("term"), 16)
+    buckets = F.array(*[(a + F.lit(j) * b) % CMS_WIDTH for j in range(CMS_DEPTH)])
+    sketch = (
+        occ.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = occ.groupBy("term").agg(F.count("*").alias("true_count"))
+    w = Window.partitionBy(F.col("true_count") % 1).orderBy(
+        F.col("true_count").desc(), "term"
+    )
+    cand = (
+        truth.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CMS_TOP_K)
+        .select(
+            "term",
+            "true_count",
+            "rank",
+            F.posexplode(buckets).alias("depth", "bucket"),
+        )
+    )
+    probed = (
+        sketch.join(F.broadcast(cand), ["depth", "bucket"])
+        .groupBy("term", "true_count", "rank")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return probed.select(
+        "term",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duffield–Lund–Thorup priority sampling
+# ---------------------------------------------------------------------------
+
+PRIO_K = 50
+_PRIO_WCAP = 1 << 20  # weight cap keeps w * 2^40 far below int64
+_PRIO_USPACE = 1 << 40
+
+
+@register(
+    "priority_sample_topk",
+    f"""
+    WITH pri AS (
+      SELECT doc_id,
+             least(n_chars + 1, {_PRIO_WCAP}) AS weight,
+             least(n_chars + 1, {_PRIO_WCAP}) * {_PRIO_USPACE}
+             // ({_HEX60_SQL.format(x="CAST(doc_id AS VARCHAR)")} // {1 << 20} + 1)
+             AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, weight, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+      FROM pri),
+    head AS (SELECT * FROM ranked WHERE rank <= {PRIO_K + 1}),
+    tau AS (
+      SELECT coalesce(max(CASE WHEN rank = {PRIO_K + 1} THEN priority END), 0) AS tau
+      FROM head)
+    SELECT h.doc_id, h.weight, h.priority, t.tau,
+           greatest(h.weight, t.tau) AS est_weight, h.rank
+    FROM head h CROSS JOIN tau t
+    WHERE h.rank <= {PRIO_K}
+    """,
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling: each doc gets priority
+    q = w / u with u uniform from its 40-bit doc-id hash (scaled to
+    int: q = w * 2^40 // (u40 + 1)); the K highest-priority docs form a
+    weighted sample, and tau = the (K+1)-th priority yields the
+    unbiased per-item weight estimator max(w, tau). The classic way to
+    carry a fixed-size weighted sample of a 10^12-row corpus through a
+    pipeline (weights here = document length).
+
+    Scale shape: one narrow map computes priorities; the global top
+    K+1 uses the constant-key WindowGroupLimit pushdown (each map task
+    ships at most K+1 rows), and tau comes from a 1-row aggregate of
+    the 51 survivors cross-joined back — broadcast, no second scan."""
+    d = _t(spark, sf_dir, "documents")
+    w_cap = F.least(F.col("n_chars") + 1, F.lit(_PRIO_WCAP))
+    u40 = F.expr(
+        f"conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) div {1 << 20}"
+    ).cast("long")
+    pri = d.select(
+        "doc_id",
+        w_cap.alias("weight"),
+        F.expr(
+            f"least(n_chars + 1, {_PRIO_WCAP}) * {_PRIO_USPACE} div "
+            f"(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) "
+            f"div {1 << 20} + 1)"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy(F.col("priority") % 1).orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    head = pri.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= PRIO_K + 1
+    )
+    tau = head.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == PRIO_K + 1, F.col("priority"))), F.lit(0)
+        ).alias("tau")
+    )
+    return (
+        head.filter(F.col("rank") <= PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            "tau",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robots_disallow_filter",
+    f"""
+    WITH hosted AS (
+      SELECT doc_id, source,
+             len(list_filter({_host_cdf_sql()},
+                 c -> c < ((((doc_id) % 4294967296 + 4294967296) % 4294967296 % 65536) * 2654435761
+                           + ((((doc_id) % 4294967296 + 4294967296) % 4294967296) // 65536 * 2654435761)
+                             % 4294967296 * 65536) % 4294967296 / 4294967296.0))
+             AS host_idx
+      FROM documents),
+    pathed AS (
+      SELECT doc_id, host_idx,
+             '/' || source || '/p' || CAST(doc_id % 97 AS VARCHAR)
+                 || '/doc' || CAST(doc_id AS VARCHAR) AS path,
+             CASE host_idx % 3 WHEN 0 THEN '/src0/' WHEN 1 THEN '/src2/' END
+             AS disallow_prefix
+      FROM hosted)
+    SELECT doc_id, {_HOST_NAME_SQL} AS host, path,
+           coalesce(disallow_prefix, '') AS disallow_prefix,
+           disallow_prefix IS NOT NULL
+             AND starts_with(path, disallow_prefix) AS blocked
+    FROM pathed
+    """,
+)
+def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness robots.txt stage: each host carries a
+    Disallow prefix rule (derived deterministically from host_idx —
+    hosts 0 mod 3 disallow /src0/, 1 mod 3 disallow /src2/), and every
+    url's path is tested against its host's rule before fetch. The
+    per-doc verdict column is what a frontier would filter on.
+
+    Scale shape: pure narrow map — host assignment, path synthesis,
+    and the prefix test are all JVM expressions over the scan; zero
+    shuffle, zero joins (a real deployment broadcasts the
+    host -> rules table; here the rule is a closed form of host_idx,
+    which is the same broadcast-free shape)."""
+    d = _t(spark, sf_dir, "documents")
+    pathed = d.select(
+        "doc_id",
+        _host_idx_col().alias("host_idx"),
+        F.concat(
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/p"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    ).withColumn(
+        "disallow_prefix",
+        F.when(F.col("host_idx") % 3 == 0, "/src0/").when(
+            F.col("host_idx") % 3 == 1, "/src2/"
+        ),
+    )
+    return pathed.select(
+        "doc_id",
+        _host_name_col().alias("host"),
+        "path",
+        F.coalesce(F.col("disallow_prefix"), F.lit("")).alias("disallow_prefix"),
+        (
+            F.col("disallow_prefix").isNotNull()
+            & F.col("path").startswith(F.col("disallow_prefix"))
+        ).alias("blocked"),
+    )
