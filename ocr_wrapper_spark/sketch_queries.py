@@ -533,3 +533,112 @@ def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("path").startswith(F.col("disallow_prefix"))
         ).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch union / mergeability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_union_corpus",
+    f"""
+    WITH {_host_term_hashes_sql()},
+    -- per-host HLL registers, then register-wise max across hosts =
+    -- the merged corpus sketch (max is associative, so this equals the
+    -- directly-built sketch; the oracle proves that identity)
+    host_regs AS (
+      SELECT host_idx, h % {HLL_M} AS reg,
+             max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO_MAX}
+                      ELSE {_HLL_RHO_MAX} - length(bin(h // {HLL_M})) END) AS rho
+      FROM dh GROUP BY host_idx, reg),
+    merged AS (SELECT reg, max(rho) AS rho FROM host_regs GROUP BY reg),
+    hll AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - rho)) AS BIGINT) AS s_present
+      FROM merged),
+    -- per-host bottom-K, unioned, re-cut to the global bottom-K =
+    -- the merged KMV sketch (the global K minima survive in some
+    -- host's local K minima by pigeonhole)
+    host_ranked AS (
+      SELECT host_idx, h,
+             row_number() OVER (PARTITION BY host_idx ORDER BY h) AS r
+      FROM (SELECT DISTINCT host_idx, h FROM dh)),
+    pooled AS (
+      SELECT DISTINCT h FROM host_ranked WHERE r <= {KMV_K}),
+    global_ranked AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM pooled),
+    kth AS (
+      SELECT max(CASE WHEN r = {KMV_K} THEN h END) AS h_k FROM global_ranked
+      WHERE r <= {KMV_K}),
+    exact AS (
+      SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM dh)
+    SELECT e.n_exact,
+           CAST(CAST({_HLL_EST_NUM} AS HUGEINT)
+                // (hll.s_present + ({HLL_M} - hll.n_present)
+                    * CAST({1 << _HLL_RHO_MAX} AS BIGINT)) AS BIGINT) AS hll_union_estimate,
+           CASE WHEN k.h_k IS NULL THEN e.n_exact
+                ELSE {KMV_K - 1} * {_KMV_SPACE}
+                     // greatest(k.h_k // {_KMV_SHIFT}, 1) END AS kmv_union_estimate
+    FROM exact e CROSS JOIN hll CROSS JOIN kth k
+    """,
+)
+def sketch_union_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability — the property that makes sketches THE
+    distributed-cardinality answer: per-host sketches built
+    independently (one per shard/executor in production) merge into a
+    corpus-level sketch that is bit-identical to the sketch built over
+    the whole corpus at once. HLL merges by register-wise max; KMV
+    merges by pooling the per-host bottom-Ks and re-cutting to the
+    global bottom-K (pigeonhole: every global minimum is a local
+    minimum of its host). The oracle rebuilds both merges from raw
+    hashes, so any drift in the merge algebra hash-mismatches.
+
+    Scale shape: the per-host stage is the same bounded-state groupBy /
+    WindowGroupLimit shape as the standalone sketches; the merge stages
+    see only |hosts| * m register rows and |hosts| * K pooled hashes —
+    constant per host, however big the corpus. The exact count (the
+    verification column) is the only corpus-wide distinct."""
+    dh = _host_term_hashes(spark, sf_dir)
+    pat = F.expr(f"h div {HLL_M}")
+    rho = F.when(pat == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(pat))
+    )
+    host_regs = dh.groupBy("host_idx", (F.col("h") % HLL_M).alias("reg")).agg(
+        F.max(rho).alias("rho")
+    )
+    merged = host_regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+    hll = merged.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")).alias(
+            "s_present"
+        ),
+    ).select(
+        F.expr(
+            f"CAST(CAST({_HLL_EST_NUM} AS DECIMAL(38,0)) div "
+            f"(s_present + ({HLL_M} - n_present) * {1 << _HLL_RHO_MAX}) AS BIGINT)"
+        ).alias("hll_union_estimate")
+    )
+    w_host = Window.partitionBy("host_idx").orderBy("h")
+    pooled = (
+        dh.withColumn("r", F.row_number().over(w_host))
+        .filter(F.col("r") <= KMV_K)
+        .select("h")
+        .distinct()
+    )
+    w_global = Window.partitionBy(F.col("h") % 1).orderBy("h")
+    kth = (
+        pooled.withColumn("r", F.row_number().over(w_global))
+        .filter(F.col("r") <= KMV_K)
+        .agg(F.max(F.when(F.col("r") == KMV_K, F.col("h"))).alias("h_k"))
+    )
+    exact = dh.select("h").distinct().agg(F.count("*").alias("n_exact"))
+    kmv_est = F.expr(
+        f"CASE WHEN h_k IS NULL THEN n_exact "
+        f"ELSE {(KMV_K - 1) * _KMV_SPACE} div greatest(h_k div {_KMV_SHIFT}, 1) END"
+    )
+    return (
+        exact.crossJoin(F.broadcast(hll))
+        .crossJoin(F.broadcast(kth))
+        .select("n_exact", "hll_union_estimate", kmv_est.alias("kmv_union_estimate"))
+    )

@@ -233,3 +233,56 @@ def test_robots_filter_is_zero_shuffle(spark):
 
     plan = _plan(robots_disallow_filter(spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sketch union / mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_union_equals_directly_built_global_sketch(spark, tmp_path):
+    """The merge identity: per-host sketches merged (HLL register-wise
+    max, KMV pooled bottom-Ks re-cut) must equal the sketch built over
+    the whole corpus at once — recomputed here globally in Python."""
+    from ocr_wrapper_spark.sketch_queries import (
+        _HLL_EST_NUM,
+        _HLL_RHO_MAX,
+        _KMV_SHIFT,
+        _KMV_SPACE,
+        HLL_M,
+        KMV_K,
+        sketch_union_corpus,
+    )
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+    import numpy as np
+
+    docs = [(i, " ".join(f"w{(i * 13 + j) % 450}" for j in range(30))) for i in range(1, 80)]
+    sf_dir = _write_docs(tmp_path, docs)
+
+    hashes = set()  # global distinct (host, hash) pairs -> global hash set per host
+    for doc_id, text in docs:
+        host = int(host_for_doc(np.array([doc_id]))[0])
+        for term in text.split(" "):
+            hashes.add((host, int(hashlib.md5(term.encode()).hexdigest()[:15], 16)))
+
+    # direct global HLL over all (host, h) pairs
+    regs: dict[int, int] = {}
+    for _, h in hashes:
+        pat = h // HLL_M
+        rho = _HLL_RHO_MAX if pat == 0 else _HLL_RHO_MAX - pat.bit_length()
+        regs[h % HLL_M] = max(regs.get(h % HLL_M, 0), rho)
+    s = sum(1 << (_HLL_RHO_MAX - r) for r in regs.values())
+    s += (HLL_M - len(regs)) * (1 << _HLL_RHO_MAX)
+    hll_direct = _HLL_EST_NUM // s
+
+    # direct global bottom-K over the distinct hash values
+    pool = sorted({h for _, h in hashes})
+    if len(pool) >= KMV_K:
+        kmv_direct = (KMV_K - 1) * _KMV_SPACE // max(pool[KMV_K - 1] // _KMV_SHIFT, 1)
+    else:
+        kmv_direct = len(pool)
+
+    row = sketch_union_corpus(spark, sf_dir).collect()[0]
+    assert row.n_exact == len({h for _, h in hashes})
+    assert row.hll_union_estimate == hll_direct
+    assert row.kmv_union_estimate == kmv_direct
