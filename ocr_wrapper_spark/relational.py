@@ -1153,3 +1153,95 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
         .agg(F.count("*").alias("numcust"), money_sum(F.col("c_acctbal"), "totacctbal"))
     )
+
+
+@register(
+    "asof_join_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.click_event_id,
+           CASE WHEN c.click_event_id IS NULL THEN NULL
+                ELSE strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+           CASE WHEN c.click_event_id IS NULL THEN NULL
+                ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (click attribution): every purchase event matched to
+    the same user's latest click at-or-before the purchase timestamp —
+    the canonical time-series as-of the brief calls out, expressed
+    Spark-first as union + ordered carry-forward instead of a range
+    join.
+
+    Scale shape: tag clicks 0 / purchases 1, union, ONE exchange on
+    user_id, then `last(click, ignorenulls)` over (ts, tag, event_id)
+    rows-unbounded-preceding — a single sort-window pass. A range/theta
+    join here would explode to |purchases| x |prior clicks| candidates
+    per user before picking the max; the carry-forward form is linear
+    in the partition and never materializes a candidate pair. Click
+    ties on (user, ts) are pre-collapsed to max(event_id) so the match
+    is deterministic (and the oracle's ASOF JOIN unambiguous). At
+    10^12 events a hot user additionally splits into time-range buckets
+    whose boundary click carries over — same algebra, bounded
+    partitions. Output timestamps serialize to microsecond strings (the
+    repo convention: queries never return raw timestamps); the gap is
+    exact integer microseconds (unix_micros / epoch_us)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            "click_event_id",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_event_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ts_fmt).alias("purchase_ts"),
+        F.col("last_click_id").alias("click_event_id"),
+        F.when(
+            F.col("last_click_id").isNotNull(),
+            F.date_format("last_click_ts", ts_fmt),
+        ).alias("click_ts"),
+        F.when(
+            F.col("last_click_id").isNotNull(),
+            # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+            # to TIMESTAMP (required by unix_micros) is value-preserving
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_click_ts").cast("timestamp")),
+        ).alias("gap_us"),
+    )
