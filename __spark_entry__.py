@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-11 additions: never snapshotted
+    "collocation_lift_topk",
+    "dedup_containment",
     "asof_join_attribution",
     "sketch_union_corpus",
     "kmv_distinct_sketch",

@@ -2482,3 +2482,99 @@ _ORACLES["host_downsample_cap"] = _host_downsample_oracle().replace(
 _ORACLES["dedup_canonical_selection"] = _ORACLES["dedup_canonical_selection"].replace(
     "{dedup_clusters_oracle}", _ORACLES["dedup_clusters"]
 )
+
+
+COLLOC_MIN_PAIR = 3
+COLLOC_TOP_K = 30
+
+
+@register(
+    "collocation_lift_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS tk
+      FROM documents WHERE text <> ''),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY term),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM uni),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2
+            FROM toks, unnest(range(1, len(tk))) AS r(i))
+      GROUP BY w1, w2
+      HAVING count(*) >= {COLLOC_MIN_PAIR}),
+    scored AS (
+      SELECT b.w1, b.w2, b.pair_count, u1.cnt AS w1_count, u2.cnt AS w2_count,
+             CAST(CAST(b.pair_count AS HUGEINT) * t.n_tokens * 1000000
+                  // (CAST(u1.cnt AS HUGEINT) * u2.cnt) AS BIGINT) AS lift_ppm
+      FROM big b
+      JOIN uni u1 ON b.w1 = u1.term
+      JOIN uni u2 ON b.w2 = u2.term
+      CROSS JOIN total t),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rank
+      FROM scored)
+    SELECT w1, w2, pair_count, w1_count, w2_count, lift_ppm, rank
+    FROM ranked WHERE rank <= {COLLOC_TOP_K}
+    """,
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the classic PMI ranking without the log —
+    since log is monotone, ranking by exact integer lift
+    floor(P(xy)/(P(x)P(y)) * 1e6) = floor(c_xy * N * 1e6 / (c_x * c_y))
+    yields the PMI order with zero libm (the doc_tfidf_topk
+    discipline). Pairs below {COLLOC_MIN_PAIR} occurrences are cut
+    first (PMI's low-count pathology AND the cheap pre-filter). The
+    cross-multiplied score runs 128-bit (HUGEINT / DECIMAL(38,0)) so
+    c_x * c_y at web-scale counts cannot overflow; the quotient is ppm
+    and fits int64.
+
+    Scale shape: bigram and unigram tables are both one
+    map-side-combinable aggregation over the token stream (adjacent
+    pairs come from zipping the split array with itself — no per-row
+    Python); the lift join keys on term against the unigram table —
+    vocabulary-keyed equi-joins, never a broadcast of an unbounded
+    vocabulary; N arrives as a 1-row broadcast; the global top-K uses
+    the constant-key WindowGroupLimit idiom over the pair table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text") != "").select(F.split("text", " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    pairs = toks.select(
+        F.explode(
+            F.expr("zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), (a, b) -> struct(a AS w1, b AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= COLLOC_MIN_PAIR)
+    )
+    scored = (
+        big.join(uni.withColumnRenamed("term", "w1").withColumnRenamed("cnt", "w1_count"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("cnt", "w2_count"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            F.expr(
+                "CAST(CAST(pair_count AS DECIMAL(38,0)) * n_tokens * 1000000"
+                " div (CAST(w1_count AS DECIMAL(38,0)) * w2_count) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy(F.col("lift_ppm") % 1).orderBy(
+        F.col("lift_ppm").desc(), "w1", "w2"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= COLLOC_TOP_K)
+    )

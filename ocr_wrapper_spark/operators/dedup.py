@@ -369,3 +369,64 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    containment_ppm: int = 900_000,
+    jaccard_bar_ppm: int = 800_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment pairs: containment(A in B) = |A∩B| / |A|
+    over token k-shingles. Catches partial scrapes and long quotes —
+    a small doc wholly contained in a large one has high containment
+    but LOW Jaccard (the union is dominated by the big doc), so
+    symmetric Jaccard dedup misses exactly these pairs; this operator
+    returns pairs where either direction's containment clears
+    ``containment_ppm``, flagging ``jaccard_missed`` for the ones a
+    Jaccard pass at ``jaccard_bar_ppm`` would not catch.
+
+    All scores are exact integer ppm (floor division) — no doubles, so
+    the DuckDB oracle matches bit for bit. Same single shingle-keyed
+    shuffle and max_df stop-shingle cut as ``ngram_jaccard_pairs``.
+    """
+    shingled = _doc_shingles(df, id_col, text_col, k)
+    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
+        exploded = (
+            exploded.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
+            .select(id_col, "shingle")
+        )
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.expr("n_inter * 1000000 div n_a").alias("cont_a_ppm"),
+            F.expr("n_inter * 1000000 div n_b").alias("cont_b_ppm"),
+            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias("jaccard_ppm"),
+        )
+    )
+    return scored.filter(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= containment_ppm
+    ).withColumn("jaccard_missed", F.col("jaccard_ppm") < jaccard_bar_ppm)

@@ -2385,3 +2385,46 @@ for _name in (
     "streaming_watermark_join",
 ):
     _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(str_split(text, ' ')) >= {dedup.SHINGLE_K}
+               THEN list_transform(range(0, len(str_split(text, ' ')) - {dedup.SHINGLE_K} + 1),
+                    i -> array_to_string((str_split(text, ' '))[i + 1 : i + {dedup.SHINGLE_K}], ' '))
+               ELSE [text] END) AS shingles
+      FROM documents),
+    exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    keep AS (SELECT shingle FROM exploded_all GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}),
+    exploded AS (SELECT e.doc_id, e.shingle FROM exploded_all e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM exploded GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT id_a, id_b, n_inter,
+             n_inter * 1000000 // sa.n_shingles AS cont_a_ppm,
+             n_inter * 1000000 // sb.n_shingles AS cont_b_ppm,
+             n_inter * 1000000 // (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard_ppm
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT *, jaccard_ppm < 800000 AS jaccard_missed FROM scored
+    WHERE greatest(cont_a_ppm, cont_b_ppm) >= 900000
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (partial-scrape / long-quote
+    detection): pairs where one doc's discriminative shingle set is
+    >=90% contained in the other's, flagged `jaccard_missed` when
+    Jaccard stays below the 0.8 dedup bar — exactly the pairs
+    symmetric near-dup passes miss, because a small doc swallowed by a
+    big one has a union dominated by the big doc. Scores are exact
+    integer ppm, same shingle-keyed shuffle + NGRAM_MAX_DF stop cut as
+    dedup_ngram_jaccard (the hot boilerplate shingles never fan
+    out)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(d, max_df=NGRAM_MAX_DF)

@@ -40,6 +40,7 @@ WHITELIST: dict[str, str] = {
     "q22_sales_opportunity": "crossJoin(broadcast(1-row avg(c_acctbal))) — TPC-H Q22 scalar subquery",
     "priority_sample_topk": "crossJoin(broadcast(1-row tau aggregate over the <=K+1 survivors))",
     "sketch_union_corpus": "crossJoin of three 1-row aggregates (exact count, merged HLL, merged KMV kth)",
+    "collocation_lift_topk": "crossJoin(broadcast(1-row total-token count)) — scalar N in the lift",
     "doc_tfidf_topk": "1-row corpus-size broadcast (|D| for the idf term)",
     "bloom_filter_stats": "three 1-row aggregates (eval count, position count, bitmap stats) cross-joined into the single stats row",
     "source_mix_apportionment": "1-row corpus token total broadcast over the |sources|x|langs| group table",
