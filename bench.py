@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "doc_lang_id",
     "doc_token_chunks",
-    "asof_purchase_last_click",
+    "asof_join_attribution",  # union + carry-forward as-of join (r5 s11)
     "corpus_curation",
     "media_qr_decode",
     "doc_repetition_filter",
@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "html_anchor_stats",  # raw-payload regex mining over pages (r5)
     "bm25_retrieval",  # inverted-index ranked retrieval (r5 s8)
     "eval_ngram_overlap",  # shingle-join contamination measure (r5 s8)
+    "kmv_distinct_sketch",  # bounded-state cardinality sketch (r5 s11)
+    "cms_heavy_hitters",  # Count-Min frequency sketch (r5 s11)
+    "collocation_lift_topk",  # vocabulary-keyed PMI lift (r5 s11)
 ]
 
 
