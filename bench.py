@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "doc_lang_id",
     "doc_token_chunks",
-    "asof_join_attribution",  # union + carry-forward as-of join (r5 s11)
+    "asof_join_attribution",  # shared as-of operator + gap payload (r5 s11; supersedes asof_purchase_last_click in the bench set, same operator)
     "corpus_curation",
     "media_qr_decode",
     "doc_repetition_filter",

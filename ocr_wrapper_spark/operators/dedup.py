@@ -339,6 +339,30 @@ def ngram_jaccard_pairs(
     standard stop-shingle cut — Jaccard over the discriminative shingle
     set). The DuckDB oracles mirror the same cut exactly.
     """
+    scored = _shingle_pair_intersections(df, id_col, text_col, k, max_df)
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared pipeline under both shingle dedup operators: explode
+    distinct k-shingles, apply the max_df stop-shingle cut, self-join on
+    the shingle key, and return (id_a, id_b, n_inter, n_a, n_b) — the
+    intersection counts every set-similarity score derives from. One
+    shuffle on the shingle key; a change to the cut or the join lands in
+    Jaccard AND containment at once."""
     shingled = _doc_shingles(df, id_col, text_col, k)
     exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -359,16 +383,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def ngram_containment_pairs(
@@ -393,39 +408,13 @@ def ngram_containment_pairs(
     the DuckDB oracle matches bit for bit. Same single shingle-keyed
     shuffle and max_df stop-shingle cut as ``ngram_jaccard_pairs``.
     """
-    shingled = _doc_shingles(df, id_col, text_col, k)
-    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
-    if max_df is not None:
-        dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
-        exploded = (
-            exploded.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
-            .select(id_col, "shingle")
-        )
-    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    scored = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            F.expr("n_inter * 1000000 div n_a").alias("cont_a_ppm"),
-            F.expr("n_inter * 1000000 div n_b").alias("cont_b_ppm"),
-            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias("jaccard_ppm"),
-        )
+    scored = _shingle_pair_intersections(df, id_col, text_col, k, max_df).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.expr("n_inter * 1000000 div n_a").alias("cont_a_ppm"),
+        F.expr("n_inter * 1000000 div n_b").alias("cont_b_ppm"),
+        F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias("jaccard_ppm"),
     )
     return scored.filter(
         F.greatest("cont_a_ppm", "cont_b_ppm") >= containment_ppm

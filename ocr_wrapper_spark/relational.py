@@ -1181,67 +1181,49 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first as union + ordered carry-forward instead of a range
     join.
 
-    Scale shape: tag clicks 0 / purchases 1, union, ONE exchange on
-    user_id, then `last(click, ignorenulls)` over (ts, tag, event_id)
-    rows-unbounded-preceding — a single sort-window pass. A range/theta
-    join here would explode to |purchases| x |prior clicks| candidates
-    per user before picking the max; the carry-forward form is linear
-    in the partition and never materializes a candidate pair. Click
-    ties on (user, ts) are pre-collapsed to max(event_id) so the match
-    is deterministic (and the oracle's ASOF JOIN unambiguous). At
+    Scale shape: the shared operators/asof.py composition — tagged
+    union, ONE exchange on user_id, `last(ignorenulls)` carry-forward
+    window (the same operator asof_purchase_last_click runs; this query
+    adds the attribution payload: click timestamp + exact gap). A
+    range/theta join here would explode to |purchases| x |prior clicks|
+    candidates per user before picking the max; the carry-forward form
+    is linear in the partition and never materializes a candidate pair.
+    Click ties on (user, ts) are pre-collapsed to max(event_id) so the
+    match is deterministic (and the oracle's ASOF JOIN unambiguous). At
     10^12 events a hot user additionally splits into time-range buckets
     whose boundary click carries over — same algebra, bounded
     partitions. Output timestamps serialize to microsecond strings (the
     repo convention: queries never return raw timestamps); the gap is
     exact integer microseconds (unix_micros / epoch_us)."""
+    from .operators.asof import asof_join
+
     e = _t(spark, sf_dir, "events")
     clicks = (
         e.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_event_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("tag"),
-            "click_event_id",
-            F.lit(None).cast("long").alias("event_id"),
-        )
+        .select("user_id", "ts", "click_event_id", F.col("ts").alias("click_ts"))
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("click_event_id"),
-        "event_id",
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_id", F.last("click_event_id", ignorenulls=True).over(w))
-        .withColumn(
-            "last_click_ts",
-            F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
-        )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_value_cols=["click_event_id", "click_ts"],
     )
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return carried.filter(F.col("tag") == 1).select(
+    matched = F.col("asof_click_event_id").isNotNull()
+    return out.select(
         "event_id",
         "user_id",
         F.date_format("ts", ts_fmt).alias("purchase_ts"),
-        F.col("last_click_id").alias("click_event_id"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.when(matched, F.date_format("asof_click_ts", ts_fmt)).alias("click_ts"),
         F.when(
-            F.col("last_click_id").isNotNull(),
-            F.date_format("last_click_ts", ts_fmt),
-        ).alias("click_ts"),
-        F.when(
-            F.col("last_click_id").isNotNull(),
+            matched,
             # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
             # to TIMESTAMP (required by unix_micros) is value-preserving
             F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("last_click_ts").cast("timestamp")),
+            - F.unix_micros(F.col("asof_click_ts").cast("timestamp")),
         ).alias("gap_us"),
     )

@@ -25,22 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .curation_queries import _HEX_A_SQL, _HEX_B_SQL, _hex_slice_col
+from .operators.sampling import KNUTH_U_SQL
 from .pipeline_queries import _host_cdf_sql
 from .relational import register
-from .text_queries import _host_idx_col, _host_name_col, _t
+from .text_queries import _HOST_NAME_SQL, _HOSTED_CTE_SQL, _host_idx_col, _host_name_col, _t
 
-# ---------------------------------------------------------------------------
-# shared: 60-bit md5 hashes (the curation-module convention: 15 hex
-# chars = 60 bits, below the int64 sign bit on both engines)
-# ---------------------------------------------------------------------------
+# 60-bit md5 hashes: the canonical curation-module helpers (_HEX_A_SQL /
+# _HEX_B_SQL / _hex_slice_col) — 15 hex chars = 60 bits, below the int64
+# sign bit on both engines. Host mapping: the canonical _HOSTED_CTE_SQL /
+# KNUTH_U_SQL forms (overflow-safe split multiply), never re-inlined here.
 
 HASH_BITS = 60
-_HEX60_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
-_HEX60B_SQL = "CAST(CAST(('0x' || substr(md5({x}), 16, 15)) AS UBIGINT) AS BIGINT)"
-
-
-def _hash60_col(col, start: int = 1):
-    return F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long")
 
 
 # Zipf host assignment + per-host distinct term hashes, shared by the
@@ -54,28 +50,18 @@ def _host_term_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             _host_idx_col().alias("host_idx"),
             F.explode(F.split("text", " ")).alias("term"),
         )
-        .select("host_idx", _hash60_col(F.col("term")).alias("h"))
+        .select("host_idx", _hex_slice_col(F.md5(F.col("term")), 1).alias("h"))
         .distinct()
     )
     return terms
 
 
 def _host_term_hashes_sql() -> str:
-    return f"""hosted AS (
-      SELECT doc_id, text,
-             len(list_filter({_host_cdf_sql()},
-                 c -> c < ((((doc_id) % 4294967296 + 4294967296) % 4294967296 % 65536) * 2654435761
-                           + ((((doc_id) % 4294967296 + 4294967296) % 4294967296) // 65536 * 2654435761)
-                             % 4294967296 * 65536) % 4294967296 / 4294967296.0))
-             AS host_idx
-      FROM documents),
+    return f"""{_HOSTED_CTE_SQL.format(cdf=_host_cdf_sql())},
     dh AS (
-      SELECT DISTINCT host_idx, {_HEX60_SQL.format(x="term")} AS h
+      SELECT DISTINCT host_idx, {_HEX_A_SQL.format(fp="md5(term)")} AS h
       FROM (SELECT host_idx, unnest(str_split(text, ' ')) AS term
             FROM hosted WHERE text <> ''))"""
-
-
-_HOST_NAME_SQL = "concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com')"
 
 # ---------------------------------------------------------------------------
 # KMV (bottom-k) distinct-count sketch
@@ -281,10 +267,6 @@ CMS_WIDTH = 8192
 CMS_TOP_K = 20
 
 
-def _cms_bucket_sql(d: int) -> str:
-    a = _HEX60_SQL.format(x="term")
-    b = _HEX60B_SQL.format(x="term")
-    return f"(({a}) + {d} * ({b})) % {CMS_WIDTH}"
 
 
 @register(
@@ -294,8 +276,8 @@ def _cms_bucket_sql(d: int) -> str:
       SELECT unnest(str_split(text, ' ')) AS term FROM documents WHERE text <> ''),
     hashed AS (
       SELECT term,
-             {_HEX60_SQL.format(x="term")} AS a,
-             {_HEX60B_SQL.format(x="term")} AS b
+             {_HEX_A_SQL.format(fp="md5(term)")} AS a,
+             {_HEX_B_SQL.format(fp="md5(term)")} AS b
       FROM occ),
     sketch AS (
       SELECT j AS depth, (a + CAST(j AS BIGINT) * b) % {CMS_WIDTH} AS bucket,
@@ -308,8 +290,8 @@ def _cms_bucket_sql(d: int) -> str:
       FROM occ GROUP BY term),
     cand AS (
       SELECT term, true_count, rank,
-             {_HEX60_SQL.format(x="term")} AS a,
-             {_HEX60B_SQL.format(x="term")} AS b
+             {_HEX_A_SQL.format(fp="md5(term)")} AS a,
+             {_HEX_B_SQL.format(fp="md5(term)")} AS b
       FROM truth WHERE rank <= {CMS_TOP_K}),
     probed AS (
       SELECT c.term, c.true_count, c.rank, min(s.cnt) AS cms_estimate
@@ -342,8 +324,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.filter(F.col("text") != "").select(
         F.explode(F.split("text", " ")).alias("term")
     )
-    a = _hash60_col(F.col("term"), 1)
-    b = _hash60_col(F.col("term"), 16)
+    a = _hex_slice_col(F.md5(F.col("term")), 1)
+    b = _hex_slice_col(F.md5(F.col("term")), 16)
     buckets = F.array(*[(a + F.lit(j) * b) % CMS_WIDTH for j in range(CMS_DEPTH)])
     sketch = (
         occ.select(F.posexplode(buckets).alias("depth", "bucket"))
@@ -394,7 +376,7 @@ _PRIO_USPACE = 1 << 40
       SELECT doc_id,
              least(n_chars + 1, {_PRIO_WCAP}) AS weight,
              least(n_chars + 1, {_PRIO_WCAP}) * {_PRIO_USPACE}
-             // ({_HEX60_SQL.format(x="CAST(doc_id AS VARCHAR)")} // {1 << 20} + 1)
+             // ({_HEX_A_SQL.format(fp="md5(CAST(doc_id AS VARCHAR))")} // {1 << 20} + 1)
              AS priority
       FROM documents),
     ranked AS (
@@ -426,9 +408,6 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 51 survivors cross-joined back — broadcast, no second scan."""
     d = _t(spark, sf_dir, "documents")
     w_cap = F.least(F.col("n_chars") + 1, F.lit(_PRIO_WCAP))
-    u40 = F.expr(
-        f"conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) div {1 << 20}"
-    ).cast("long")
     pri = d.select(
         "doc_id",
         w_cap.alias("weight"),
@@ -474,9 +453,7 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hosted AS (
       SELECT doc_id, source,
              len(list_filter({_host_cdf_sql()},
-                 c -> c < ((((doc_id) % 4294967296 + 4294967296) % 4294967296 % 65536) * 2654435761
-                           + ((((doc_id) % 4294967296 + 4294967296) % 4294967296) // 65536 * 2654435761)
-                             % 4294967296 * 65536) % 4294967296 / 4294967296.0))
+                 c -> c < ({KNUTH_U_SQL.format(k="doc_id")})))
              AS host_idx
       FROM documents),
     pathed AS (
