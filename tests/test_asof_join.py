@@ -76,3 +76,64 @@ def test_asof_is_one_exchange_no_range_join(spark):
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
     assert "Window" in plan
+
+
+def test_asof_operator_matches_pandas_merge_asof(spark):
+    """Differential test of the shared operator against an independent
+    reference: pandas.merge_asof (backward direction, inclusive) on a
+    seeded random event stream — 400 left rows, 300 right rows, 20
+    keys, duplicate timestamps included."""
+    import numpy as np
+
+    from ocr_wrapper_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n_l).astype(np.int64),
+            # coarse second grid so same-instant collisions actually occur
+            "ts": pd.to_datetime(rng.integers(0, 500, n_l), unit="s").astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n_r).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 500, n_r), unit="s").astype("datetime64[us]"),
+            "val": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    # collapse right ties to max(val) per (key, ts): both the operator's
+    # documented precondition for determinism and merge_asof's
+    # last-row-wins convention after this sort
+    right = right.groupby(["user_id", "ts"], as_index=False)["val"].max()
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key="user_id",
+            ts="ts",
+            right_value_cols=["val"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    expected = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+
+    got_vals = got["asof_val"].astype("float64")
+    exp_vals = expected["val"].astype("float64")
+    assert len(got) == n_l
+    pd.testing.assert_series_equal(
+        got_vals, exp_vals, check_names=False, check_index=False
+    )
