@@ -108,3 +108,17 @@ def test_containment_respects_stop_shingle_cut(spark, tmp_path):
             for i in range(1, 41)]
     sf_dir = _write_docs(tmp_path, docs)
     assert dedup_containment(spark, sf_dir).count() == 0
+
+
+def test_containment_dominates_jaccard_invariant(spark):
+    """Algebraic invariant on the real smoke corpus: jaccard_ppm <=
+    min(cont_a_ppm, cont_b_ppm) for every pair (the union is at least
+    as large as either set; floor is monotone), and every containment
+    is <= 1e6."""
+    from ocr_wrapper_spark.text_queries import dedup_containment
+
+    rows = dedup_containment(spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus must contain full-dup pairs"
+    for r in rows:
+        assert r.jaccard_ppm <= min(r.cont_a_ppm, r.cont_b_ppm)
+        assert max(r.cont_a_ppm, r.cont_b_ppm) <= 1_000_000
