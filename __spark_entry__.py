@@ -41,6 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-12 additions: never snapshotted
+    "ann_topk_pq",
+    "ann_pq_recall_eval",
+    "embedding_hard_negatives",
+    "embedding_label_outliers",
+    "cdc_chunk_dedup",
     # round-5 session-11 additions: never snapshotted
     "collocation_lift_topk",
     "dedup_containment",
@@ -166,14 +172,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import curation_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import curation_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
+    from ocr_wrapper_spark import curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

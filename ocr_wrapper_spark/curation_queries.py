@@ -2578,3 +2578,111 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= COLLOC_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+# Rolling-window content-defined chunking — the dedup granularity that
+# survives insertions/deletions (fixed-offset chunks shift, content-
+# defined ones realign): position i ends a chunk when the hash of the
+# CDC_W-gram ending at i is 0 mod CDC_P, giving ~CDC_P-char expected
+# chunks whose boundaries depend only on local content. Shared chunks
+# across documents are the partial-duplication signal (boilerplate
+# fragments, quoted passages) that page-level fingerprints miss.
+# At scale: the per-position explode is map-side only and the boundary
+# filter cuts it to ~1/CDC_P density BEFORE the single doc-keyed
+# exchange (collect_list bounded by doc length); the final fingerprint
+# agg keys on uniform md5 prefixes — no skew.
+CDC_W = 6  # gram width (chars)
+CDC_P = 16  # boundary divisor -> expected chunk ~16 chars
+
+
+def _cdc_gram_hash_sql(text: str, i: str) -> str:
+    return _HEX_A_SQL.format(fp=f"md5(substr({text}, {i}-{CDC_W}+1, {CDC_W}))")
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range({CDC_W}, len(text)+1)) AS i
+      FROM documents),
+    bnd AS (
+      SELECT doc_id, i FROM pos
+      WHERE {_cdc_gram_hash_sql("text", "i")} % {CDC_P} = 0),
+    cuts AS (SELECT doc_id, list(i ORDER BY i) AS cuts FROM bnd GROUP BY doc_id),
+    edges AS (
+      SELECT d.doc_id, d.text,
+             [0] || coalesce(c.cuts, []) || [len(d.text)] AS b
+      FROM documents d LEFT JOIN cuts c USING (doc_id)),
+    chunks AS (
+      SELECT doc_id, substr(text, CAST(b[j] + 1 AS BIGINT), CAST(b[j+1] - b[j] AS BIGINT)) AS chunk
+      FROM edges, unnest(range(1, len(b))) AS r(j)
+      WHERE b[j+1] > b[j])
+    SELECT md5(chunk) AS fp,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(len(chunk)) AS BIGINT) AS chunk_len
+    FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk dedup: chunk every document at rolling
+    md5-gram boundaries (hash of the CDC_W-gram ending at i == 0 mod
+    CDC_P), fingerprint each chunk, and report the chunks shared by two
+    or more distinct documents — chunk-level storage/near-dup telemetry
+    over a corpus where whole-doc fingerprints see nothing."""
+    from .text_queries import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(
+                F.length("text") >= CDC_W,
+                F.sequence(F.lit(CDC_W), F.length("text")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    gram = F.col("text").substr(F.col("i") - F.lit(CDC_W - 1), F.lit(CDC_W))
+    bnd = pos.filter(
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % CDC_P == 0
+    )
+    cuts = bnd.groupBy("doc_id").agg(F.sort_array(F.collect_list("i")).alias("cuts"))
+    edges = d.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.array(F.lit(0)),
+            F.coalesce("cuts", F.array().cast("array<int>")),
+            F.array(F.length("text")),
+        ).alias("b"),
+    )
+    chunk_at = lambda j: F.col("text").substr(  # noqa: E731
+        F.element_at(F.col("b"), j) + 1,
+        F.element_at(F.col("b"), j + F.lit(1)) - F.element_at(F.col("b"), j),
+    )
+    chunks = edges.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("b") - 1),
+                    lambda j: chunk_at(j),
+                ),
+                lambda c: F.length(c) > 0,
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.max(F.length("chunk")).cast("long").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,257 @@
+"""Embedding-curation queries: product-quantized ANN, contrastive
+hard-negative mining, and label-centroid outlier pruning.
+
+These complete the embedding family next to brute/int8/IVF/LSH
+(text_queries.py): PQ is the compressed-scan path a 10^12-row corpus
+actually serves from (4-bit codes, integer ADC), hard negatives are the
+pair-mining stage of a contrastive training pipeline, and centroid
+outliers are the D4/CleanLab-style "prune the vectors farthest from
+their class" curation cut. Every query is oracle-checked; all exactness
+conventions (round-then-rank, packed-argmax codes, integer micro-scaled
+scores, MEAN_ROUND centroid grain) are shared with the existing ANN
+oracles so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import similarity
+from .operators.similarity import _dot, _norm
+from .relational import _t, register
+
+TOPK = 5
+
+# ---------------------------------------------------------------------------
+# PQ + ADC scan
+# ---------------------------------------------------------------------------
+
+_PQ_DS = 64 // similarity.PQ_M  # dims per subspace
+
+
+def _pq_oracle() -> str:
+    """Exact SQL mirror of the PQ path: seeded codebook (subvectors of
+    vec_id < PQ_K), packed L2-argmin codes (round(2*dot - |c|^2, 6) with
+    lowest-cid tie-break), integer micro-scaled ADC LUT join, order-exact
+    int64 sum — the same arithmetic pq_encode_batch/pq_query_lut run in
+    numpy."""
+    m, k, ds, off = similarity.PQ_M, similarity.PQ_K, _PQ_DS, similarity._PQ_OFFSET
+    return f"""
+    WITH cb AS (
+      SELECT r.m, e.vec_id AS cid,
+             list_slice(e.embedding::DOUBLE[], r.m*{ds}+1, r.m*{ds}+{ds}) AS c
+      FROM embeddings e, unnest(range(0, {m})) AS r(m)
+      WHERE e.vec_id < {k}),
+    cbn AS (SELECT m, cid, c, list_inner_product(c, c) AS cc FROM cb),
+    sub AS (
+      SELECT e.vec_id, r.m,
+             list_slice(e.embedding::DOUBLE[], r.m*{ds}+1, r.m*{ds}+{ds}) AS v
+      FROM embeddings e, unnest(range(0, {m})) AS r(m)),
+    enc AS (
+      SELECT s.vec_id, s.m,
+             CAST(round(2*list_inner_product(s.v, b.c) - b.cc, 6)*1000000
+                  + {off} AS BIGINT)*{k} + ({k}-1-b.cid) AS pack
+      FROM sub s JOIN cbn b ON b.m = s.m),
+    codes AS (
+      SELECT vec_id, m, CAST({k}-1 - (max(pack) % {k}) AS INT) AS cid
+      FROM enc GROUP BY vec_id, m),
+    qlut AS (
+      SELECT q.vec_id AS query_id, b.m, b.cid,
+             CAST(round(list_inner_product(
+               list_slice(q.embedding::DOUBLE[], b.m*{ds}+1, b.m*{ds}+{ds}), b.c), 6)
+               *1000000 AS BIGINT) AS lut
+      FROM embeddings q, cbn b WHERE q.vec_id % 100 = 0),
+    adc AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.lut) AS BIGINT) AS adc_micros
+      FROM codes c JOIN qlut l ON l.m = c.m AND l.cid = c.cid
+      GROUP BY l.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, adc_micros,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_micros DESC, vec_id) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, adc_micros, rank FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+@register("ann_topk_pq", _pq_oracle())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-k (ADC scan): vectors coded as PQ_M 4-bit
+    subspace codes (4 bytes vs 256 — the compression that keeps a
+    10^12-row scan memory-bandwidth-feasible), queries scored against
+    the codes via integer lookup tables in one fused mapInPandas pass.
+    Same deterministic seeding idea as ann_topk_ivf's coarse
+    quantizer."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk_adc(e, queries, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard negatives
+# ---------------------------------------------------------------------------
+
+HARDNEG_MOD = 50  # query slice: vec_id % 50 == 0
+
+
+@register(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label, embedding
+      FROM embeddings WHERE vec_id % {HARDNEG_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, q.query_label, c.vec_id, c.label AS neg_label,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 4) AS cosine
+      FROM embeddings c JOIN q ON c.label <> q.query_label),
+    ranked AS (
+      SELECT query_id, query_label, vec_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, query_label, vec_id, neg_label, cosine, rank
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the TOPK most-similar corpus vectors with a DIFFERENT label. The
+    Arrow scan emits only batch-local top-k per query before the rank
+    window (partial top-k: k rows per (query, batch) shuffle, not the
+    full score matrix)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % HARDNEG_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.hard_negative_topk(e, queries, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# label-centroid outliers
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 5  # bottom-k per label
+
+
+@register(
+    "embedding_label_outliers",
+    f"""
+    WITH expl AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    cent AS (SELECT label, i, round(avg(v), {similarity.MEAN_ROUND}) AS m
+             FROM expl GROUP BY label, i),
+    cvec AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cv.c), 4) AS cosine
+      FROM embeddings e JOIN cvec cv ON cv.label = e.label),
+    ranked AS (
+      SELECT vec_id, label, cosine,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cosine ASC, vec_id) AS rank
+      FROM scored)
+    SELECT vec_id, label, cosine, rank FROM ranked WHERE rank <= {OUTLIER_K}
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid outlier pruning (the D4/CleanLab curation cut):
+    per-label mean embedding (each dim rounded at the MEAN_ROUND grain,
+    same as the Lloyd centroids, so both engines see identical
+    centroids), then the OUTLIER_K vectors LEAST cosine-similar to their
+    own class centroid. Centroids are a |labels| x dim aggregate —
+    broadcast back to the corpus on the label key; the bottom-k window
+    has a partition spec so WindowGroupLimit caps it per-partition.
+    Label cardinality is bounded (a classifier's classes), so the
+    per-label window never sees a Zipf host-style monster partition."""
+    e = _t(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = expl.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), similarity.MEAN_ROUND).alias("m")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    ed = F.col("embedding").cast("array<double>")
+    scored = e.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(_dot(ed, F.col("c")) / (_norm(ed) * _norm(F.col("c"))), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine").asc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= OUTLIER_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# measured eval: PQ recall vs exact brute force
+# ---------------------------------------------------------------------------
+
+from .relational import ORACLES as _ORACLES  # noqa: E402
+from . import text_queries as _tq  # noqa: E402,F401 — registers ann_topk_cosine's oracle
+
+
+def _pq_recall_oracle() -> str:
+    """Nests the ann_topk_cosine (exact truth) and ann_topk_pq oracles
+    verbatim — the eval grades exactly the two registered rankings, so
+    neither definition can drift."""
+    truth_sql = _ORACLES["ann_topk_cosine"]
+    pq_sql = _pq_oracle()
+    return f"""
+    WITH truth AS (SELECT * FROM ({truth_sql}) _tr),
+    pq AS (SELECT * FROM ({pq_sql}) _pq),
+    joined AS (
+      SELECT t.query_id, t.rank AS truth_rank,
+             CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN pq p ON p.query_id = t.query_id AND p.vec_id = t.vec_id)
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(hit) * 1000000 // {TOPK} AS BIGINT) AS recall_ppm,
+           (max(CASE WHEN truth_rank = 1 THEN hit ELSE 0 END) = 1) AS top1_hit
+    FROM joined GROUP BY query_id
+    """
+
+
+@register("ann_pq_recall_eval", _pq_recall_oracle())
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the PQ/ADC ranking against the exact
+    brute-force truth (recall@k per query + whether the true nearest
+    neighbor survived quantization) — grades ann_topk_pq the way
+    dedup_minhash_eval grades the LSH candidate join. The comparison is
+    a (query, vec) equi-join between two k-row-per-query tables and a
+    |queries|-row rollup: the eval adds no exchange beyond the two
+    rankings it grades."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.cosine_topk_bruteforce(e, queries, k=TOPK, round_digits=4)
+    pq = similarity.pq_topk_adc(e, queries, k=TOPK).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    joined = truth.select("query_id", "vec_id", F.col("rank").alias("truth_rank")).join(
+        pq, ["query_id", "vec_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.expr(f"CAST(sum(coalesce(hit, 0)) * 1000000 DIV {TOPK} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        (
+            F.max(
+                F.when(
+                    (F.col("truth_rank") == 1) & F.col("hit").isNotNull(), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("top1_hit"),
+    )

@@ -651,3 +651,181 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-scan ANN path
+# ---------------------------------------------------------------------------
+
+# dim-64 embeddings split into PQ_M subspaces of dim/PQ_M dims; each
+# subvector is coded as the L2-nearest of PQ_K seeded codewords, so a
+# vector stores as PQ_M 4-bit codes (4 bytes) instead of 64 floats
+# (256 bytes) — the 64x scan compression that makes 10^12-row ANN
+# memory-bandwidth-feasible. Codewords are the subvectors of the first
+# PQ_K corpus vectors (same deterministic seeding as the IVF coarse
+# quantizer, N_CENTROIDS above) so the DuckDB oracle recomputes every
+# code and every ADC score exactly.
+PQ_M = 8
+PQ_K = 16
+# assignment scores are round(2*dot(v,c) - |c|^2, 6); for unit-norm
+# vectors that sits in [-3, 2], so a 4e6 shift keeps every packed code
+# positive (packed = (score*1e6 + offset)*PQ_K + tiebreak < 2^27).
+_PQ_OFFSET = 4_000_000
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codewords: int = PQ_K,
+    m_subspaces: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded PQ codebook (M, K, ds): subvectors of the first K corpus
+    vectors. K rows collected — a provably tiny side at any corpus
+    scale (like seed_centroids); a production variant would Lloyd-refine
+    per subspace exactly as lloyd_refine does for IVF."""
+    rows = corpus.filter(F.col(id_col) < n_codewords).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)  # (K, dim)
+    if V.shape[0] != n_codewords:
+        raise ValueError(f"need {n_codewords} seed vectors, found {V.shape[0]}")
+    dim = V.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    ds = dim // m_subspaces
+    return V.reshape(n_codewords, m_subspaces, ds).transpose(1, 0, 2).copy()
+
+
+def pq_encode_batch(Vm: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """PQ codes (b, M) for a batch: per subspace, the L2-argmin codeword
+    via the packed argmax of round(2*dot(v,c) - |c|^2, 6) (|v|^2 is
+    constant per subvector so argmin L2 == argmax of this) — the same
+    sortable-int trick as _cluster_code_matrix, lowest code id wins
+    rounded ties, and the DuckDB oracle mirrors the packing."""
+    n_k = C.shape[1]
+    S = 2.0 * np.einsum("bmd,mkd->bmk", Vm, C) - (C * C).sum(axis=2)[None, :, :]
+    pack = np.rint(np.round(S, 6) * 1e6 + _PQ_OFFSET).astype(np.int64) * n_k + (
+        n_k - 1 - np.arange(n_k, dtype=np.int64)
+    )
+    best = pack.max(axis=2)
+    return (n_k - 1 - (best % n_k)).astype(np.int64)
+
+
+def pq_query_lut(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Integer ADC lookup tables (nq, M, K): micro-scaled subspace dot
+    products round(dot(q_sub, codeword), 6)*1e6 as int64. Summing M
+    integer entries is order-exact, so the final ADC score carries no
+    float-accumulation noise for the oracle to miss."""
+    m_sub, n_k, ds = C.shape
+    Qm = Q.reshape(Q.shape[0], m_sub, ds)
+    D = np.einsum("qmd,mkd->qmk", Qm, C)
+    return np.rint(np.round(D, 6) * 1e6).astype(np.int64)
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m_subspaces: int = PQ_M,
+    n_codewords: int = PQ_K,
+) -> DataFrame:
+    """PQ top-k via asymmetric distance computation: one fused
+    mapInPandas pass encodes each Arrow batch to 4-bit codes and scores
+    the codes against per-query integer LUTs (a table lookup + int sum
+    per candidate — no float math in the scan). The query side and the
+    K-row codebook travel in the closure; the corpus is read once and
+    never shuffles until the per-query top-k window (which Spark caps
+    per-partition via WindowGroupLimit)."""
+    C = pq_codebook(corpus, n_codewords, m_subspaces, id_col, vec_col)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    lut = pq_query_lut(Q, C)  # (nq, M, K)
+    m_idx = np.arange(m_subspaces)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = pq_encode_batch(V.reshape(len(pdf), m_subspaces, -1), C)
+            # gather (nq, b, M) LUT entries and sum subspaces: int64-exact
+            adc = lut[:, np.broadcast_to(m_idx, codes.shape), codes].sum(axis=2)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, b),
+                    id_col: np.tile(pdf[id_col].to_numpy(dtype=np.int64), len(q_ids)),
+                    "adc_micros": adc.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"{query_id_col} long, {id_col} long, adc_micros long"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_micros").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the k most
+    cosine-similar corpus vectors whose label DIFFERS from the query's —
+    the pairs a contrastive trainer wants. Each Arrow batch emits only
+    its batch-local top-k per query (the global top-k is a subset of the
+    union of batch-local top-k's under the same (cosine desc, id asc)
+    order), so the rank window shuffles k rows per (query, batch), not
+    the full score matrix."""
+    q_rows = queries.select(query_id_col, vec_col, label_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    q_lab = np.asarray([int(r[2]) for r in q_rows], dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cv = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Cn = Cv / np.linalg.norm(Cv, axis=1, keepdims=True)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_lab = pdf[label_col].to_numpy(dtype=np.int64)
+            S = np.round(Cn @ Qn.T, round_digits)  # (b, nq)
+            frames = []
+            for qi in range(len(q_ids)):
+                mask = c_lab != q_lab[qi]
+                if not mask.any():
+                    continue
+                s, ids, labs = S[mask, qi], c_ids[mask], c_lab[mask]
+                order = np.lexsort((ids, -s))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: np.full(len(order), q_ids[qi]),
+                            "query_label": np.full(len(order), q_lab[qi], dtype=np.int32),
+                            id_col: ids[order],
+                            "neg_label": labs[order].astype(np.int32),
+                            "cosine": s[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score,
+        schema=f"{query_id_col} long, query_label int, {id_col} long, neg_label int, cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
