@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "kmv_distinct_sketch",  # bounded-state cardinality sketch (r5 s11)
     "cms_heavy_hitters",  # Count-Min frequency sketch (r5 s11)
     "collocation_lift_topk",  # vocabulary-keyed PMI lift (r5 s11)
+    "ann_topk_pq",  # product-quantized ADC scan (r5 s12)
+    "embedding_hard_negatives",  # contrastive pair mining (r5 s12)
+    "cdc_chunk_dedup",  # content-defined chunk fingerprints (r5 s12)
 ]
 
 
