@@ -708,6 +708,12 @@ def pq_encode_batch(Vm: np.ndarray, C: np.ndarray) -> np.ndarray:
         n_k - 1 - np.arange(n_k, dtype=np.int64)
     )
     best = pack.max(axis=2)
+    # the code decode relies on floor-mod == trunc-mod, i.e. best >= 0:
+    # numpy % floors while DuckDB % truncates, so a negative pack (a
+    # vector far outside the unit-norm envelope _PQ_OFFSET covers) must
+    # fail loudly here rather than silently diverge from the oracle.
+    if best.size and best.min() < 0:
+        raise ValueError("PQ pack underflow: vector norms exceed the _PQ_OFFSET envelope")
     return (n_k - 1 - (best % n_k)).astype(np.int64)
 
 
