@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-13 additions: never snapshotted
+    "bitext_margin_mine",
+    "bitext_mutual_top1",
+    "bitext_mine_eval",
     # round-5 session-12 additions: never snapshotted
     "ann_topk_pq",
     "ann_pq_recall_eval",

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",  # product-quantized ADC scan (r5 s12)
     "embedding_hard_negatives",  # contrastive pair mining (r5 s12)
     "cdc_chunk_dedup",  # content-defined chunk fingerprints (r5 s12)
+    "bitext_margin_mine",  # CCMatrix margin-criterion pair mining (r5 s13)
 ]
 
 

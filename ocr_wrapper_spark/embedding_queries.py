@@ -255,3 +255,205 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("top1_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (margin criterion) — parallel-pair mining over two
+# "language" sides of the embedding space
+# ---------------------------------------------------------------------------
+
+BITEXT_K = 4  # kNN shell per direction
+BITEXT_SRC_LABEL = 0  # label slice standing in for the source language
+BITEXT_TGT_LABEL = 1  # label slice standing in for the target language
+BITEXT_MARGIN_T = 1.05  # ratio-margin mining threshold (CCMatrix uses ~1.06)
+
+
+def _bitext_cand_sql() -> str:
+    """Exact SQL mirror of bitext_margin_candidates: brute-force rounded
+    cosines, per-direction top-k shells (cosine desc, id tie-break),
+    int64 tick sums, margin as ONE int64/int64 IEEE division."""
+    k, s = BITEXT_K, similarity.BITEXT_COS_SCALE
+    return f"""
+    WITH src AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE label = {BITEXT_SRC_LABEL}),
+    tgt AS (SELECT vec_id, embedding FROM embeddings
+            WHERE label = {BITEXT_TGT_LABEL}),
+    fs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                          t.embedding::DOUBLE[]), 4) AS cosine
+      FROM src s, tgt t),
+    fk AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cosine DESC, tgt_id) AS r
+      FROM fs) WHERE r <= {k}),
+    bk AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY cosine DESC, src_id) AS r
+      FROM fs) WHERE r <= {k}),
+    sf AS (SELECT src_id, CAST(sum(CAST(round(cosine*{s}) AS BIGINT)) AS BIGINT)
+                  AS sum_fwd FROM fk GROUP BY src_id),
+    sb AS (SELECT tgt_id, CAST(sum(CAST(round(cosine*{s}) AS BIGINT)) AS BIGINT)
+                  AS sum_bwd FROM bk GROUP BY tgt_id),
+    cand AS (
+      SELECT f.src_id, f.tgt_id, f.cosine,
+             CASE WHEN sf.sum_fwd + sb.sum_bwd > 0
+                  THEN CAST(2*{k}*CAST(round(f.cosine*{s}) AS BIGINT) AS DOUBLE)
+                       / CAST(sf.sum_fwd + sb.sum_bwd AS DOUBLE)
+                  END AS margin
+      FROM fk f JOIN sf ON sf.src_id = f.src_id
+                JOIN sb ON sb.tgt_id = f.tgt_id)
+    """
+
+
+def _bitext_mine_sql() -> str:
+    return (
+        _bitext_cand_sql()
+        + f"""
+    , ranked AS (
+      SELECT src_id, tgt_id, cosine, margin,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin DESC NULLS LAST, tgt_id) AS rank
+      FROM cand)
+    SELECT src_id, tgt_id, cosine, margin, rank,
+           (rank = 1 AND coalesce(margin >= {BITEXT_MARGIN_T}, FALSE)) AS mined
+    FROM ranked
+    """
+    )
+
+
+@register("bitext_margin_mine", _bitext_mine_sql())
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix /
+    CCAligned parallel-corpus stage of a multilingual training pipeline):
+    two label slices of the embeddings table stand in for the two
+    language sides; every source vector's BITEXT_K nearest targets are
+    scored by the ratio margin and the per-source winner above
+    BITEXT_MARGIN_T is flagged `mined`. The margin is an int64/int64
+    IEEE division (bit-identical across engines), so the threshold
+    compare and the rank order are exact — see
+    operators/similarity.py:bitext_margin_candidates for the scale
+    shape (pluggable kNN: IVF/PQ at 10^12 rows; everything downstream
+    is k-row-per-vector keyed joins)."""
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") == BITEXT_SRC_LABEL)
+    tgt = e.filter(F.col("label") == BITEXT_TGT_LABEL)
+    cand = similarity.bitext_margin_candidates(src, tgt, k=BITEXT_K)
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc_nulls_last(), F.col("tgt_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).withColumn(
+        "mined",
+        (F.col("rank") == 1)
+        & F.coalesce(F.col("margin") >= BITEXT_MARGIN_T, F.lit(False)),
+    )
+
+
+def _bitext_mutual_sql() -> str:
+    return f"""
+    WITH src AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE label = {BITEXT_SRC_LABEL}),
+    tgt AS (SELECT vec_id, embedding FROM embeddings
+            WHERE label = {BITEXT_TGT_LABEL}),
+    fs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                          t.embedding::DOUBLE[]), 4) AS cosine
+      FROM src s, tgt t),
+    f1 AS (SELECT src_id, tgt_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cosine DESC, tgt_id) AS r
+      FROM fs) WHERE r = 1),
+    b1 AS (SELECT src_id, tgt_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY cosine DESC, src_id) AS r
+      FROM fs) WHERE r = 1)
+    SELECT f1.src_id, f1.tgt_id, f1.cosine
+    FROM f1 JOIN b1 ON b1.src_id = f1.src_id AND b1.tgt_id = f1.tgt_id
+    """
+
+
+@register("bitext_mutual_top1", _bitext_mutual_sql())
+def bitext_mutual_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor bitext pairs: (x, y) where y is x's
+    single nearest target AND x is y's single nearest source — the
+    high-precision mining set (forward-only top-1 admits hub targets
+    that "win" many sources; mutuality filters them). Two k=1 kNN
+    passes + one equi-join on the pair key; each direction's top-1
+    table is |side|-row, so the join is keyed, never a broadcast of a
+    corpus-scale side."""
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") == BITEXT_SRC_LABEL)
+    tgt = e.filter(F.col("label") == BITEXT_TGT_LABEL)
+    f1 = similarity.cosine_topk_bruteforce(
+        tgt,
+        src.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=1,
+        round_digits=4,
+    ).select(F.col("query_id").alias("src_id"), F.col("vec_id").alias("tgt_id"), "cosine")
+    b1 = similarity.cosine_topk_bruteforce(
+        src,
+        tgt.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=1,
+        round_digits=4,
+    ).select(F.col("vec_id").alias("src_id"), F.col("query_id").alias("tgt_id"))
+    return f1.join(b1, ["src_id", "tgt_id"])
+
+
+def _bitext_eval_sql() -> str:
+    """Nests the bitext_margin_mine and bitext_mutual_top1 oracles
+    verbatim so the eval grades exactly the two registered queries."""
+    return f"""
+    WITH mine AS ({_bitext_mine_sql()}),
+    mutual AS ({_bitext_mutual_sql()}),
+    mined AS (SELECT src_id, tgt_id FROM mine WHERE mined),
+    ovl AS (SELECT count(*) AS n_overlap
+            FROM mined m JOIN mutual u
+              ON u.src_id = m.src_id AND u.tgt_id = m.tgt_id)
+    SELECT (SELECT count(*) FROM mine) AS n_candidates,
+           (SELECT count(*) FROM mined) AS n_mined,
+           (SELECT count(*) FROM mutual) AS n_mutual,
+           (SELECT n_overlap FROM ovl) AS n_overlap,
+           CAST((SELECT count(*) FROM mined) * 1000000
+                // (SELECT count(*) FROM mine) AS BIGINT) AS mined_share_ppm
+    """
+
+
+@register("bitext_mine_eval", _bitext_eval_sql())
+def bitext_mine_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured agreement between the two mining strategies: how many
+    margin-mined winners are also mutual nearest neighbors (the
+    precision proxy CCAligned-style pipelines monitor before committing
+    a mined corpus to training). Four scalar counts over the two
+    k-row-per-vector mining outputs — the eval adds no exchange beyond
+    the queries it grades."""
+    mine = bitext_margin_mine(spark, sf_dir)
+    mutual = bitext_mutual_top1(spark, sf_dir)
+    mined = mine.filter("mined").select("src_id", "tgt_id")
+    # four 1-row scalar aggregates cross-joined in-plan (the repo's
+    # scalar-subquery shape) — no driver-side counts.
+    c_cand = mine.agg(F.count(F.lit(1)).alias("n_candidates"))
+    c_mined = mined.agg(F.count(F.lit(1)).alias("n_mined"))
+    c_mutual = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    c_ovl = mined.join(mutual.select("src_id", "tgt_id"), ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        c_cand.crossJoin(c_mined)
+        .crossJoin(c_mutual)
+        .crossJoin(c_ovl)
+        .select(
+            "n_candidates",
+            "n_mined",
+            "n_mutual",
+            "n_overlap",
+            # integer DIV, not double division: a double quotient can
+            # round UP across an integer boundary before the cast.
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("n_mined * 1000000L DIV n_candidates"),
+            )
+            .cast("long")
+            .alias("mined_share_ppm"),
+        )
+    )

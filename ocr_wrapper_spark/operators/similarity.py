@@ -835,3 +835,87 @@ def hard_negative_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (margin criterion)
+# ---------------------------------------------------------------------------
+
+BITEXT_COS_SCALE = 10_000  # round(cos, 4) * 1e4 — exact int64 "cosine ticks"
+
+
+def _cos_ticks(cos_col):
+    """round(cos,4)*1e4 is within ~1e-9 of an integer in float64, so a
+    final half-up round before the cast lands on the same int64 in Spark
+    and DuckDB regardless of their round-half conventions."""
+    return F.round(cos_col * BITEXT_COS_SCALE).cast("long")
+
+
+def bitext_margin_candidates(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    knn=None,
+) -> DataFrame:
+    """Margin-based bitext candidate scoring (Artetxe & Schwenk 2019,
+    the CCMatrix mining criterion): for every source vector x, score its
+    k nearest target vectors y by
+
+        margin(x, y) = cos(x, y) / ((avg_fwd(x) + avg_bwd(y)) / 2)
+
+    where avg_fwd(x) is the mean cosine of x's k nearest targets and
+    avg_bwd(y) the mean cosine of y's k nearest sources — the ratio
+    penalizes "hub" vectors that are near everything.
+
+    Exactness: cosines are rounded to `round_digits` then scaled to
+    int64 ticks; the margin is published as ONE IEEE division of two
+    exactly-representable int64s (2*k*cos_ticks / (sum_fwd + sum_bwd)),
+    bit-identical across engines — no libm, no float accumulation.
+    A non-positive denominator (degenerate geometry: the kNN shells sum
+    to <= 0) yields NULL margin.
+
+    Scale shape: the kNN stage is pluggable (`knn`; defaults to the
+    exact arrow scorer with batch-local partial top-k). At 10^12 rows
+    both language sides are corpus-scale, so the kNN swaps to the
+    IVF/PQ path (ivf_topk_cosine / pq_topk_adc) exactly like the ann_*
+    family — everything downstream of the kNN is k-row-per-vector
+    tables: two keyed sums of |src| and |tgt| rows and two equi-joins
+    back onto the k*|src|-row candidate set. Nothing below this line
+    ever touches the |src| x |tgt| score matrix.
+    """
+    if knn is None:
+        knn = cosine_topk_bruteforce
+    s_q = src.select(F.col(id_col).alias("query_id"), vec_col)
+    t_q = tgt.select(F.col(id_col).alias("query_id"), vec_col)
+    fwd = knn(tgt, s_q, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits).select(
+        F.col("query_id").alias("src_id"),
+        F.col(id_col).alias("tgt_id"),
+        "cosine",
+    )
+    bwd = knn(src, t_q, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits).select(
+        F.col("query_id").alias("tgt_id"),
+        F.col(id_col).alias("src_id"),
+        "cosine",
+    )
+    sum_fwd = fwd.groupBy("src_id").agg(F.sum(_cos_ticks(F.col("cosine"))).alias("sum_fwd"))
+    sum_bwd = bwd.groupBy("tgt_id").agg(F.sum(_cos_ticks(F.col("cosine"))).alias("sum_bwd"))
+    den = F.col("sum_fwd") + F.col("sum_bwd")
+    return (
+        # keyed equi-joins, NOT broadcast hints: sum_fwd/sum_bwd are
+        # |src|- and |tgt|-row tables (corpus-scale at 10^12); AQE
+        # broadcasts them when they are actually small.
+        fwd.join(sum_fwd, "src_id")
+        .join(sum_bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            F.when(
+                den > 0,
+                (F.lit(2 * k) * _cos_ticks(F.col("cosine"))).cast("double") / den.cast("double"),
+            ).alias("margin"),
+        )
+    )

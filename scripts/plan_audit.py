@@ -57,6 +57,7 @@ WHITELIST: dict[str, str] = {
     "retrieval_eval_mrr": "embeds bm25_retrieval's 1-row corpus-stats broadcast (the ranking being graded)",
     "bpe_learn_merges": "per-iteration 1-row argmax merge broadcast onto the vocabulary-bounded rep table (unrolled-iteration shape, same as ann_topk_ivf_lloyd)",
     "bpe_encode_lengths": "1-row sorted-merge-array broadcast (the learned BPE merges) onto the documents scan — the encode itself is a narrow JVM map, no corpus shuffle",
+    "bitext_mine_eval": "four 1-row scalar count aggregates cross-joined into the single stats row",
 }
 
 
