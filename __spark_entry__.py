@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-13 additions: never snapshotted
+    "embedding_kcenter_coreset",
+    "coreset_coverage_eval",
+    "url_parallel_candidates",
     "bitext_margin_mine",
     "bitext_mutual_top1",
     "bitext_mine_eval",

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",  # contrastive pair mining (r5 s12)
     "cdc_chunk_dedup",  # content-defined chunk fingerprints (r5 s12)
     "bitext_margin_mine",  # CCMatrix margin-criterion pair mining (r5 s13)
+    "embedding_kcenter_coreset",  # Gonzalez diversity coreset (r5 s13)
+    "url_parallel_candidates",  # ParaCrawl URL-structure mining (r5 s13)
 ]
 
 

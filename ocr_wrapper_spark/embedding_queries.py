@@ -457,3 +457,143 @@ def bitext_mine_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mined_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset — diversity selection for training-data curation
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 6  # centers selected by the greedy sweep
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    s = similarity.BITEXT_COS_SCALE
+    return f"{s} - CAST(round(round(list_cosine_similarity({a}, {b}), 4)*{s}) AS BIGINT)"
+
+
+def _kcenter_ctes() -> str:
+    """Unrolled SQL mirror of kcenter_greedy: c{i} is the i-th selected
+    center (argmax of the running min-distance, ties lowest vec_id),
+    d{i} relaxes every vector's min distance against it — the exact
+    per-iteration arithmetic the Spark operator runs, at the shared
+    round-4 cosine-tick grain."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT e.vec_id, e.v, {_kc_dist_sql('e.v', 'c.v')} AS mind
+           FROM e, c1 c)"""
+    for it in range(2, KCENTER_K + 1):
+        sql += f""",
+    c{it} AS (SELECT vec_id, v, mind FROM d{it - 1}
+              ORDER BY mind DESC, vec_id LIMIT 1),
+    d{it} AS (SELECT d.vec_id, d.v,
+                     least(d.mind, {_kc_dist_sql('d.v', 'c.v')}) AS mind
+              FROM d{it - 1} d, c{it} c)"""
+    return sql
+
+
+def _kcenter_oracle() -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT {it} AS center_rank, vec_id, mind AS radius_ticks FROM c{it}"
+        for it in range(2, KCENTER_K + 1)
+    )
+    return (
+        _kcenter_ctes()
+        + "\n    SELECT 1 AS center_rank, vec_id, CAST(NULL AS BIGINT) AS radius_ticks FROM c1"
+        + "\n    UNION ALL "
+        + union
+    )
+
+
+@register("embedding_kcenter_coreset", _kcenter_oracle())
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez) diversity coreset over the embedding
+    corpus: the KCENTER_K vectors that 2-approximate the minimal
+    covering radius under cosine distance — the "pick maximally diverse
+    training examples" curation stage (active-learning coreset
+    selection), next to the redundancy-driven cuts (SemDeDup, centroid
+    outliers) that remove points instead of choosing them.
+
+    Output: (center_rank, vec_id, radius_ticks) — radius_ticks is the
+    corpus max-min distance at the moment of selection (NULL for the
+    seed) and is non-increasing in rank, the Gonzalez invariant the
+    pytest asserts. Distances are int64 cosine-ticks at the shared
+    round-4 grain, so both engines select identical centers.
+
+    Scale shape (see operators/similarity.kcenter_greedy): the corpus
+    is read ONCE into a persisted (id, vector) projection; each of the
+    k iterations reduces it map-side to a 1-row argmax via max/max_by
+    partial aggregation — NEVER a constant-key window over the corpus —
+    and broadcasts the new center back (whitelisted 1-row
+    BroadcastNestedLoopJoins, the ann_topk_ivf_lloyd shape). The only
+    data motion is the 1-row center per iteration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centers, _ = similarity.kcenter_greedy(emb, KCENTER_K)
+    return centers
+
+
+def _kcenter_eval_oracle() -> str:
+    k = KCENTER_K
+    return (
+        _kcenter_ctes()
+        + f""",
+    fk AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}),
+    fd AS (SELECT e.vec_id, min({_kc_dist_sql('e.v', 'c.v')}) AS mind
+           FROM e, fk c GROUP BY e.vec_id),
+    kcs AS (SELECT max(mind) AS radius_kcenter_ticks,
+                   CAST(sum(mind) AS BIGINT) AS sum_kcenter_ticks,
+                   count(*) AS n_vectors
+            FROM d{k}),
+    fks AS (SELECT max(mind) AS radius_firstk_ticks,
+                   CAST(sum(mind) AS BIGINT) AS sum_firstk_ticks
+            FROM fd)
+    SELECT {k} AS k, n_vectors, radius_kcenter_ticks, sum_kcenter_ticks,
+           radius_firstk_ticks, sum_firstk_ticks
+    FROM kcs, fks"""
+    )
+
+
+@register("coreset_coverage_eval", _kcenter_eval_oracle())
+def coreset_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured coverage of the k-center coreset vs the naive baseline
+    (the k lowest vec_ids, i.e. "just take the first k you stored"):
+    covering radius (max over the corpus of distance-to-nearest-center)
+    and total coverage cost (sum of those distances), both in exact
+    int64 ticks. The monitoring row a curation pipeline reads before
+    trusting a diversity-sampled subset — the same measured-eval shape
+    as ann_pq_recall_eval / dedup_minhash_eval.
+
+    Scale shape: the k-center state arrives from the greedy sweep (k
+    scans, 1-row broadcasts); the baseline needs one TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver — never a global sort),
+    one k-row broadcast fanout, and one vec_id-keyed min. The two 1-row
+    stat aggregates cross-join in-plan (whitelisted)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, state = similarity.kcenter_greedy(emb, KCENTER_K)
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+    firstk = e.orderBy("vec_id").limit(KCENTER_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    fd = (
+        e.crossJoin(F.broadcast(firstk))
+        .select("vec_id", similarity._cos_dist_ticks(F.col("v"), F.col("c_v")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("mind"))
+    )
+    kcs = state.agg(
+        F.max("mind").alias("radius_kcenter_ticks"),
+        F.sum("mind").alias("sum_kcenter_ticks"),
+        F.count("*").alias("n_vectors"),
+    )
+    fks = fd.agg(
+        F.max("mind").alias("radius_firstk_ticks"),
+        F.sum("mind").alias("sum_firstk_ticks"),
+    )
+    return kcs.crossJoin(fks).select(
+        F.lit(KCENTER_K).alias("k"),
+        "n_vectors",
+        "radius_kcenter_ticks",
+        "sum_kcenter_ticks",
+        "radius_firstk_ticks",
+        "sum_firstk_ticks",
+    )

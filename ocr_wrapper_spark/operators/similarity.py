@@ -919,3 +919,86 @@ def bitext_margin_candidates(
             ).alias("margin"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez max-min selection)
+# ---------------------------------------------------------------------------
+
+
+def _cos_dist_ticks(a, b, round_digits: int = 4):
+    """Cosine distance in int64 ticks: 10^4 * (1 - round(cos, 4)) — the
+    same round-then-scale grain every ANN/bitext oracle uses, so both
+    engines agree bit-for-bit (a vector's distance to itself is 0)."""
+    cos = F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
+    return F.lit(BITEXT_COS_SCALE) - _cos_ticks(cos)
+
+
+def kcenter_greedy(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Gonzalez greedy k-center over cosine distance: seed with the
+    lowest id (the 2-approximation guarantee holds for ANY seed), then
+    repeatedly pick the vector farthest from its nearest selected
+    center (ties: lowest id). The classic diversity-coreset selection
+    for training-data curation — the k points that cover the embedding
+    space with the smallest max distance, up to a factor of 2.
+
+    Returns (centers, state): centers has one row per selection
+    (center_rank, vec_id, radius_ticks — the max-min distance at the
+    moment of selection, NULL for the seed; non-increasing in rank),
+    state is the final per-vector coverage (vec_id, mind = distance in
+    ticks to the nearest of the k centers).
+
+    Scale shape: each of the k iterations reduces the corpus to a 1-row
+    argmax via partial-aggregated max/max_by (map-side combine — never a
+    constant-key window over the corpus) and broadcasts that row back to
+    relax per-vector minima. The (id, vector) projection is persisted
+    once (the bpe_learn_merges idiom), so the unrolled lineage re-runs
+    only cheap cached narrow maps, not source scans: one read + k 1-row
+    broadcasts total, no corpus shuffle anywhere. Degenerate corpora
+    (max-min
+    distance 0, i.e. every vector already coincides with a center) keep
+    selecting the seed's duplicate deterministically — identical on
+    both engines, asserted by the degeneracy test."""
+    from pyspark import StorageLevel
+
+    e = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seed = e.agg(F.min_by(F.struct("vec_id", "v"), F.col("vec_id")).alias("c")).select(
+        F.col("c.vec_id").alias("c_id"), F.col("c.v").alias("c_v")
+    )
+    state = e.crossJoin(F.broadcast(seed)).select(
+        "vec_id", "v", _cos_dist_ticks(F.col("v"), F.col("c_v")).alias("mind")
+    )
+    centers = seed.select(
+        F.lit(1).alias("center_rank"),
+        F.col("c_id").alias("vec_id"),
+        F.lit(None).cast("long").alias("radius_ticks"),
+    )
+    for it in range(2, k + 1):
+        ordk = F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
+        top = state.agg(
+            F.max(ordk).alias("o"),
+            F.max_by(F.col("v"), ordk).alias("c_v"),
+        ).select(
+            F.col("o.mind").alias("radius_ticks"),
+            (-F.col("o.nid")).alias("c_id"),
+            "c_v",
+        )
+        centers = centers.unionByName(
+            top.select(
+                F.lit(it).alias("center_rank"),
+                F.col("c_id").alias("vec_id"),
+                "radius_ticks",
+            )
+        )
+        state = state.crossJoin(F.broadcast(top.drop("radius_ticks"))).select(
+            "vec_id",
+            "v",
+            F.least(F.col("mind"), _cos_dist_ticks(F.col("v"), F.col("c_v"))).alias("mind"),
+        )
+    return centers, state.select("vec_id", "mind")

@@ -2428,3 +2428,140 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_containment_pairs(d, max_df=NGRAM_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# URL-structure parallel-page mining (ParaCrawl candidate generation)
+# ---------------------------------------------------------------------------
+
+PARA_GROUP = 5  # docs per synthetic site-path group
+PARA_RATIO_LO = 500_000  # Gale-Church-style length-ratio band, ppm
+PARA_RATIO_HI = 2_000_000
+
+_PARA_URL_RE = r"^https://([^/]+)/([a-z]{2})/(.+)$"
+# uniform Knuth draw keyed on the PATH GROUP (not the doc), so every
+# page of a site-path lands on the same host — mirrors how a real site
+# serves /en/... and /de/... of the same article from one host
+_PARA_U_SQL = KNUTH_U_SQL.format(k=f"doc_id // {PARA_GROUP}")
+
+
+def _url_parallel_oracle() -> str:
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, lang, n_chars,
+             'https://host' ||
+             lpad(CAST(len(list_filter({{cdf}}, c -> c < ({_PARA_U_SQL}))) AS VARCHAR), 2, '0') ||
+             '.example.com/' || lang || '/page' ||
+             CAST(doc_id // {PARA_GROUP} AS VARCHAR) AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(url, '{_PARA_URL_RE}', 1) AS host,
+             regexp_extract(url, '{_PARA_URL_RE}', 2) AS url_lang,
+             regexp_extract(url, '{_PARA_URL_RE}', 3) AS path
+      FROM pages),
+    src AS (SELECT host, path, doc_id AS src_doc_id, n_chars AS src_chars
+            FROM parsed WHERE url_lang = 'en'),
+    tgt AS (SELECT host, path, doc_id AS tgt_doc_id, url_lang AS tgt_lang,
+                   n_chars AS tgt_chars
+            FROM parsed WHERE url_lang <> 'en')
+    SELECT s.host, s.src_doc_id, t.tgt_doc_id, t.tgt_lang,
+           CAST(s.src_chars * 1000000 // nullif(t.tgt_chars, 0) AS BIGINT)
+             AS len_ratio_ppm,
+           coalesce(s.src_chars * 1000000 // nullif(t.tgt_chars, 0)
+                      BETWEEN {PARA_RATIO_LO} AND {PARA_RATIO_HI}, FALSE)
+             AS accepted
+    FROM src s JOIN tgt t ON t.host = s.host AND t.path = s.path
+    """
+
+
+@register("url_parallel_candidates", _url_parallel_oracle())
+def url_parallel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-structure parallel-page mining — the ParaCrawl/bitextor
+    candidate-generation stage that precedes embedding-margin scoring
+    (bitext_margin_mine grades the vector side; this is the crawl
+    side): pages whose URLs differ ONLY by the language path segment
+    (/en/... vs /de/...) on the same host are translation candidates,
+    then a Gale-Church-style length-ratio band [0.5, 2.0] (exact
+    integer ppm, DIV not float) marks the pairs worth aligning.
+
+    The fixture synthesizes the url column in-query (documents carries
+    no url): host drawn from the shared Zipf cdf keyed on the PATH
+    GROUP (doc_id // PARA_GROUP) so a site-path's language variants
+    share a host, path 'pageN' from the group id. The OPERATOR then
+    works only on the url string: regexp-parse host/lang/path,
+    normalize away the lang segment, equi-join 'en' pages to non-'en'
+    pages on (host, path).
+
+    Scale shape: all parsing is JVM regexp columns; the ONE exchange is
+    the (host, path) equi-join whose key is uniform (path groups are
+    bounded at PARA_GROUP pages, so fanout <= PARA_GROUP^2 per key and
+    the Zipf host skew is neutralized by the path component — the top
+    host's pages spread over |host|/PARA_GROUP distinct keys). At 10^12
+    urls this is a plain keyed join with no hot key and no broadcast
+    needed."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://host"),
+            F.lpad(_para_host_idx().cast("string"), 2, "0"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/page"),
+            F.expr(f"doc_id div {PARA_GROUP}").cast("string"),
+        ).alias("url"),
+    )
+    parsed = pages.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract("url", _PARA_URL_RE, 1).alias("host"),
+        F.regexp_extract("url", _PARA_URL_RE, 2).alias("url_lang"),
+        F.regexp_extract("url", _PARA_URL_RE, 3).alias("path"),
+    )
+    src = parsed.filter(F.col("url_lang") == "en").select(
+        "host",
+        "path",
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("n_chars").alias("src_chars"),
+    )
+    tgt = parsed.filter(F.col("url_lang") != "en").select(
+        "host",
+        "path",
+        F.col("doc_id").alias("tgt_doc_id"),
+        F.col("url_lang").alias("tgt_lang"),
+        F.col("n_chars").alias("tgt_chars"),
+    )
+    ratio = F.expr("src_chars * 1000000L div nullif(tgt_chars, 0)")
+    return (
+        src.join(tgt, ["host", "path"])
+        .select(
+            "host",
+            "src_doc_id",
+            "tgt_doc_id",
+            "tgt_lang",
+            ratio.cast("long").alias("len_ratio_ppm"),
+            F.coalesce(
+                ratio.between(PARA_RATIO_LO, PARA_RATIO_HI), F.lit(False)
+            ).alias("accepted"),
+        )
+    )
+
+
+def _para_host_idx():
+    from .operators.sampling import knuth_u
+    from .sources import pages as pages_src
+
+    u = knuth_u(F.expr(f"doc_id div {PARA_GROUP}"))
+    cdf = pages_src._host_cdf()
+    return F.aggregate(
+        F.array(*[F.lit(float(c)) for c in cdf]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
+    )
+
+
+_ORACLES["url_parallel_candidates"] = _ORACLES["url_parallel_candidates"].replace(
+    "{cdf}", _cdf_sql_fn()
+)

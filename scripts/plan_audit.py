@@ -58,6 +58,8 @@ WHITELIST: dict[str, str] = {
     "bpe_learn_merges": "per-iteration 1-row argmax merge broadcast onto the vocabulary-bounded rep table (unrolled-iteration shape, same as ann_topk_ivf_lloyd)",
     "bpe_encode_lengths": "1-row sorted-merge-array broadcast (the learned BPE merges) onto the documents scan — the encode itself is a narrow JVM map, no corpus shuffle",
     "bitext_mine_eval": "four 1-row scalar count aggregates cross-joined into the single stats row",
+    "embedding_kcenter_coreset": "per-iteration 1-row argmax center broadcast (the ann_topk_ivf_lloyd unrolled-iteration shape)",
+    "coreset_coverage_eval": "per-iteration 1-row center broadcasts + one KCENTER_K-row baseline fanout + two 1-row stat aggregates cross-joined",
 }
 
 
