@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-13 additions: never snapshotted
+    "boilerplate_strip_rewrite",
+    "crawl_overlap_sketch",
     "embedding_kcenter_coreset",
     "coreset_coverage_eval",
     "url_parallel_candidates",

@@ -619,3 +619,124 @@ def sketch_union_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(kth))
         .select("n_exact", "hll_union_estimate", kmv_est.alias("kmv_union_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# two-crawl overlap: KMV Jaccard estimate graded against the exact value
+# ---------------------------------------------------------------------------
+
+OVERLAP_K = 64  # bottom-k of the union sketch
+from .graph_queries import PARA_WORDS as _OVERLAP_PARA_WORDS  # noqa: E402 — same paragraph grain as the dedup family
+_OVERLAP_PARA_FP_SQL = (
+    f"md5(array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {_OVERLAP_PARA_WORDS}], ' '))"
+)
+
+
+@register(
+    "crawl_overlap_sketch",
+    f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
+      FROM documents WHERE text <> ''),
+    dh AS (
+      SELECT DISTINCT
+             {_HEX_A_SQL.format(fp=_OVERLAP_PARA_FP_SQL)} AS h,
+             doc_id % 2 = 0 AS a
+      FROM t, unnest(range(0, n, {_OVERLAP_PARA_WORDS})) AS r(s)),
+    pres AS (
+      SELECT h,
+             max(CASE WHEN a THEN 1 ELSE 0 END) = 1 AS in_a,
+             max(CASE WHEN NOT a THEN 1 ELSE 0 END) = 1 AS in_b
+      FROM dh GROUP BY h),
+    ex AS (
+      SELECT CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE in_b) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_union,
+             CAST(count(*) FILTER (WHERE in_a AND in_b) AS BIGINT) AS n_inter
+      FROM pres),
+    bk AS (SELECT in_a AND in_b AS hit FROM pres ORDER BY h LIMIT {OVERLAP_K}),
+    sk AS (
+      SELECT CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS sketch_matches,
+             CAST(count(*) AS BIGINT) AS sketch_k
+      FROM bk)
+    SELECT n_a, n_b, n_union, n_inter,
+           n_inter * 1000000 // nullif(n_union, 0) AS jaccard_exact_ppm,
+           sketch_matches, sketch_k,
+           sketch_matches * 1000000 // nullif(sketch_k, 0) AS jaccard_est_ppm,
+           abs(sketch_matches * 1000000 // nullif(sketch_k, 0)
+               - n_inter * 1000000 // nullif(n_union, 0)) AS err_ppm
+    FROM ex, sk
+    """,
+)
+def crawl_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl overlap WITHOUT the join: the "how much of the
+    new crawl did we already have" dashboard number, estimated from the
+    bottom-OVERLAP_K union sketch of PARAGRAPH fingerprints (the
+    classic KMV Jaccard estimator: the fraction of the union's k
+    smallest hashes present in both sides) and graded in the same row
+    against the exact Jaccard — the measured-eval shape of
+    ann_pq_recall_eval / dedup_minhash_eval applied to the sketch
+    family. Crawl A/B = doc_id parity (the deterministic stand-in for
+    two crawl snapshots); the item universe is the PARA_WORDS-window
+    paragraph grain the dedup family uses, because cross-crawl overlap
+    lives at shared-passage level (whole-page hashes only catch exact
+    mirrors).
+
+    Scale shape at 10^12 pages: fingerprints are narrow JVM md5 maps;
+    presence flags are ONE two-phase aggregation on the uniform 60-bit
+    hash key; the union bottom-k is a TakeOrderedAndProject
+    (per-partition top-k, OVERLAP_K rows to the driver — never a global
+    sort); the final row cross-joins two 1-row/64-row aggregates
+    (whitelisted). The exact n_inter/n_union columns are themselves
+    cheap here (same keyed agg) — at a real 10^12 scale the estimator
+    columns are the product and the exact columns are the audit."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_OVERLAP_PARA_WORDS))
+    dh = (
+        d.select("doc_id", toks.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            _hex_slice_col(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("tk"), F.col("s") + 1, _OVERLAP_PARA_WORDS), " "
+                    )
+                ),
+                1,
+            ).alias("h"),
+            (F.col("doc_id") % 2 == 0).alias("a"),
+        )
+        .distinct()
+    )
+    pres = dh.groupBy("h").agg(
+        (F.max(F.when(F.col("a"), 1).otherwise(0)) == 1).alias("in_a"),
+        (F.max(F.when(~F.col("a"), 1).otherwise(0)) == 1).alias("in_b"),
+    )
+    ex = pres.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_union"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inter"),
+    )
+    bk = pres.orderBy("h").limit(OVERLAP_K).select(
+        (F.col("in_a") & F.col("in_b")).alias("hit")
+    )
+    sk = bk.agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("sketch_matches"),
+        F.count("*").cast("long").alias("sketch_k"),
+    )
+    est = F.expr("sketch_matches * 1000000L div nullif(sketch_k, 0)")
+    exact = F.expr("n_inter * 1000000L div nullif(n_union, 0)")
+    return ex.crossJoin(F.broadcast(sk)).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        exact.alias("jaccard_exact_ppm"),
+        "sketch_matches",
+        "sketch_k",
+        est.alias("jaccard_est_ppm"),
+        F.abs(est - exact).alias("err_ppm"),
+    )

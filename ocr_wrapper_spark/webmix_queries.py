@@ -278,3 +278,112 @@ from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 _ORACLES["host_template_paragraphs"] = _ORACLES["host_template_paragraphs"].replace(
     "{cdf}", _cdf_sql_fn()
 )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip REWRITE (the RefinedWeb output stage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_strip_rewrite",
+    f"""
+    WITH {_HOSTED_CTE_SQL},
+    t AS (
+      SELECT doc_id, host_idx, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM hosted WHERE text <> ''),
+    paras AS (
+      SELECT doc_id, host_idx, CAST(s AS BIGINT) AS s,
+             array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {PARA_WORDS}],
+                             ' ') AS para
+      FROM t, unnest(range(0, n, {PARA_WORDS})) AS r(s)),
+    tmpl AS (
+      SELECT host_idx, md5(para) AS fp_md5,
+             count(DISTINCT doc_id) >= {TEMPLATE_MIN_DOCS} AS is_template
+      FROM paras GROUP BY host_idx, md5(para)),
+    joined AS (
+      SELECT p.doc_id, p.host_idx, p.s, p.para, m.is_template
+      FROM paras p JOIN tmpl m
+        ON m.host_idx = p.host_idx AND m.fp_md5 = md5(p.para))
+    SELECT doc_id, {_HOST_NAME_SQL} AS host,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE NOT is_template) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(
+             list(para ORDER BY s) FILTER (WHERE NOT is_template), ' '), '')
+             AS clean_text
+    FROM joined GROUP BY doc_id, host_idx
+    """,
+)
+def boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-strip REWRITE: host_template_paragraphs decides which
+    fixed-window paragraphs are site template (>= TEMPLATE_MIN_DOCS
+    distinct pages of the same host share the fingerprint); this query
+    EMITS the cleaned corpus — per page, the non-template paragraphs
+    reassembled in original order — i.e. the RefinedWeb/CCNet output
+    stage that actually rewrites training text rather than scoring it.
+    clean_text is byte-compared by the oracle hash, so the
+    order-preserving reassembly is verified exactly (a page that is all
+    template comes back as '' with n_kept = 0, not dropped).
+
+    Scale shape at 10^12 pages: the paragraph explode and md5 are
+    narrow JVM maps; the template vote is a two-phase countDistinct on
+    the uniform (host_idx, fp_md5) key (the md5 component spreads the
+    Zipf host skew); the join back is the same uniform key; the
+    reassembly is ONE doc_id-keyed aggregation whose groups are bounded
+    by document length (collect_list of a page's own paragraphs, never
+    a host's or the corpus's)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
+    paras = (
+        d.select(
+            "doc_id",
+            _host_idx_col().alias("host_idx"),
+            toks.alias("tk"),
+            F.explode(starts).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "host_idx",
+            F.col("s").cast("long").alias("s"),
+            F.array_join(F.slice(F.col("tk"), F.col("s") + 1, PARA_WORDS), " ").alias(
+                "para"
+            ),
+        )
+        .withColumn("fp_md5", F.md5(F.col("para")))
+    )
+    tmpl = paras.groupBy("host_idx", "fp_md5").agg(
+        (F.countDistinct("doc_id") >= TEMPLATE_MIN_DOCS).alias("is_template")
+    )
+    joined = paras.join(tmpl, ["host_idx", "fp_md5"])
+    kept_struct = F.when(
+        ~F.col("is_template"), F.struct(F.col("s"), F.col("para"))
+    )
+    return (
+        joined.groupBy("doc_id", "host_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(~F.col("is_template"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["para"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            _host_name_col().alias("host"),
+            "n_paras",
+            "n_kept",
+            "clean_text",
+        )
+    )
+
+
+_ORACLES["boilerplate_strip_rewrite"] = _ORACLES["boilerplate_strip_rewrite"].replace(
+    "{cdf}", _cdf_sql_fn()
+)

@@ -60,6 +60,7 @@ WHITELIST: dict[str, str] = {
     "bitext_mine_eval": "four 1-row scalar count aggregates cross-joined into the single stats row",
     "embedding_kcenter_coreset": "per-iteration 1-row argmax center broadcast (the ann_topk_ivf_lloyd unrolled-iteration shape)",
     "coreset_coverage_eval": "per-iteration 1-row center broadcasts + one KCENTER_K-row baseline fanout + two 1-row stat aggregates cross-joined",
+    "crawl_overlap_sketch": "1-row exact-stats aggregate cross-joined with the 1-row bottom-OVERLAP_K sketch aggregate",
 }
 
 
