@@ -65,8 +65,16 @@ def _block_stats(segment: str) -> tuple[str, int, int]:
     return text, len(text), link_chars
 
 
-def extract_main_text(html_bytes: bytes | str) -> str:
-    """Main content of an HTML page as a single-space-joined token string."""
+def analyze_blocks(html_bytes: bytes | str) -> list[tuple[str, int, float, bool, bool]]:
+    """Per-block verdict trace of the extractor: every nonzero-text block
+    as ``(text, n_chars, link_density, is_content, in_main_run)``.
+
+    ``extract_main_text`` is defined on top of this — the emitted main
+    text is exactly the ``is_content and in_main_run`` blocks joined by
+    single spaces — so the trace IS the extractor's decision surface,
+    not a parallel reimplementation. ``extraction_block_eval`` grades
+    these verdicts per host against the page generator's closed-form
+    ground truth."""
     if isinstance(html_bytes, (bytes, bytearray)):
         raw = html_bytes.decode("utf-8", errors="replace")
     else:
@@ -83,7 +91,7 @@ def extract_main_text(html_bytes: bytes | str) -> str:
         blocks.append((text, n_chars, link_chars / n_chars))
 
     if not blocks:
-        return ""
+        return []
 
     content = [
         n_chars >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY
@@ -118,11 +126,77 @@ def extract_main_text(html_bytes: bytes | str) -> str:
             best_range = (i, last_content + 1)
         i = last_content + 1
 
-    if best_score == 0:
-        return ""
-    parts = [
-        blocks[k][0]
-        for k in range(best_range[0], best_range[1])
-        if content[k]
+    lo, hi = best_range if best_score > 0 else (0, 0)
+    return [
+        (text, n_chars, ld, content[k], lo <= k < hi)
+        for k, (text, n_chars, ld) in enumerate(blocks)
     ]
-    return " ".join(parts)
+
+
+def extract_main_text(html_bytes: bytes | str) -> str:
+    """Main content of an HTML page as a single-space-joined token string."""
+    return " ".join(
+        text
+        for (text, _, _, is_content, in_main) in analyze_blocks(html_bytes)
+        if is_content and in_main
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantics-preserving page mutations (extraction_robustness_matrix)
+# ---------------------------------------------------------------------------
+
+_RE_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)")
+_RE_P_TEXT = re.compile(r"<p>([^<]*)</p>")
+
+
+def _mut_tag_case(page: str) -> str:
+    """Uppercase every tag name — probes the IGNORECASE contract of all
+    four kernel regexes (incl. the case-insensitive backreference in
+    _RE_STRIP's </tag> matcher)."""
+    return _RE_TAG_NAME.sub(lambda m: "<" + m.group(1) + m.group(2).upper(), page)
+
+
+def _mut_ws_inject(page: str) -> str:
+    """Newline + indent after every tag close — probes the whitespace
+    normalization (' '.join(split()) collapse) in _block_stats."""
+    return page.replace(">", ">\n  ")
+
+
+def _mut_comment_noise(page: str) -> str:
+    """Tracker-style comments after <body> and every </p> — probes the
+    comment strip in _RE_STRIP (comments must vanish BEFORE block
+    segmentation, or they would surface as extra text blocks)."""
+    return page.replace("<body>", "<body><!-- consent banner -->").replace(
+        "</p>", "</p><!-- trk 1 -->"
+    )
+
+
+def _mut_attr_noise(page: str) -> str:
+    """Extra attributes on <p> and <li> — probes the [^>]* attribute
+    tolerance of _RE_BLOCK_SPLIT (a bare '<p>' matcher would stop
+    segmenting and merge paragraphs into one block)."""
+    return page.replace("<p>", '<p data-trk="1">').replace("<li>", '<li class="m">')
+
+
+def _mut_entity_spaces(page: str) -> str:
+    """Entity-encode the spaces inside every paragraph — probes the
+    html.unescape step (entities must decode BEFORE the whitespace
+    normalization, or tokens fuse around '&#32;')."""
+    return _RE_P_TEXT.sub(
+        lambda m: "<p>" + m.group(1).replace(" ", "&#32;") + "</p>", page
+    )
+
+
+# name -> mutation; each is deterministic and provably extraction-
+# preserving on well-formed pages BY the kernel contract it probes, so
+# extraction_robustness_matrix's oracle expects 100% byte-identity
+# survival. A regression in any of the five probed behaviors flips
+# n_survived and fails the driver's value hash.
+PAGE_MUTATIONS: dict[str, callable] = {
+    "attr_noise": _mut_attr_noise,
+    "comment_noise": _mut_comment_noise,
+    "entity_spaces": _mut_entity_spaces,
+    "tag_case": _mut_tag_case,
+    "ws_inject": _mut_ws_inject,
+}
