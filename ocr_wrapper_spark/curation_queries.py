@@ -2686,3 +2686,179 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle: format-preserving Feistel permutation (map-only shuffle)
+# ---------------------------------------------------------------------------
+
+# A training run must read the corpus in a DIFFERENT pseudo-random order
+# each epoch. Materializing that order with a sort is a full exchange of
+# the corpus per epoch — at 10^12 rows, petabytes of shuffle for zero
+# information. The standard fix (tf.data / Megatron sample-index shape)
+# is a format-preserving permutation: a keyed bijection pos = P_e(id)
+# computed PER ROW, so "globally shuffled epoch e" is just "read ordered
+# by perm_pos" — no exchange at all. Four Feistel rounds over the 62-bit
+# id domain with an md5-derived round function give a different, fully
+# mixed, provably bijective order per epoch (bijective because every
+# Feistel network is invertible: tests/test_epoch_shuffle.py walks the
+# inverse). All arithmetic is plain int64 (halves < 2^31, xor of
+# non-negatives, one multiply < 2^62) — identical on both engines.
+SHUFFLE_HALF_BITS = 31
+SHUFFLE_MASK = (1 << SHUFFLE_HALF_BITS) - 1
+SHUFFLE_ROUNDS = 4
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 64  # shard = top-6 bits of perm_pos: an exact bit slice
+
+
+def _feistel_f_sql(r: str, rnd: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || '|{rnd}|' ||"
+        f" CAST(epoch AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+        f" % {1 << SHUFFLE_HALF_BITS}"
+    )
+
+
+def _feistel_cte_sql() -> str:
+    steps = [
+        f"r0 AS (SELECT doc_id, epoch, doc_id // {1 << SHUFFLE_HALF_BITS} AS l,"
+        f" doc_id % {1 << SHUFFLE_HALF_BITS} AS r FROM de)"
+    ]
+    for i in range(SHUFFLE_ROUNDS):
+        steps.append(
+            f"r{i + 1} AS (SELECT doc_id, epoch, r AS l,"
+            f" xor(l, {_feistel_f_sql('r', i)}) AS r FROM r{i})"
+        )
+    steps.append(
+        f"permuted AS (SELECT doc_id, epoch,"
+        f" l * {1 << SHUFFLE_HALF_BITS} + r AS perm_pos"
+        f" FROM r{SHUFFLE_ROUNDS})"
+    )
+    return ",\n    ".join(steps)
+
+
+def _feistel_pos_col():
+    # `div` (integer division), never `/`: a double quotient loses
+    # low bits past 2^53, and ids/positions span the 62-bit domain
+    half = 1 << SHUFFLE_HALF_BITS
+    l = F.expr(f"doc_id div {half}")
+    r = F.col("doc_id") % half
+    for rnd in range(SHUFFLE_ROUNDS):
+        fv = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        r.cast("string"),
+                        F.lit(str(rnd)),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % half
+        l, r = r, l.bitwiseXOR(fv)
+    return l * half + r
+
+
+_EPOCHS_SQL = ", ".join(str(e) for e in range(SHUFFLE_EPOCHS))
+
+
+@register(
+    "epoch_shuffle_assignment",
+    f"""
+    WITH de AS (
+      SELECT doc_id, epoch
+      FROM documents, unnest([{_EPOCHS_SQL}]) AS e(epoch)),
+    {_feistel_cte_sql()}
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, perm_pos,
+           perm_pos // {1 << (2 * SHUFFLE_HALF_BITS - 6)} AS shard
+    FROM permuted
+    """,
+)
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch global shuffle WITHOUT a shuffle: every (document,
+    epoch) pair gets a permuted position and shard from a keyed Feistel
+    bijection over the 62-bit id domain — reading epoch e in training
+    order is a scan ordered by perm_pos, and the assignment itself is
+    computed map-side with ZERO exchange (the plan below the final
+    projection is scan -> generate -> project). At 10^12 rows this
+    replaces a petabyte-scale sort per epoch with 4 md5s per row.
+
+    shard is the top-6-bit slice of perm_pos (an exact integer
+    division by 2^56): 64 balanced write buckets whose sizes
+    epoch_shuffle_balance_eval audits."""
+    d = _t(spark, sf_dir, "documents")
+    de = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    )
+    pos = _feistel_pos_col()
+    return de.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        pos.alias("perm_pos"),
+    ).withColumn(
+        "shard", F.expr(f"perm_pos div {1 << (2 * SHUFFLE_HALF_BITS - 6)}")
+    )
+
+
+@register(
+    "epoch_shuffle_balance_eval",
+    f"""
+    WITH de AS (
+      SELECT doc_id, epoch
+      FROM documents, unnest([{_EPOCHS_SQL}]) AS e(epoch)),
+    {_feistel_cte_sql()},
+    shards AS (
+      SELECT epoch, perm_pos // {1 << (2 * SHUFFLE_HALF_BITS - 6)} AS shard,
+             count(*) AS n, count(DISTINCT perm_pos) AS n_pos
+      FROM permuted GROUP BY epoch, shard)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n_pos) AS BIGINT) AS n_distinct_pos,
+           CAST(count(*) AS BIGINT) AS n_shards_used,
+           CAST(min(n) AS BIGINT) AS min_shard_docs,
+           CAST(max(n) AS BIGINT) AS max_shard_docs
+    FROM shards GROUP BY epoch
+    """,
+)
+def epoch_shuffle_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the epoch shuffle: per epoch, document count, distinct
+    permuted positions (== n_docs is the measured bijectivity evidence
+    — any collision would mean two documents fused into one training
+    position), shards used, and the min/max shard occupancy the write
+    path would see. The per-(epoch, shard) partial agg is map-side
+    combined down to 3 x 64 rows before the only exchange; distinct
+    perm_pos within a shard never crosses shards (shard IS a bit slice
+    of perm_pos), so counting it per shard and summing is exact."""
+    d = _t(spark, sf_dir, "documents")
+    de = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    )
+    pos = _feistel_pos_col()
+    shards = (
+        de.select(
+            F.col("epoch").cast("long").alias("epoch"),
+            pos.alias("perm_pos"),
+        )
+        .withColumn(
+            "shard", F.expr(f"perm_pos div {1 << (2 * SHUFFLE_HALF_BITS - 6)}")
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("perm_pos").alias("n_pos"),
+        )
+    )
+    return shards.groupBy("epoch").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("n_pos").cast("long").alias("n_distinct_pos"),
+        F.count("*").cast("long").alias("n_shards_used"),
+        F.min("n").cast("long").alias("min_shard_docs"),
+        F.max("n").cast("long").alias("max_shard_docs"),
+    )
