@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "url_parallel_candidates",  # ParaCrawl URL-structure mining (r5 s13)
     "extraction_block_eval",  # block-verdict confusion vs ground truth (r5 s14)
     "epoch_shuffle_assignment",  # map-only Feistel epoch shuffle (r5 s14)
+    "postings_varint_budget",  # block-postings index sizing (r5 s14)
     "boilerplate_strip_rewrite",  # RefinedWeb template-strip rewrite (r5 s13)
     "crawl_overlap_sketch",  # two-crawl KMV Jaccard estimate + eval (r5 s13)
 ]

@@ -2565,3 +2565,94 @@ def _para_host_idx():
 _ORACLES["url_parallel_candidates"] = _ORACLES["url_parallel_candidates"].replace(
     "{cdf}", _cdf_sql_fn()
 )
+
+
+# ---------------------------------------------------------------------------
+# block-postings index build: varint budget accounting
+# ---------------------------------------------------------------------------
+
+# Lucene-style block postings: doc ids are grouped into fixed id-range
+# blocks; each block stores its first id ABSOLUTE and the rest as varint
+# deltas. The block-absolute layout is what makes index construction
+# embarrassingly parallel — no per-term sequential delta chain, so the
+# gap windows are bounded by the block width (POSTINGS_BLOCK docs) no
+# matter how hot the term. A naive per-term delta chain would put a
+# stopword's entire 10^12-row posting list into ONE window task; here
+# the hottest term costs the same per-block work as the coldest.
+POSTINGS_BLOCK = 256
+
+# varint length of a non-negative int64: ceil(bits/7), with bin(0) = '0'
+# (1 bit -> 1 byte) — length(bin(x)) is engine-exact on both sides.
+_VLEN_SQL = "(length(bin({x})) + 6) // 7"
+
+
+@register(
+    "postings_varint_budget",
+    f"""
+    WITH p AS (
+      SELECT DISTINCT term, doc_id
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+            FROM documents WHERE text <> '')),
+    g AS (
+      SELECT term, doc_id, doc_id // {POSTINGS_BLOCK} AS block,
+             doc_id - lag(doc_id) OVER (
+               PARTITION BY term, doc_id // {POSTINGS_BLOCK}
+               ORDER BY doc_id) AS gap
+      FROM p),
+    b AS (
+      SELECT term, block, count(*) AS n,
+             sum(CASE WHEN gap IS NULL THEN {_VLEN_SQL.format(x="doc_id")}
+                      ELSE {_VLEN_SQL.format(x="gap")} END) AS bytes
+      FROM g GROUP BY term, block)
+    SELECT term,
+           CAST(sum(n) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(bytes) AS BIGINT) AS varint_bytes,
+           CAST(8 * sum(n) AS BIGINT) AS raw_bytes,
+           CAST((8 * sum(n) - sum(bytes)) * 1000000 // (8 * sum(n)) AS BIGINT)
+             AS saving_ppm
+    FROM b GROUP BY term
+    """,
+)
+def postings_varint_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build accounting: per term, the exact byte budget
+    of a block-postings layout (first doc id per POSTINGS_BLOCK-wide id
+    block stored absolute, the rest as varint deltas) vs raw 8-byte
+    ids — the sizing pass that decides whether a serving index for a
+    curated slice fits its storage tier.
+
+    Scale shape at 10^12 docs: the delta windows partition on
+    (term, block), so every window group is bounded by the BLOCK WIDTH
+    (256 ids) — a stopword present in every document costs millions of
+    small groups, never one giant ordered task (the block-absolute
+    format is chosen exactly for this; contrast a per-term delta chain,
+    which serializes the hottest term). The final per-term rollup is a
+    pure sum/count groupBy with map-side combine, output bounded by the
+    vocabulary. No collects, no skew exposure, all arithmetic int64
+    (varint length via length(bin(x)) — engine-exact, no logs)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    p = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+        .withColumn("block", F.expr(f"doc_id div {POSTINGS_BLOCK}"))
+    )
+    w = Window.partitionBy("term", "block").orderBy("doc_id")
+    g = p.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+    vlen_doc = F.expr(_VLEN_SQL.format(x="doc_id").replace("//", "div"))
+    vlen_gap = F.expr(_VLEN_SQL.format(x="gap").replace("//", "div"))
+    b = g.groupBy("term", "block").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("gap").isNull(), vlen_doc).otherwise(vlen_gap)).alias(
+            "bytes"
+        ),
+    )
+    return b.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("bytes").cast("long").alias("varint_bytes"),
+        (8 * F.sum("n")).cast("long").alias("raw_bytes"),
+        F.expr(
+            "(8 * sum(n) - sum(bytes)) * 1000000 div (8 * sum(n))"
+        ).alias("saving_ppm"),
+    )
