@@ -41,6 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-14 additions: never snapshotted
+    "headline_syndication_pairs",
+    "capture_revisit_intervals",
+    "host_concentration_profile",
+    "shard_manifest_diff",
+    "host_mirror_pairs",
+    "extraction_block_eval",
+    "extraction_robustness_matrix",
+    "epoch_shuffle_assignment",
+    "epoch_shuffle_balance_eval",
+    "postings_varint_budget",
     # round-5 session-13 additions: never snapshotted
     "boilerplate_strip_rewrite",
     "crawl_overlap_sketch",
@@ -181,14 +192,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

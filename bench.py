@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "postings_varint_budget",  # block-postings index sizing (r5 s14)
     "boilerplate_strip_rewrite",  # RefinedWeb template-strip rewrite (r5 s13)
     "crawl_overlap_sketch",  # two-crawl KMV Jaccard estimate + eval (r5 s13)
+    "headline_syndication_pairs",  # blocked edit-distance linkage (r5 s14)
+    "capture_revisit_intervals",  # CDX revisit-run compression (r5 s14)
+    "shard_manifest_diff",  # set-digest incremental release diff (r5 s14)
 ]
 
 

@@ -61,6 +61,7 @@ WHITELIST: dict[str, str] = {
     "embedding_kcenter_coreset": "per-iteration 1-row argmax center broadcast (the ann_topk_ivf_lloyd unrolled-iteration shape)",
     "coreset_coverage_eval": "per-iteration 1-row center broadcasts + one KCENTER_K-row baseline fanout + two 1-row stat aggregates cross-joined",
     "crawl_overlap_sketch": "1-row exact-stats aggregate cross-joined with the 1-row bottom-OVERLAP_K sketch aggregate",
+    "host_concentration_profile": "three 1-row aggregates over the ~|hosts|-row counts table (totals, Gini numerator, HHI numerator) cross-joined into the single monitor row",
 }
 
 
