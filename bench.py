@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "headline_syndication_pairs",  # blocked edit-distance linkage (r5 s14)
     "capture_revisit_intervals",  # CDX revisit-run compression (r5 s14)
     "shard_manifest_diff",  # set-digest incremental release diff (r5 s14)
+    "wand_block_max",  # Block-Max WAND pruning metadata (r5 s14)
 ]
 
 

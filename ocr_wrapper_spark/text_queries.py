@@ -2656,3 +2656,110 @@ def postings_varint_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(8 * sum(n) - sum(bytes)) * 1000000 div (8 * sum(n))"
         ).alias("saving_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-Max WAND upper bounds (serving-index pruning metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wand_block_max",
+    f"""
+    WITH {{BM25_CORE}},
+    scored AS (
+      SELECT tf.term, tf.doc_id, {{BM25_SCORE}} AS score_ppm
+      FROM tf JOIN df USING (term) CROSS JOIN s),
+    blocks AS (
+      SELECT term, doc_id // {POSTINGS_BLOCK} AS block_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(score_ppm) AS BIGINT) AS block_max_ppm
+      FROM scored GROUP BY 1, 2),
+    ub AS (SELECT term, CAST(max(block_max_ppm) AS BIGINT) AS term_ub_ppm
+           FROM blocks GROUP BY 1)
+    SELECT blocks.term, block_id, n_docs, block_max_ppm, term_ub_ppm,
+           CAST(CAST(block_max_ppm AS HUGEINT) * 1000000
+                // greatest(term_ub_ppm, 1) AS BIGINT) AS ub_gap_ppm
+    FROM blocks JOIN ub ON ub.term = blocks.term
+    """,
+)
+def wand_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND index metadata (Ding & Suel 2011, "Faster top-k
+    document retrieval using block-max indexes"; public): per (term,
+    {POSTINGS_BLOCK}-id posting block), the maximum single-term BM25
+    impact in the block, plus the per-term global upper bound — the two
+    numbers a WAND/BMW query evaluator reads to SKIP whole blocks whose
+    best possible score cannot beat the current top-k threshold. The
+    impact uses the exact integer-rational BM25 of bm25_retrieval
+    (identical expression tree, so the serving metadata provably bounds
+    the registered ranking), and ub_gap_ppm publishes how tight each
+    block sits under its term bound — the skip-rate predictor.
+
+    Scale shape: completes the serving-index trio (bm25_retrieval
+    ranks, postings_varint_budget sizes, this prunes). Per-block maxima
+    are a (term, block)-keyed aggregation with map-side combine — a
+    stopword costs millions of small groups, never one task; the term
+    bound is a second map-side max over the block table (|vocab| rows)
+    broadcast back, deliberately NOT a per-term window over the
+    blocks (a hot term's blocks would pile into one rank task). The
+    gap division runs 128-bit (score_ppm can reach ~1e18 at 10^12
+    docs, x 1e6 passes int64)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"), "text")
+    stats = F.broadcast(
+        docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens"))
+    )
+    terms = docs.select(
+        "doc_id", "dl", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(_BM25_VOCAB))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("df")))
+    idf_ppm = F.floor(
+        F.col("n_docs").cast("double") * F.lit(1000000.0) / F.col("df").cast("double")
+    )
+    num = F.col("tf").cast("double") * F.lit(22.0) * F.col("t_tokens").cast("double")
+    den = (
+        F.col("tf").cast("double") * F.lit(10.0) * F.col("t_tokens").cast("double")
+        + F.lit(3.0) * F.col("t_tokens").cast("double")
+        + F.lit(9.0) * F.col("dl").cast("double") * F.col("n_docs").cast("double")
+    )
+    term_score = F.floor(idf_ppm.cast("double") * num / den)
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(stats)
+        .select("term", "doc_id", term_score.alias("score_ppm"))
+    )
+    blocks = scored.groupBy(
+        "term", F.expr(f"doc_id div {POSTINGS_BLOCK}").alias("block_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("score_ppm").cast("long").alias("block_max_ppm"),
+    )
+    ub = F.broadcast(
+        blocks.groupBy("term").agg(
+            F.max("block_max_ppm").cast("long").alias("term_ub_ppm")
+        )
+    )
+    return blocks.join(ub, "term").select(
+        "term",
+        "block_id",
+        "n_docs",
+        "block_max_ppm",
+        "term_ub_ppm",
+        F.expr(
+            "CAST(CAST(block_max_ppm AS DECIMAL(38,0)) * 1000000"
+            " div greatest(term_ub_ppm, 1) AS BIGINT)"
+        ).alias("ub_gap_ppm"),
+    )
+
+
+# splice the shared BM25 CTE block into the WAND oracle (the CTEs carry
+# literal braces nowhere, but str.format would still trip on the score
+# SQL's parens-free placeholders — use replace, same as the cdf splice)
+_ORACLES["wand_block_max"] = (
+    _ORACLES["wand_block_max"]
+    .replace("{BM25_CORE}", _BM25_CORE_CTES)
+    .replace("{BM25_SCORE}", _BM25_SCORE_SQL)
+)

@@ -62,6 +62,7 @@ WHITELIST: dict[str, str] = {
     "coreset_coverage_eval": "per-iteration 1-row center broadcasts + one KCENTER_K-row baseline fanout + two 1-row stat aggregates cross-joined",
     "crawl_overlap_sketch": "1-row exact-stats aggregate cross-joined with the 1-row bottom-OVERLAP_K sketch aggregate",
     "host_concentration_profile": "three 1-row aggregates over the ~|hosts|-row counts table (totals, Gini numerator, HHI numerator) cross-joined into the single monitor row",
+    "wand_block_max": "1-row corpus stats (n_docs, t_tokens) broadcast onto the pruned postings — same scalar side as bm25_retrieval",
 }
 
 

@@ -76,3 +76,84 @@ def test_gap_window_partitions_on_block_not_term(spark):
     df = postings_varint_budget(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(term#\d+L?, block#\d+", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Block-Max WAND upper bounds
+# ---------------------------------------------------------------------------
+
+
+def _python_block_max(sf_dir: str):
+    """Independent per-(term, block) impact maxima: exact-int replica of
+    the BM25 rational form with python floats (same IEEE ops)."""
+    import math
+
+    from ocr_wrapper_spark.text_queries import _BM25_VOCAB, POSTINGS_BLOCK
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' WHERE text <> ''"
+    ).fetchall()
+    n_docs = len(rows)
+    t_tokens = sum(len(t.split(" ")) for _, t in rows)
+    tf: dict[tuple[str, int], int] = {}
+    dl: dict[int, int] = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        dl[doc_id] = len(toks)
+        for t in toks:
+            if t in _BM25_VOCAB:
+                tf[(t, doc_id)] = tf.get((t, doc_id), 0) + 1
+    df: dict[str, int] = {}
+    for (t, _), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    out: dict[tuple[str, int], list[int]] = {}
+    for (t, doc_id), f in tf.items():
+        idf = math.floor(n_docs * 1000000.0 / df[t])
+        score = math.floor(
+            float(idf) * (f * 22.0 * t_tokens)
+            / (f * 10.0 * t_tokens + 3.0 * t_tokens + 9.0 * dl[doc_id] * n_docs)
+        )
+        key = (t, doc_id // POSTINGS_BLOCK)
+        out.setdefault(key, []).append(int(score))
+    blocks = {k: (len(v), max(v)) for k, v in out.items()}
+    ub = {}
+    for (t, _), (_n, mx) in blocks.items():
+        ub[t] = max(ub.get(t, 0), mx)
+    return blocks, ub
+
+
+def test_wand_block_max_replica_and_bound_invariants(spark):
+    from ocr_wrapper_spark.text_queries import wand_block_max
+
+    blocks, ub = _python_block_max(SF_SMOKE)
+    got = wand_block_max(spark, SF_SMOKE).collect()
+    assert {(r.term, r.block_id) for r in got} == set(blocks)
+    per_term_tight = set()
+    for r in got:
+        n, mx = blocks[(r.term, r.block_id)]
+        assert (r.n_docs, r.block_max_ppm) == (n, mx)
+        assert r.term_ub_ppm == ub[r.term]
+        assert r.block_max_ppm <= r.term_ub_ppm
+        assert r.ub_gap_ppm == r.block_max_ppm * 1_000_000 // max(r.term_ub_ppm, 1)
+        assert 0 <= r.ub_gap_ppm <= 1_000_000
+        if r.ub_gap_ppm == 1_000_000:
+            per_term_tight.add(r.term)
+    # every term's bound is achieved by at least one block (max is tight)
+    assert per_term_tight == set(ub)
+
+
+def test_wand_term_bound_has_no_window(spark):
+    """The per-term upper bound must come from a map-side max + broadcast
+    join, never a per-term window over the block table (a hot term's
+    blocks would pile into one rank task)."""
+    from ocr_wrapper_spark.text_queries import wand_block_max
+
+    plan = (
+        wand_block_max(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
