@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-14 additions: never snapshotted
+    "vocab_drift",
     "wand_block_max",
     "headline_syndication_pairs",
     "capture_revisit_intervals",

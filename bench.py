@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "capture_revisit_intervals",  # CDX revisit-run compression (r5 s14)
     "shard_manifest_diff",  # set-digest incremental release diff (r5 s14)
     "wand_block_max",  # Block-Max WAND pruning metadata (r5 s14)
+    "vocab_drift",  # release-to-release OOV/tokenizer drift (r5 s14)
 ]
 
 

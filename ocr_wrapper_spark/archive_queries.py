@@ -480,3 +480,117 @@ def host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= MIRROR_PPM).alias("is_mirror"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift between releases (tokenizer-stability monitor)
+# ---------------------------------------------------------------------------
+
+VOCAB_DRIFT_K = 20  # the "tokenizer vocabulary" = v1's top-K terms
+
+
+@register(
+    "vocab_drift",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+               FROM documents WHERE text <> ''),
+    c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t
+           WHERE doc_id % {DIFF_ADD_MOD} <> {DIFF_ADD_REM} GROUP BY 1),
+    c2 AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t
+           WHERE doc_id % {DIFF_DEL_MOD} <> {DIFF_DEL_REM} GROUP BY 1),
+    vocab AS (SELECT term FROM
+                (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+                 FROM c1)
+              WHERE r <= {VOCAB_DRIFT_K})
+    SELECT
+      CAST((SELECT count(*) FROM vocab) AS BIGINT) AS n_vocab,
+      CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_terms_v1,
+      CAST((SELECT count(*) FROM c2) AS BIGINT) AS n_terms_v2,
+      CAST((SELECT count(*) FROM c2
+            WHERE term NOT IN (SELECT term FROM c1)) AS BIGINT) AS n_new_terms,
+      CAST((SELECT count(*) FROM c1
+            WHERE term NOT IN (SELECT term FROM c2)) AS BIGINT)
+        AS n_dropped_terms,
+      CAST((SELECT sum(c) FROM c2) AS BIGINT) AS v2_tokens,
+      CAST((SELECT coalesce(sum(c), 0) FROM c2
+            WHERE term NOT IN (SELECT term FROM vocab)) AS BIGINT)
+        AS v2_oov_tokens,
+      CAST(CAST((SELECT coalesce(sum(c), 0) FROM c2
+                 WHERE term NOT IN (SELECT term FROM vocab)) AS HUGEINT)
+           * 1000000 // greatest((SELECT sum(c) FROM c2), 1) AS BIGINT)
+        AS oov_ppm
+    """,
+)
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-stability monitor between the same two release slices
+    shard_manifest_diff compares: how much of the NEW release a
+    tokenizer vocabulary trained on the OLD release still covers. The
+    vocabulary is v1's top-{VOCAB_DRIFT_K} terms by count (the
+    fixed-size-vocab abstraction of a trained tokenizer); the row
+    reports v2's out-of-vocabulary token share in ppm plus the raw
+    drift counts (terms new in v2, terms dropped from v1) — the alarm a
+    training pipeline reads before deciding whether a tokenizer retrain
+    must gate the release.
+
+    Scale shape: two keyed term aggregations with map-side combine
+    (each slice read once); the top-K window uses the non-foldable
+    constant-key idiom so Spark's WindowGroupLimit takes a
+    per-partition top-{VOCAB_DRIFT_K} BEFORE the exchange (the
+    corpus_vocabulary lesson); drift counts are anti-joins between the
+    two vocabulary-bounded count tables; the OOV share division runs
+    128-bit (token totals * 1e6 pass int64 at 10^12 docs). Both count
+    tables persist once for their multiple consumers."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+
+    def counts(mod, rem):
+        return (
+            t.filter(F.col("doc_id") % mod != rem)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    c1 = counts(DIFF_ADD_MOD, DIFF_ADD_REM)
+    c2 = counts(DIFF_DEL_MOD, DIFF_DEL_REM)
+    w = Window.partitionBy(F.col("c") % 1).orderBy(F.col("c").desc(), "term")
+    vocab = F.broadcast(
+        c1.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= VOCAB_DRIFT_K)
+        .select("term")
+    )
+    n_vocab = vocab.agg(F.count("*").cast("long").alias("n_vocab"))
+    n_v1 = c1.agg(F.count("*").cast("long").alias("n_terms_v1"))
+    n_v2 = c2.agg(F.count("*").cast("long").alias("n_terms_v2"))
+    n_new = (
+        c2.join(c1, "term", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_new_terms"))
+    )
+    n_drop = (
+        c1.join(c2, "term", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_dropped_terms"))
+    )
+    tot = c2.agg(F.sum("c").cast("long").alias("v2_tokens"))
+    oov = (
+        c2.join(vocab, "term", "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v2_oov_tokens"))
+    )
+    return (
+        n_vocab.crossJoin(n_v1)
+        .crossJoin(n_v2)
+        .crossJoin(n_new)
+        .crossJoin(n_drop)
+        .crossJoin(tot)
+        .crossJoin(oov)
+        .selectExpr(
+            "n_vocab",
+            "n_terms_v1",
+            "n_terms_v2",
+            "n_new_terms",
+            "n_dropped_terms",
+            "v2_tokens",
+            "v2_oov_tokens",
+            "CAST(CAST(v2_oov_tokens AS DECIMAL(38,0)) * 1000000"
+            " div greatest(v2_tokens, 1) AS BIGINT) AS oov_ppm",
+        )
+    )

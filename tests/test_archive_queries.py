@@ -390,3 +390,75 @@ def test_mirror_pairs_replica_smoke(spark):
         for r in host_mirror_pairs(spark, SF_SMOKE).collect()
     }
     assert got == want and want, "replica mismatch (or empty smoke yield)"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_drift_replica_smoke(spark):
+    from ocr_wrapper_spark.archive_queries import (
+        DIFF_ADD_MOD,
+        DIFF_ADD_REM,
+        DIFF_DEL_MOD,
+        DIFF_DEL_REM,
+        VOCAB_DRIFT_K,
+        vocab_drift,
+    )
+
+    docs = _read_docs(SF_SMOKE)
+    docs = docs[docs.text != ""]
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for doc_id, text in docs.itertuples(index=False):
+        for t in text.split(" "):
+            if int(doc_id) % DIFF_ADD_MOD != DIFF_ADD_REM:
+                c1[t] = c1.get(t, 0) + 1
+            if int(doc_id) % DIFF_DEL_MOD != DIFF_DEL_REM:
+                c2[t] = c2.get(t, 0) + 1
+    vocab = {
+        t
+        for t, _ in sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_DRIFT_K
+        ]
+    }
+    v2_tokens = sum(c2.values())
+    oov = sum(c for t, c in c2.items() if t not in vocab)
+    [r] = vocab_drift(spark, SF_SMOKE).collect()
+    assert r.asDict() == {
+        "n_vocab": len(vocab),
+        "n_terms_v1": len(c1),
+        "n_terms_v2": len(c2),
+        "n_new_terms": len(set(c2) - set(c1)),
+        "n_dropped_terms": len(set(c1) - set(c2)),
+        "v2_tokens": v2_tokens,
+        "v2_oov_tokens": oov,
+        "oov_ppm": oov * 1_000_000 // max(v2_tokens, 1),
+    }
+    assert 0 < r.oov_ppm < 1_000_000  # the K-term vocab is a real cut
+
+
+def test_vocab_drift_detects_new_and_dropped_terms(spark, tmp_path):
+    """Planted drift: a term that only exists in v2 (its doc is excluded
+    from v1) and one that only exists in v1 (excluded from v2)."""
+    from ocr_wrapper_spark.archive_queries import (
+        DIFF_ADD_MOD,
+        DIFF_ADD_REM,
+        DIFF_DEL_MOD,
+        DIFF_DEL_REM,
+        vocab_drift,
+    )
+
+    base = [(i, "common words everywhere") for i in range(10)]
+    base.append((DIFF_ADD_REM, "common brandnewterm"))  # v2-only doc
+    base.append((DIFF_DEL_MOD + DIFF_DEL_REM, "common legacyterm"))  # v1-only doc
+    # make ids unique: DIFF_ADD_REM=3 collides with range(10) -> rebuild
+    rows = {}
+    for i, t in base:
+        rows[i] = t
+    rows[DIFF_ADD_REM] = "common brandnewterm"
+    rows[DIFF_DEL_MOD + DIFF_DEL_REM] = "common legacyterm"
+    sf = _write_docs(tmp_path, sorted(rows.items()))
+    [r] = vocab_drift(spark, sf).collect()
+    assert r.n_new_terms == 1 and r.n_dropped_terms == 1
