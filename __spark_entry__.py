@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-15 additions: never snapshotted
+    "doclen_quantile_sketch",
+    "source_quality_quantile_cut",
+    "dedup_soft_weights",
     # round-5 session-14 additions: never snapshotted
     "vocab_drift",
     "wand_block_max",

@@ -1870,6 +1870,173 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source quality-quantile calibration (FineWeb-style percentile cut)
+# ---------------------------------------------------------------------------
+
+# "Drop the bottom 40% of each source by classifier score" is how
+# production curation calibrates a quality filter per source (FineWeb's
+# per-dump percentile thresholds) — a fixed global threshold would let
+# a clean source dominate and gut a noisy one. The per-source score
+# quantile is computed at HISTOGRAM grain, never by ranking documents:
+# scores are bucketed, and the threshold is the largest bucket whose
+# cumulative count stays within the drop target, so the cut lands on a
+# bucket boundary (achieved <= target, undershoot bounded by one
+# bucket's population — both published per row).
+QCUT_SHIFT = 1 << 40  # score_ppm offset; covers |score| up to ~1e6-token docs
+QCUT_STEP = 1 << 20  # bucket width in score ppm (~1 token-weight unit)
+QCUT_DROP_NUM, QCUT_DROP_DEN = 2, 5  # drop the bottom 2/5 per source
+
+_QCUT_TARGET = f"(n_docs * {QCUT_DROP_NUM}) div {QCUT_DROP_DEN}"
+
+
+@register(
+    "source_quality_quantile_cut",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             (CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                   ELSE {_QC_SCORE_SQL} END + {QCUT_SHIFT}) // {QCUT_STEP}
+               AS qb
+      FROM documents),
+    hb AS (
+      SELECT source, qb, CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY 1, 2),
+    cc AS (
+      SELECT source, qb, c,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY qb) AS BIGINT)
+               AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+      FROM hb),
+    cut AS (
+      SELECT source, max(n_docs) AS n_docs,
+             coalesce(max(CASE WHEN cum <= (n_docs * {QCUT_DROP_NUM}) // {QCUT_DROP_DEN}
+                               THEN qb END), -1) AS cutoff_bucket,
+             coalesce(max(CASE WHEN cum <= (n_docs * {QCUT_DROP_NUM}) // {QCUT_DROP_DEN}
+                               THEN cum END), 0) AS dropped
+      FROM cc GROUP BY source)
+    SELECT source, n_docs,
+           (n_docs * {QCUT_DROP_NUM}) // {QCUT_DROP_DEN} AS drop_target,
+           cutoff_bucket, dropped,
+           n_docs - dropped AS kept,
+           dropped * 1000000 // n_docs AS dropped_ppm,
+           (n_docs * {QCUT_DROP_NUM}) // {QCUT_DROP_DEN} - dropped AS undershoot
+    FROM cut
+    """,
+)
+def source_quality_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile calibration: for each source,
+    find the hashed-linear classifier-score threshold (bucket grain)
+    that drops the bottom QCUT_DROP_NUM/QCUT_DROP_DEN of its documents
+    — the per-source percentile cut FineWeb-style pipelines use instead
+    of one global threshold. The published row is the calibration
+    table a filter stage would broadcast: cutoff bucket, target vs
+    achieved drop count (achieved <= target always — the cut never
+    overshoots because it stops at the last whole bucket inside the
+    budget), and the undershoot the bucket grain cost.
+
+    Scale shape at 10^12 rows: scoring + bucketing is a narrow JVM map
+    (doc_quality_classifier's exact integer score, shifted
+    non-negative so floor/trunc div agree); ONE map-side-combinable
+    groupBy(source, bucket) reduces the corpus to a
+    |sources| x |buckets| table, and every window after it partitions
+    by source over that bounded table — per-source document RANKING
+    never happens, which is what makes a percentile cut feasible where
+    a row_number() over 5e10-doc source partitions would be one-task
+    death (the crawl_frontier_slots lesson applied to quantiles)."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.when(F.col("text") == "", F.lit(0).cast("long")).otherwise(
+        _qc_score_col(F.split(F.col("text"), " "))
+    )
+    scored = d.select("source", score.alias("s")).select(
+        "source", F.expr(f"(s + {QCUT_SHIFT}) div {QCUT_STEP}").alias("qb")
+    )
+    hb = scored.groupBy("source", "qb").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cc = hb.select(
+        "source",
+        "qb",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n_docs"),
+    )
+    in_budget = F.expr(f"cum <= {_QCUT_TARGET}")
+    cut = cc.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.coalesce(F.max(F.when(in_budget, F.col("qb"))), F.lit(-1))
+        .cast("long")
+        .alias("cutoff_bucket"),
+        F.coalesce(F.max(F.when(in_budget, F.col("cum"))), F.lit(0))
+        .cast("long")
+        .alias("dropped"),
+    )
+    return cut.select(
+        "source",
+        "n_docs",
+        F.expr(_QCUT_TARGET).alias("drop_target"),
+        "cutoff_bucket",
+        "dropped",
+        (F.col("n_docs") - F.col("dropped")).alias("kept"),
+        F.expr("dropped * 1000000 div n_docs").alias("dropped_ppm"),
+        (F.expr(_QCUT_TARGET) - F.col("dropped")).alias("undershoot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: reweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_soft_weights",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, {FP_MD5_SQL} AS fp FROM documents WHERE text <> ''),
+    cs AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size,
+             min(doc_id) AS rep
+      FROM fp GROUP BY fp)
+    SELECT f.doc_id, c.cluster_size,
+           1000000 // c.cluster_size AS weight_ppm,
+           f.doc_id = c.rep AS is_representative
+    FROM fp f JOIN cs c USING (fp)
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the SoftDedup / "dedup by reweighting"
+    policy): instead of DROPPING all-but-one copy of each exact-dup
+    cluster, every document stays in the corpus with sampling weight
+    1/cluster_size (integer ppm), so each distinct text contributes
+    total weight 1 to the training mixture and the effective corpus
+    size is the number of clusters. Production pipelines use this
+    where hard dedup loses signal (high-quality boilerplate, repeated
+    reference pages); the per-doc weight feeds the same sampler as
+    lang_alpha_sampling. The min-doc_id representative flag is the
+    cheap exact-cluster canonical (identical text, so quality ranking
+    — dedup_canonical_selection's job for NEAR-dups — is moot).
+
+    Scale shape: one fingerprint-keyed agg + one fingerprint-keyed
+    join back — both sides hash-partition on the same uniform md5 key
+    (no skew by construction), and against a fingerprint-bucketed
+    corpus table both co-locate shuffle-free. No windows, no
+    driver-side state."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    fp = d.select("doc_id", fp_md5_col(F.col("text")).alias("fp"))
+    cs = fp.groupBy("fp").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("rep")
+    )
+    return fp.join(cs, "fp").select(
+        "doc_id",
+        "cluster_size",
+        F.expr("1000000 div cluster_size").alias("weight_ppm"),
+        (F.col("doc_id") == F.col("rep")).alias("is_representative"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # tokenizer training prep, part 2: alphabet coverage and encoded lengths
 # ---------------------------------------------------------------------------
 

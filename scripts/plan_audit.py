@@ -64,6 +64,7 @@ WHITELIST: dict[str, str] = {
     "host_concentration_profile": "three 1-row aggregates over the ~|hosts|-row counts table (totals, Gini numerator, HHI numerator) cross-joined into the single monitor row",
     "wand_block_max": "1-row corpus stats (n_docs, t_tokens) broadcast onto the pruned postings — same scalar side as bm25_retrieval",
     "vocab_drift": "seven 1-row aggregates over the two vocabulary-bounded count tables cross-joined into the single drift row",
+    "doclen_quantile_sketch": "crossJoin of three 1-row quantile aggregates (exact / direct-histogram / merged-histogram), exploded into the 5 percentile rows",
 }
 
 
