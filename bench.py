@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "shard_manifest_diff",  # set-digest incremental release diff (r5 s14)
     "wand_block_max",  # Block-Max WAND pruning metadata (r5 s14)
     "vocab_drift",  # release-to-release OOV/tokenizer drift (r5 s14)
+    "doclen_quantile_sketch",  # mergeable histogram percentiles (r5 s15)
+    "source_quality_quantile_cut",  # per-source percentile calibration (r5 s15)
+    "dedup_soft_weights",  # 1/cluster-size reweighting dedup (r5 s15)
 ]
 
 
