@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-16 additions: never snapshotted
+    "redirect_chain_resolution",
+    "confusable_skeleton_dedup",
+    "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted
     "doclen_quantile_sketch",
     "source_quality_quantile_cut",
@@ -198,14 +202,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "doclen_quantile_sketch",  # mergeable histogram percentiles (r5 s15)
     "source_quality_quantile_cut",  # per-source percentile calibration (r5 s15)
     "dedup_soft_weights",  # 1/cluster-size reweighting dedup (r5 s15)
+    "redirect_chain_resolution",  # pointer-jump canonicalization (r5 s16)
+    "confusable_skeleton_dedup",  # homoglyph-evasion dedup (r5 s16)
 ]
 
 
