@@ -43,6 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_PRIORITY = [
     # round-5 session-16 additions: never snapshotted
     "redirect_chain_resolution",
+    "token_budget_quality_cut",
+    "host_disjoint_split",
+    "doc_pagination_stitch",
     "confusable_skeleton_dedup",
     "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "dedup_soft_weights",  # 1/cluster-size reweighting dedup (r5 s15)
     "redirect_chain_resolution",  # pointer-jump canonicalization (r5 s16)
     "confusable_skeleton_dedup",  # homoglyph-evasion dedup (r5 s16)
+    "doc_pagination_stitch",  # directional overlap stitch join (r5 s16)
+    "token_budget_quality_cut",  # token-weighted budget cut (r5 s16)
 ]
 
 

@@ -290,3 +290,336 @@ from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 from .relational import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["release_k_anonymity"] = _k_anon_oracle().replace("{cdf}", _cdf_sql_fn())
+
+
+# ---------------------------------------------------------------------------
+# token-budget quality cut (curating to a fixed token budget)
+# ---------------------------------------------------------------------------
+
+BUDGET_PPM = 250_000  # token budget as ppm of the corpus total (25%)
+QB_WIDTH = 50_000  # classifier-score bucket width (ppm of score)
+# shift scores non-negative before the floor-div bucketing: Spark `div`
+# truncates toward zero while DuckDB `//` floors, so they agree ONLY on
+# non-negative dividends (the same divergence pq_encode_batch guards).
+# |score_ppm| <= n_tokens * 1e6 < 2^40 for any document under ~1M
+# tokens, so the shift makes the dividend provably non-negative.
+QB_SHIFT = 1 << 40
+
+
+def _budget_oracle() -> str:
+    from .text_queries import _QC_SCORE_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(str_split(text, ' ')) AS BIGINT) END AS n_tokens,
+             CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                  ELSE {_QC_SCORE_SQL} END AS score_ppm
+      FROM documents),
+    b AS (
+      SELECT (score_ppm + {QB_SHIFT}) // {QB_WIDTH} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM t GROUP BY 1),
+    c AS (
+      SELECT bucket, n_docs, bucket_tokens,
+             CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC) AS BIGINT)
+               AS cum_tokens,
+             CAST(sum(bucket_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM b)
+    SELECT bucket * {QB_WIDTH} - {QB_SHIFT} AS score_floor_ppm,
+           n_docs, bucket_tokens, cum_tokens,
+           CAST(cum_tokens - bucket_tokens AS HUGEINT) * 1000000
+             < CAST(total_tokens AS HUGEINT) * {BUDGET_PPM} AS in_budget
+    FROM c
+    """
+
+
+@register("token_budget_quality_cut")  # oracle assigned below (needs _QC_SCORE_SQL)
+def token_budget_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate to a fixed TOKEN budget: keep the highest-quality
+    documents until the release holds ~BUDGET_PPM of the corpus tokens
+    (the production question is "give me the best 1.4T tokens", not
+    "the best 20% of documents" — long low-quality docs must not crowd
+    out short good ones, so the cumulative is TOKEN-weighted).
+
+    Shape: classifier scores (the registered hashed-linear model —
+    identical expression tree to doc_quality_classifier, so this cut
+    provably gates on the same ranking) are bucketed at QB_WIDTH ppm
+    grain; ONE map-side-combinable groupBy aggregates docs + tokens per
+    bucket; the token cumulative runs from the TOP bucket down over
+    that bounded table (constant-key window, the _cum_counts idiom from
+    the quantile sketch); a bucket is in_budget while the tokens taken
+    ABOVE it are still under budget, so the boundary bucket is included
+    and the overshoot is visible in cum_tokens. The budget comparison
+    is 128-bit (decimal(38,0) / HUGEINT) because cum_tokens * 1e6
+    passes int64 at 10^12-doc scale. No per-document ranking anywhere —
+    the only per-doc work is the narrow JVM score map."""
+    from .text_queries import _qc_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    empty = F.col("text") == ""
+    scored = d.select(
+        F.when(empty, F.lit(0).cast("long"))
+        .otherwise(F.size(toks).cast("long"))
+        .alias("n_tokens"),
+        F.when(empty, F.lit(0).cast("long"))
+        .otherwise(_qc_score_col(toks))
+        .alias("score_ppm"),
+    )
+    b = scored.groupBy(
+        F.expr(f"(score_ppm + {QB_SHIFT}) div {QB_WIDTH}").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+    )
+    from pyspark.sql import Window
+
+    one = F.col("bucket") % 1  # constant partition over the bounded bucket table
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(one)
+    c = b.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum("bucket_tokens").over(w_all).cast("long").alias("total_tokens"),
+    )
+    dec = "decimal(38,0)"
+    return c.select(
+        (F.col("bucket") * QB_WIDTH - QB_SHIFT).alias("score_floor_ppm"),
+        "n_docs",
+        "bucket_tokens",
+        "cum_tokens",
+        (
+            (F.col("cum_tokens") - F.col("bucket_tokens")).cast(dec) * F.lit(1_000_000)
+            < F.col("total_tokens").cast(dec) * F.lit(BUDGET_PPM)
+        ).alias("in_budget"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-disjoint train/val/test split + leakage audit
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = 7777  # decorrelates the split hash from the host draw itself
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # knuth_u(host_idx + salt) thresholds
+
+
+def _host_split_oracle() -> str:
+    from .operators.sampling import KNUTH_U_SQL
+    from .text_queries import FP_MD5_SQL, _HOSTED_CTE_SQL
+
+    u = KNUTH_U_SQL.format(k=f"host_idx + {SPLIT_SALT}")
+    return f"""
+    WITH {_HOSTED_CTE_SQL},
+    s AS (
+      SELECT doc_id, host_idx,
+             CASE WHEN {u} < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {u} < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             {FP_MD5_SQL} AS fp
+      FROM hosted),
+    ps AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT host_idx) AS BIGINT) AS n_hosts,
+                  CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+           FROM s GROUP BY split),
+    sf AS (SELECT DISTINCT split, fp FROM s),
+    fs AS (SELECT fp, count(*) AS n_splits FROM sf GROUP BY fp),
+    lk AS (SELECT sf.split, CAST(count(*) AS BIGINT) AS n_leaked_fps
+           FROM sf JOIN fs ON fs.fp = sf.fp AND fs.n_splits >= 2
+           GROUP BY sf.split)
+    SELECT ps.split, n_docs, n_hosts, n_fps,
+           coalesce(lk.n_leaked_fps, 0) AS n_leaked_fps
+    FROM ps LEFT JOIN lk ON lk.split = ps.split
+    """
+
+
+@register("host_disjoint_split")  # oracle spliced below ({cdf})
+def host_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free eval split: assign WHOLE HOSTS to train/val/test
+    (hash the host, not the document — the GPT-3/C4 deduplication
+    lesson that URL-level splits leak near-identical pages across the
+    boundary), then AUDIT what host-disjointness cannot fix: content
+    fingerprints that still appear in more than one split because the
+    same text lives on multiple hosts (mirrors, syndication).
+
+    Output: one row per split with doc/host/fingerprint counts and
+    n_leaked_fps — the measured residual cross-split contamination
+    that a decontamination pass (corpus_decontamination) must remove.
+
+    Scale shape: the split is a pure map (Knuth hash of host_idx +
+    salt); the audit is two fingerprint-keyed aggs and one
+    fingerprint-keyed join, all on the uniform md5 key; per-split
+    rollups are 3-row aggregates with map-side partials. Zipf host
+    skew only affects split-size balance (visible in n_docs — that IS
+    the telemetry), never a hot join key."""
+    from .operators.sampling import knuth_u
+    from .text_queries import _host_idx_col, fp_md5_col
+
+    d = _t(spark, sf_dir, "documents")
+    u = knuth_u(F.col("host_idx") + SPLIT_SALT)
+    s = d.select(
+        _host_idx_col().alias("host_idx"), fp_md5_col(F.col("text")).alias("fp")
+    ).select(
+        "host_idx",
+        "fp",
+        F.when(u < SPLIT_TRAIN, F.lit("train"))
+        .when(u < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    ps = s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host_idx").alias("n_hosts"),
+        F.countDistinct("fp").alias("n_fps"),
+    )
+    sf = s.select("split", "fp").distinct()
+    fs = sf.groupBy("fp").agg(F.count("*").alias("n_splits"))
+    lk = (
+        sf.join(fs.filter(F.col("n_splits") >= 2).select("fp"), "fp", "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked_fps"))
+    )
+    return (
+        ps.join(lk, "split", "left")
+        .na.fill({"n_leaked_fps": 0})
+        .select("split", "n_docs", "n_hosts", "n_fps", "n_leaked_fps")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pagination stitch join (multi-page article reassembly)
+# ---------------------------------------------------------------------------
+
+OVERLAP_K = 5  # stitch key: trailing/leading k-token overlap
+STITCH_MIN_TOKENS = 12  # only docs this long are split into pages
+STITCH_MOD, STITCH_RES = 11, 5  # which docs get paginated twins
+STITCH_OFF1 = 2_000_000_000_000  # page-1 pseudo-ids
+STITCH_OFF2 = 3_000_000_000_000  # page-2 pseudo-ids
+STITCH_MAX_DF = 20  # hot-key cut on the overlap fingerprint
+
+
+_STITCH_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM documents),
+    elig AS (
+      SELECT doc_id, tk, n, n // 2 AS m FROM base
+      WHERE doc_id % {STITCH_MOD} = {STITCH_RES} AND n >= {STITCH_MIN_TOKENS}),
+    parts AS (
+      SELECT doc_id + {STITCH_OFF1} AS doc_id,
+             array_to_string(tk[1:m], ' ') AS text FROM elig
+      UNION ALL
+      SELECT doc_id + {STITCH_OFF2},
+             array_to_string(tk[m-{OVERLAP_K - 1}:n], ' ') FROM elig),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM parts),
+    pg AS (
+      SELECT doc_id, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM corpus),
+    fps AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[1:{OVERLAP_K}], ' ')) AS head_fp,
+             md5(array_to_string(tk[n-{OVERLAP_K - 1}:n], ' ')) AS tail_fp
+      FROM pg WHERE n >= {OVERLAP_K}),
+    t AS (SELECT doc_id AS prev_id, tail_fp AS fp FROM fps),
+    h AS (SELECT doc_id AS next_id, head_fp AS fp FROM fps),
+    tok AS (SELECT fp FROM t GROUP BY fp HAVING count(*) <= {STITCH_MAX_DF}),
+    hok AS (SELECT fp FROM h GROUP BY fp HAVING count(*) <= {STITCH_MAX_DF})
+    SELECT t.prev_id, h.next_id, t.fp AS overlap_fp
+    FROM t
+    JOIN tok ON tok.fp = t.fp
+    JOIN h ON h.fp = t.fp AND h.next_id <> t.prev_id
+    JOIN hok ON hok.fp = t.fp
+"""
+
+
+@register("doc_pagination_stitch", _STITCH_ORACLE)
+def doc_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page article reassembly: sites paginate long articles and
+    scrapers re-fetch them as separate pages whose text OVERLAPS at the
+    boundary (the repeated last paragraph). Stitch candidates are
+    (prev, next) pairs where prev's trailing OVERLAP_K tokens equal
+    next's leading OVERLAP_K tokens — a directional equi-join on the
+    overlap fingerprint that exact dedup (whole-doc hash) and MinHash
+    (symmetric similarity) both miss.
+
+    The paginated side is synthesized in-query so planted positives are
+    deterministic on any input: every doc with
+    doc_id % {STITCH_MOD} == {STITCH_RES} and >= {STITCH_MIN_TOKENS}
+    tokens contributes two pseudo-pages — the first half, and the
+    second half prefixed with the first half's last {OVERLAP_K} tokens
+    (the scraped-overlap model). The join must recover exactly those
+    (page1, page2) pairs plus any natural tail/head coincidences.
+
+    Scale shape: fingerprints are narrow JVM maps (slice + md5); the
+    join is an equi-join on a uniform content hash with an explicit
+    frequency cut (> {STITCH_MAX_DF} occurrences on either side
+    dropped, mirrored in the oracle) so a boilerplate ending can never
+    fan out quadratically — the same hot-key discipline as the
+    syndication and n-gram dedup joins."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), " ").alias("tk"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    elig = base.filter(
+        ((F.col("doc_id") % STITCH_MOD) == STITCH_RES)
+        & (F.col("n") >= STITCH_MIN_TOKENS)
+    ).withColumn("m", F.expr("n div 2"))
+    part1 = elig.select(
+        (F.col("doc_id") + STITCH_OFF1).alias("doc_id"),
+        F.array_join(F.expr("slice(tk, 1, m)"), " ").alias("text"),
+    )
+    part2 = elig.select(
+        (F.col("doc_id") + STITCH_OFF2).alias("doc_id"),
+        F.array_join(
+            F.expr(f"slice(tk, m - {OVERLAP_K - 1}, n - m + {OVERLAP_K})"), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(part1).unionByName(part2)
+    pg = corpus.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") >= OVERLAP_K)
+    fps = pg.select(
+        "doc_id",
+        F.md5(
+            F.encode(F.array_join(F.expr(f"slice(tk, 1, {OVERLAP_K})"), " "), "UTF-8")
+        ).alias("head_fp"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.expr(f"slice(tk, n - {OVERLAP_K - 1}, {OVERLAP_K})"), " "
+                ),
+                "UTF-8",
+            )
+        ).alias("tail_fp"),
+    )
+    tails = fps.select(F.col("doc_id").alias("prev_id"), F.col("tail_fp").alias("fp"))
+    heads = fps.select(F.col("doc_id").alias("next_id"), F.col("head_fp").alias("fp"))
+    t_ok = tails.groupBy("fp").count().filter(F.col("count") <= STITCH_MAX_DF).select("fp")
+    h_ok = heads.groupBy("fp").count().filter(F.col("count") <= STITCH_MAX_DF).select("fp")
+    return (
+        tails.join(t_ok, "fp", "left_semi")
+        .join(heads.join(h_ok, "fp", "left_semi"), "fp")
+        .filter(F.col("prev_id") != F.col("next_id"))
+        .select("prev_id", "next_id", F.col("fp").alias("overlap_fp"))
+    )
+
+
+_ORACLES["token_budget_quality_cut"] = _budget_oracle()
+_ORACLES["host_disjoint_split"] = _host_split_oracle().replace("{cdf}", _cdf_sql_fn())

@@ -199,3 +199,232 @@ def test_k_anonymity_replica_smoke(spark):
     # both verdicts must occur on the smoke corpus for the gate to mean anything
     verdicts = {r.released for r in rows}
     assert verdicts == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# token-budget quality cut
+# ---------------------------------------------------------------------------
+
+
+def _knuth_u(x: int) -> float:
+    return ((x % 2**32) * 2654435761 % 2**32) / 2**32
+
+
+def _qc_score(text: str) -> int:
+    from ocr_wrapper_spark.text_queries import QC_BUCKETS
+
+    if text == "":
+        return 0
+    s = 0
+    for tok in text.split(" "):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % QC_BUCKETS
+        s += int(np.floor(_knuth_u(b) * 2_000_000)) - 1_000_000
+    return s
+
+
+def test_token_budget_cut_replica_and_monotonicity(spark):
+    from ocr_wrapper_spark.integrity_queries import (
+        BUDGET_PPM,
+        QB_SHIFT,
+        QB_WIDTH,
+        token_budget_quality_cut,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    buckets = {}
+    for t in docs.text:
+        n = 0 if t == "" else len(t.split(" "))
+        b = (_qc_score(t) + QB_SHIFT) // QB_WIDTH
+        nd, bt = buckets.get(b, (0, 0))
+        buckets[b] = (nd + 1, bt + n)
+    total = sum(bt for _, bt in buckets.values())
+    cum, expect = 0, {}
+    for b in sorted(buckets, reverse=True):
+        nd, bt = buckets[b]
+        in_budget = cum * 1_000_000 < total * BUDGET_PPM
+        cum += bt
+        expect[b * QB_WIDTH - QB_SHIFT] = (nd, bt, cum, in_budget)
+    rows = token_budget_quality_cut(spark, SF_SMOKE).collect()
+    got = {
+        r.score_floor_ppm: (r.n_docs, r.bucket_tokens, r.cum_tokens, r.in_budget)
+        for r in rows
+    }
+    assert got == expect
+    # the verdict is monotone in score: a prefix of the descending order
+    ordered = [r.in_budget for r in sorted(rows, key=lambda r: -r.score_floor_ppm)]
+    assert ordered == sorted(ordered, reverse=True)
+    assert True in ordered and False in ordered  # budget binds on smoke
+    # token accounting is exact
+    assert max(r.cum_tokens for r in rows) == sum(r.bucket_tokens for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# host-disjoint split + leakage audit
+# ---------------------------------------------------------------------------
+
+
+def _split_of_host(h: int) -> str:
+    from ocr_wrapper_spark.integrity_queries import SPLIT_SALT, SPLIT_TRAIN, SPLIT_VAL
+
+    u = _knuth_u(h + SPLIT_SALT)
+    return "train" if u < SPLIT_TRAIN else "val" if u < SPLIT_VAL else "test"
+
+
+def _fp_md5(text: str) -> str:
+    import re
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip()).lower()
+    return hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_host_disjoint_split_replica_smoke(spark):
+    from ocr_wrapper_spark.integrity_queries import host_disjoint_split
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    hosts = host_for_doc(docs.doc_id.to_numpy(np.int64))
+    splits = [_split_of_host(int(h)) for h in hosts]
+    fps = [_fp_md5(t) for t in docs.text]
+    per = {}
+    for sp, h, fp in zip(splits, hosts, fps):
+        d = per.setdefault(sp, {"n": 0, "hosts": set(), "fps": set()})
+        d["n"] += 1
+        d["hosts"].add(int(h))
+        d["fps"].add(fp)
+    fp_splits = {}
+    for sp, fp in zip(splits, fps):
+        fp_splits.setdefault(fp, set()).add(sp)
+    expect = {
+        sp: (
+            d["n"],
+            len(d["hosts"]),
+            len(d["fps"]),
+            sum(1 for fp in d["fps"] if len(fp_splits[fp]) >= 2),
+        )
+        for sp, d in per.items()
+    }
+    got = {
+        r.split: (r.n_docs, r.n_hosts, r.n_fps, r.n_leaked_fps)
+        for r in host_disjoint_split(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert set(got) == {"train", "val", "test"}  # all splits populated on smoke
+
+
+def test_host_disjoint_split_planted_cross_split_leak(spark, tmp_path):
+    """The same text on a train-host doc and a test-host doc must count
+    as one leaked fingerprint in BOTH splits; ids are searched at test
+    time so the planted docs provably land on hosts in different
+    splits."""
+    import itertools
+
+    from ocr_wrapper_spark.integrity_queries import host_disjoint_split
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+
+    by_split = {}
+    for i in itertools.count():
+        sp = _split_of_host(int(host_for_doc(np.array([i], dtype=np.int64))[0]))
+        by_split.setdefault(sp, i)
+        if {"train", "test"} <= set(by_split):
+            break
+    a, b = by_split["train"], by_split["test"]
+    sf = _write_docs(
+        tmp_path, [(a, "shared leak text"), (b, "shared leak text"), (a + 1000000, "solo")]
+    )
+    got = {r.split: r for r in host_disjoint_split(spark, sf).collect()}
+    assert got["train"].n_leaked_fps == 1
+    assert got["test"].n_leaked_fps == 1
+
+
+# ---------------------------------------------------------------------------
+# pagination stitch join
+# ---------------------------------------------------------------------------
+
+
+def test_stitch_planted_pagination_pair(spark, tmp_path):
+    from ocr_wrapper_spark.integrity_queries import (
+        OVERLAP_K,
+        STITCH_MIN_TOKENS,
+        STITCH_OFF1,
+        STITCH_OFF2,
+        doc_pagination_stitch,
+    )
+
+    toks = [f"w{i}" for i in range(14)]  # 14 >= STITCH_MIN_TOKENS, all distinct
+    short = [f"s{i}" for i in range(STITCH_MIN_TOKENS - 1)]  # too short to split
+    sf = _write_docs(tmp_path, [(16, " ".join(toks)), (27, " ".join(short))])
+    rows = doc_pagination_stitch(spark, tmp_path.as_posix()).collect()
+    assert sf  # silence unused warning
+    pairs = {(r.prev_id, r.next_id) for r in rows}
+    assert (16 + STITCH_OFF1, 16 + STITCH_OFF2) in pairs
+    # no pair involves the short doc's pseudo-pages (they don't exist)
+    assert not any(p % 10**12 == 27 for pair in pairs for p in pair if p >= 10**12)
+    # overlap fingerprint is the md5 of page-1's trailing k tokens
+    m = len(toks) // 2
+    fp = hashlib.md5(" ".join(toks[m - OVERLAP_K : m]).encode()).hexdigest()
+    row = next(r for r in rows if (r.prev_id, r.next_id) == (16 + STITCH_OFF1, 16 + STITCH_OFF2))
+    assert row.overlap_fp == fp
+
+
+def test_stitch_hot_key_cut(spark, tmp_path):
+    """A boilerplate ending shared by > STITCH_MAX_DF docs must produce
+    ZERO pairs on that fingerprint (quadratic-fanout guard), even
+    though a doc starting with the same 5 tokens exists."""
+    from ocr_wrapper_spark.integrity_queries import STITCH_MAX_DF, doc_pagination_stitch
+
+    hot = "z1 z2 z3 z4 z5"
+    rows = [(i * 11 + 1, f"u{i} " + hot) for i in range(STITCH_MAX_DF + 1)]  # ids % 11 == 1
+    rows.append((2, hot + " continuation text here"))
+    sf = _write_docs(tmp_path, rows)
+    got = doc_pagination_stitch(spark, sf).collect()
+    fp = hashlib.md5(hot.encode()).hexdigest()
+    assert not any(r.overlap_fp == fp for r in got)
+
+
+def test_stitch_python_replica_smoke(spark):
+    from ocr_wrapper_spark.integrity_queries import (
+        OVERLAP_K,
+        STITCH_MAX_DF,
+        STITCH_MIN_TOKENS,
+        STITCH_MOD,
+        STITCH_OFF1,
+        STITCH_OFF2,
+        STITCH_RES,
+        doc_pagination_stitch,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    corpus = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    for doc_id, text in list(corpus):
+        tk = text.split(" ")
+        n = len(tk)
+        if doc_id % STITCH_MOD == STITCH_RES and n >= STITCH_MIN_TOKENS:
+            m = n // 2
+            corpus.append((doc_id + STITCH_OFF1, " ".join(tk[:m])))
+            corpus.append((doc_id + STITCH_OFF2, " ".join(tk[m - OVERLAP_K :])))
+    tails, heads = {}, {}
+    for doc_id, text in corpus:
+        tk = text.split(" ")
+        if len(tk) < OVERLAP_K:
+            continue
+        tails.setdefault(
+            hashlib.md5(" ".join(tk[-OVERLAP_K:]).encode()).hexdigest(), []
+        ).append(doc_id)
+        heads.setdefault(
+            hashlib.md5(" ".join(tk[:OVERLAP_K]).encode()).hexdigest(), []
+        ).append(doc_id)
+    expect = set()
+    for fp, prevs in tails.items():
+        nexts = heads.get(fp, [])
+        if len(prevs) > STITCH_MAX_DF or len(nexts) > STITCH_MAX_DF:
+            continue
+        for p in prevs:
+            for q in nexts:
+                if p != q:
+                    expect.add((p, q, fp))
+    got = {
+        (r.prev_id, r.next_id, r.overlap_fp)
+        for r in doc_pagination_stitch(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert expect  # planted pairs exist on smoke
