@@ -46,6 +46,8 @@ _VERIFY_PRIORITY = [
     "token_budget_quality_cut",
     "host_disjoint_split",
     "doc_pagination_stitch",
+    "streaming_sliding_windows",
+    "host_fair_share_alloc",
     "confusable_skeleton_dedup",
     "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "confusable_skeleton_dedup",  # homoglyph-evasion dedup (r5 s16)
     "doc_pagination_stitch",  # directional overlap stitch join (r5 s16)
     "token_budget_quality_cut",  # token-weighted budget cut (r5 s16)
+    "host_fair_share_alloc",  # water-filling crawl budget (r5 s16)
 ]
 
 

@@ -623,3 +623,150 @@ def doc_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLES["token_budget_quality_cut"] = _budget_oracle()
 _ORACLES["host_disjoint_split"] = _host_split_oracle().replace("{cdf}", _cdf_sql_fn())
+
+
+# ---------------------------------------------------------------------------
+# max-min fair crawl-budget allocation (water filling)
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET_DIV = 5  # per-cycle crawl budget = total_docs div 5 (20%)
+
+
+def _fair_share_oracle() -> str:
+    from .text_queries import _HOSTED_CTE_SQL
+
+    return f"""
+    WITH {_HOSTED_CTE_SQL},
+    counts AS (
+      SELECT host_idx, CAST(count(*) AS BIGINT) AS demand
+      FROM hosted GROUP BY host_idx),
+    r AS (
+      SELECT host_idx, demand,
+             row_number() OVER (ORDER BY demand, host_idx) AS i,
+             sum(demand) OVER (ORDER BY demand, host_idx) AS pfx,
+             sum(demand) OVER () AS total,
+             count(*) OVER () AS n_hosts
+      FROM counts),
+    r3 AS (
+      SELECT host_idx, demand, i, n_hosts,
+             total // {CRAWL_BUDGET_DIV} AS budget,
+             CASE WHEN total // {CRAWL_BUDGET_DIV} <= pfx - demand THEN 0
+                  ELSE (total // {CRAWL_BUDGET_DIV} - (pfx - demand))
+                       // (n_hosts - i + 1) END AS cand
+      FROM r),
+    lvl AS (
+      SELECT coalesce(arg_min(CASE WHEN cand < demand THEN cand END,
+                              CASE WHEN cand < demand THEN i END),
+                      max(demand)) AS water_level,
+             max(budget) AS budget
+      FROM r3),
+    a AS (
+      SELECT r3.host_idx, r3.demand,
+             CASE WHEN r3.demand < lvl.water_level THEN r3.demand
+                  ELSE lvl.water_level END AS alloc,
+             r3.demand > lvl.water_level AS saturated,
+             lvl.water_level, lvl.budget
+      FROM r3, lvl),
+    left_over AS (SELECT max(budget) - sum(alloc) AS leftover_slots FROM a)
+    SELECT concat('host', lpad(CAST(a.host_idx AS VARCHAR), 2, '0'),
+                  '.example.com') AS host,
+           a.demand, CAST(a.alloc AS BIGINT) AS alloc, a.saturated,
+           CAST(a.water_level AS BIGINT) AS water_level,
+           CAST(left_over.leftover_slots AS BIGINT) AS leftover_slots
+    FROM a, left_over
+    """
+
+
+@register("host_fair_share_alloc")  # oracle spliced below ({cdf})
+def host_fair_share_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) crawl-budget allocation: a crawl
+    cycle has budget B = total_docs div {CRAWL_BUDGET_DIV} fetch slots;
+    every host demands its full document count; each host receives
+    min(demand, t) where the water level t is the largest integer with
+    sum_h min(demand_h, t) <= B — the classic max-min fairness rule
+    (Bertsekas-Gallager; RCP/processor-sharing water filling, public).
+    Small hosts are fully served, the Zipf head is capped at t, and no
+    budget is wasted beyond the sub-t integer remainder (reported as
+    leftover_slots; sub-level slot-by-slot distribution is deliberately
+    NOT done — the remainder is < the saturated-host count and visible).
+
+    Algorithm: on the ~|hosts|-row demand table sorted ascending,
+    segment i's candidate level is (B - prefix_{{i-1}}) div (n-i+1);
+    the first i whose candidate falls below its own demand yields t
+    (first-by-order via min_by / arg_min, null ordering keys skipped in
+    both engines). B < total guarantees the mask is non-empty; the
+    max(demand) coalesce covers the degenerate no-saturation case if
+    the budget rule ever changes.
+
+    Scale shape: ONE map-side-combinable groupBy over documents; every
+    window runs constant-key over the bounded host table; the water
+    level and the leftover are 1-row broadcasts (whitelisted). The
+    Zipf skew is the POINT here — it determines t — and never touches
+    a per-document shuffle key."""
+    from pyspark.sql import Window
+
+    from .text_queries import _host_idx_col
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(_host_idx_col().alias("host_idx")).agg(
+        F.count("*").alias("demand")
+    )
+    one = F.col("host_idx") % 1  # constant partition over the |hosts|-row table
+    w_ord = (
+        Window.partitionBy(one)
+        .orderBy("demand", "host_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(one)
+    r = counts.select(
+        "host_idx",
+        "demand",
+        F.row_number().over(Window.partitionBy(one).orderBy("demand", "host_idx")).alias("i"),
+        F.sum("demand").over(w_ord).alias("pfx"),
+        F.sum("demand").over(w_all).alias("total"),
+        F.count("*").over(w_all).alias("n_hosts"),
+    )
+    r3 = r.select(
+        "host_idx",
+        "demand",
+        "i",
+        "n_hosts",
+        F.expr(f"total div {CRAWL_BUDGET_DIV}").alias("budget"),
+        F.expr(
+            f"CASE WHEN total div {CRAWL_BUDGET_DIV} <= pfx - demand THEN 0"
+            f" ELSE (total div {CRAWL_BUDGET_DIV} - (pfx - demand))"
+            f" div (n_hosts - i + 1) END"
+        ).alias("cand"),
+    )
+    mask = F.col("cand") < F.col("demand")
+    lvl = r3.agg(
+        F.coalesce(
+            F.min_by(F.when(mask, F.col("cand")), F.when(mask, F.col("i"))),
+            F.max("demand"),
+        ).alias("water_level"),
+    )
+    a = r3.crossJoin(F.broadcast(lvl)).select(
+        "host_idx",
+        "demand",
+        F.least(F.col("demand"), F.col("water_level")).alias("alloc"),
+        (F.col("demand") > F.col("water_level")).alias("saturated"),
+        "water_level",
+        "budget",
+    )
+    left_over = a.agg((F.max("budget") - F.sum("alloc")).alias("leftover_slots"))
+    host = F.concat(
+        F.lit("host"),
+        F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+    return a.crossJoin(F.broadcast(left_over)).select(
+        host.alias("host"),
+        "demand",
+        "alloc",
+        "saturated",
+        "water_level",
+        "leftover_slots",
+    )
+
+
+_ORACLES["host_fair_share_alloc"] = _fair_share_oracle().replace("{cdf}", _cdf_sql_fn())

@@ -274,6 +274,33 @@ def pipeline_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Signature-keyed /tmp copy of ``events`` for readStream (which
+    needs a listable directory). Keyed on the resolved sf_dir path plus
+    every parquet part's (relpath, size, mtime) — the same
+    versioned-cache discipline as text_queries._docs_signature — so a
+    rebuilt source or a basename collision can never reuse a stale
+    copy."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), src)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    events_dir = f"/tmp/spark_graft_events/{h.hexdigest()[:16]}"
+    if not os.path.exists(events_dir + "/_SUCCESS"):
+        spark.read.parquet(src).write.mode("overwrite").parquet(events_dir)
+    return events_dir
+
+
 @register(
     "streaming_window_counts",
     """
@@ -288,17 +315,60 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation under Structured
     Streaming (late data tolerated 1 h), drained with availableNow into
     a complete-mode memory sink — must equal the batch hourly rollup."""
-    import os
     import uuid
 
     from .streaming.stream import streaming_event_window_counts
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    events_dir = f"/tmp/spark_graft_events/{sf_tag}"
-    if not os.path.exists(events_dir + "/_SUCCESS"):
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(events_dir)
-    agg = streaming_event_window_counts(spark, events_dir)
+    agg = streaming_event_window_counts(spark, _events_stream_dir(spark, sf_dir))
     name = f"stream_windows_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_sliding_windows",
+    # each event lands in exactly TWO overlapping 10-min/5-min windows:
+    # its own 5-min bucket's window and the one starting 5 min earlier
+    # (both epoch-aligned, matching Spark's window() alignment)
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type, value
+      FROM events),
+    w AS (
+      SELECT bucket AS wstart, event_type, value FROM b
+      UNION ALL
+      SELECT bucket - INTERVAL '5 minutes', event_type, value FROM b)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation under Structured
+    Streaming: 10-minute windows every 5 minutes, so each event counts
+    in two overlapping windows — the trailing-rate-monitor shape
+    (requests per trailing 10 min refreshed every 5) that tumbling
+    windows cannot express. Late data tolerated 1 h; drained with
+    availableNow into a complete-mode memory sink; must equal the batch
+    double-assignment rollup (the oracle states the two-window
+    membership closed-form). Completes the Structured Streaming
+    surface: extract / tumbling / SLIDING / sessions / keyed state /
+    stream-static / stream-stream."""
+    import uuid
+
+    from .streaming.stream import streaming_event_sliding_counts
+
+    agg = streaming_event_sliding_counts(spark, _events_stream_dir(spark, sf_dir))
+    name = f"stream_sliding_{uuid.uuid4().hex[:10]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

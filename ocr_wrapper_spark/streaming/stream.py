@@ -89,3 +89,29 @@ def streaming_event_window_counts(spark: SparkSession, events_dir: str) -> DataF
             "total_value",
         )
     )
+
+
+def streaming_event_sliding_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (10-minute windows every
+    5 minutes): each event lands in exactly two overlapping windows —
+    the rate-monitor shape (requests per trailing 10 min, refreshed
+    every 5) that a tumbling window cannot express. Same watermark /
+    sink discipline as the tumbling variant; returns the streaming
+    DataFrame, caller attaches a sink."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -65,6 +65,7 @@ WHITELIST: dict[str, str] = {
     "wand_block_max": "1-row corpus stats (n_docs, t_tokens) broadcast onto the pruned postings — same scalar side as bm25_retrieval",
     "vocab_drift": "seven 1-row aggregates over the two vocabulary-bounded count tables cross-joined into the single drift row",
     "doclen_quantile_sketch": "crossJoin of three 1-row quantile aggregates (exact / direct-histogram / merged-histogram), exploded into the 5 percentile rows",
+    "host_fair_share_alloc": "two 1-row scalar broadcasts (water level, leftover slots) over the |hosts|-row demand table",
 }
 
 

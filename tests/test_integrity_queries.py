@@ -428,3 +428,111 @@ def test_stitch_python_replica_smoke(spark):
     }
     assert got == expect
     assert expect  # planted pairs exist on smoke
+
+
+# ---------------------------------------------------------------------------
+# sliding-window streaming
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_windows_double_assignment(spark, tmp_path):
+    """Each event must land in exactly two overlapping windows: its own
+    5-min bucket's window and the one starting 5 min earlier."""
+    from ocr_wrapper_spark.pipeline_queries import streaming_sliding_windows
+
+    ts = pd.to_datetime(
+        ["2024-03-07 13:37:22", "2024-03-07 13:41:00", "2024-03-07 00:00:00"]
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": ts,
+            "user_id": [10, 10, 11],
+            "event_type": ["view", "view", "click"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read NANOS parquet
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = streaming_sliding_windows(spark, str(tmp_path)).collect()
+    assert sum(r.n_events for r in rows) == 2 * len(pdf)
+    starts = {(r.window_start, r.event_type): r.n_events for r in rows}
+    # 13:37:22 -> windows starting 13:30 and 13:35; 13:41 -> 13:35, 13:40
+    assert starts[("2024-03-07 13:35:00", "view")] == 2  # both view events
+    assert starts[("2024-03-07 13:30:00", "view")] == 1
+    assert starts[("2024-03-07 13:40:00", "view")] == 1
+    assert starts[("2024-03-07 00:00:00", "click")] == 1
+    assert starts[("2024-03-06 23:55:00", "click")] == 1
+
+
+# ---------------------------------------------------------------------------
+# max-min fair crawl budget (water filling)
+# ---------------------------------------------------------------------------
+
+
+def _water_level_brute(demands, budget):
+    """Brute-force max t with sum(min(d, t)) <= budget."""
+    t = 0
+    while sum(min(d, t + 1) for d in demands) <= budget:
+        t += 1
+    return t
+
+
+def test_fair_share_replica_smoke(spark):
+    from ocr_wrapper_spark.integrity_queries import (
+        CRAWL_BUDGET_DIV,
+        host_fair_share_alloc,
+    )
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id"])
+    hosts = host_for_doc(docs.doc_id.to_numpy(np.int64))
+    demand = pd.Series(hosts).value_counts().to_dict()
+    total = sum(demand.values())
+    budget = total // CRAWL_BUDGET_DIV
+    t = _water_level_brute(list(demand.values()), budget)
+    rows = host_fair_share_alloc(spark, SF_SMOKE).collect()
+    got = {r.host: r for r in rows}
+    assert len(got) == len(demand)
+    for h, d in demand.items():
+        r = got[f"host{h:02d}.example.com"]
+        assert (r.demand, r.alloc, r.saturated) == (d, min(d, t), d > t)
+        assert r.water_level == t
+    assert sum(r.alloc for r in rows) + rows[0].leftover_slots == budget
+    # maximality: one more unit of water would blow the budget
+    assert sum(min(d, t + 1) for d in demand.values()) > budget
+    # the Zipf head must actually be capped for the allocation to mean anything
+    assert any(r.saturated for r in rows) and any(not r.saturated for r in rows)
+
+
+def test_fair_share_planted_demands(spark, tmp_path):
+    """Demands ~[1, 5, 10] across three real hosts, budget 16//5 = 3:
+    water level 1, allocs [1, 1, 1], leftover 0 — checked against the
+    brute-force level."""
+    import itertools
+
+    from ocr_wrapper_spark.integrity_queries import host_fair_share_alloc
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+
+    by_host = {}
+    for i in itertools.count():
+        h = int(host_for_doc(np.array([i], dtype=np.int64))[0])
+        by_host.setdefault(h, []).append(i)
+        if len(by_host) >= 3 and sorted(len(v) for v in by_host.values())[-3:] >= [1, 5, 10]:
+            hs = sorted(by_host, key=lambda h: len(by_host[h]), reverse=True)[:3]
+            if len(by_host[hs[0]]) >= 10 and len(by_host[hs[1]]) >= 5:
+                break
+    a, b, c = hs[2], hs[1], hs[0]
+    ids = by_host[a][:1] + by_host[b][:5] + by_host[c][:10]
+    sf = _write_docs(tmp_path, [(i, f"t{i}") for i in ids])
+    rows = host_fair_share_alloc(spark, sf).collect()
+    demands = {r.host: r.demand for r in rows}
+    assert sorted(demands.values()) == [1, 5, 10]
+    t = _water_level_brute([1, 5, 10], 16 // 5)
+    assert t == 1
+    for r in rows:
+        assert r.water_level == 1
+        assert r.alloc == min(r.demand, 1)
+        assert r.saturated == (r.demand > 1)
+        assert r.leftover_slots == 0
