@@ -48,6 +48,8 @@ _VERIFY_PRIORITY = [
     "doc_pagination_stitch",
     "streaming_sliding_windows",
     "host_fair_share_alloc",
+    "dedup_winnowing",
+    "doc_lang_mix",
     "confusable_skeleton_dedup",
     "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted
@@ -207,14 +209,14 @@ def _ordered(d: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, fingerprint_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401 — registers queries
     from ocr_wrapper_spark.relational import QUERIES
 
     return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
+    from ocr_wrapper_spark import archive_queries, curation_queries, embedding_queries, fingerprint_queries, graph_queries, integrity_queries, media_queries, pipeline_queries, sketch_queries, text_queries, webmix_queries  # noqa: F401
     from ocr_wrapper_spark.relational import ORACLES
 
     return _ordered(dict(ORACLES))

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "doc_pagination_stitch",  # directional overlap stitch join (r5 s16)
     "token_budget_quality_cut",  # token-weighted budget cut (r5 s16)
     "host_fair_share_alloc",  # water-filling crawl budget (r5 s16)
+    "dedup_winnowing",  # MOSS positional fingerprint dedup (r5 s16)
+    "doc_lang_mix",  # code-switching Gini-Simpson monitor (r5 s16)
 ]
 
 

@@ -1,0 +1,293 @@
+"""Positional fingerprinting and language-mix profiling.
+
+* **Winnowing** (Schleimer-Wilkerson-Aiken 2003, the MOSS local
+  fingerprinting algorithm — public): slide a w-window over the k-gram
+  hash sequence and keep each window's MINIMUM hash. Guarantees every
+  shared substring of length >= k + w - 1 contributes at least one
+  shared fingerprint, while selecting only ~2/(w+1) of positions — the
+  position-robust middle ground between exact-substring dup-span
+  coverage (stride-1, exhaustive) and MinHash (document-global, loses
+  position). Hashes are compared as 8-hex-char STRINGS so the window
+  minimum is plain lexicographic order — engine-identical with no
+  integer conversion.
+* **Language-mix profile** (code-switching detection): the paragraph
+  grain of doc_lang_id — per-paragraph marker-word votes rolled up to a
+  per-document Gini-Simpson diversity index in exact integer ppm
+  (1 - sum(c_l^2)/P^2; entropy without the log, so no libm divergence).
+  CCNet buckets whole documents by language; a mixed-language page is
+  exactly what that binning mishandles, and simpson_ppm is the monitor.
+
+Both queries carry exact DuckDB oracles; every comparison is integer or
+string, no floats on value columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import textstats
+from .relational import _t, register
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint dedup
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram size (tokens)
+WINNOW_W = 4  # winnowing window over the gram-hash sequence
+WINNOW_MIN_TOKENS = WINNOW_K + WINNOW_W - 1  # shortest doc with a full window
+WINNOW_MAX_DF = 30  # hot-fingerprint cut (same discipline as ngram jaccard)
+WINNOW_SHARED_T = 3  # pair verdict: >= this many shared fingerprints
+
+_WINNOW_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM documents WHERE len(str_split(text, ' ')) >= {WINNOW_MIN_TOKENS}),
+    g AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, n - {WINNOW_K - 1}),
+               i -> substring(md5(array_to_string(tk[i:i+{WINNOW_K - 1}], ' ')),
+                              1, 8)) AS gs
+      FROM t),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, n - {WINNOW_MIN_TOKENS - 1}),
+               j -> list_min(gs[j:j+{WINNOW_W - 1}]))) AS fps
+      FROM g),
+    p AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    keep AS (SELECT fp FROM p GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+    pk AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_SHARED_T}
+"""
+
+
+@register("dedup_winnowing", _WINNOW_ORACLE)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint dedup: pairs of documents sharing
+    >= {WINNOW_SHARED_T} winnowed fingerprints. Each doc's fingerprints
+    are the distinct per-window minima of its {WINNOW_K}-gram md5
+    prefix sequence under a {WINNOW_W}-window — any shared run of
+    {WINNOW_MIN_TOKENS}+ tokens is guaranteed to surface at least one
+    shared fingerprint (the winnowing correctness theorem), at ~2/(w+1)
+    the fingerprint density of the exhaustive stride-1 scheme
+    (doc_dup_span_coverage).
+
+    Scale shape: gram hashing and window minima are per-document
+    higher-order array expressions (pure JVM codegen — transform /
+    slice / array_min, no explode until the fingerprints are already
+    winnowed ~2/(w+1) sparse); the pair join is an equi-join on a
+    uniform content hash with the standard > {WINNOW_MAX_DF}-df
+    hot-key cut mirrored in the oracle, and the pair rollup is a
+    map-side-combinable count. Docs shorter than {WINNOW_MIN_TOKENS}
+    tokens carry no full window and are excluded in both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") >= WINNOW_MIN_TOKENS)
+    # The when() guards make the array expressions TOTAL: under the
+    # downstream self-join Catalyst may evaluate a projection
+    # speculatively on rows the n-filter later discards, and
+    # sequence(1, n-5) DESCENDS through 0 for short docs (sequence with
+    # start > stop counts down), feeding slice() an illegal start=0.
+    # The filter still owns the semantics; the guard only keeps
+    # out-of-order evaluation from throwing.
+    guard = F.col("n") >= WINNOW_MIN_TOKENS
+    g = t.select(
+        "doc_id",
+        "n",
+        F.when(
+            guard,
+            F.expr(
+                f"transform(sequence(1, n - {WINNOW_K - 1}),"
+                f" i -> substring(md5(array_join(slice(tk, i, {WINNOW_K}), ' ')), 1, 8))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    w = g.select(
+        "doc_id",
+        F.when(
+            guard,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, n - {WINNOW_MIN_TOKENS - 1}),"
+                    f" j -> array_min(slice(gs, j, {WINNOW_W})))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("fps"),
+    )
+    p = w.select("doc_id", F.explode("fps").alias("fp"))
+    keep = p.groupBy("fp").count().filter(F.col("count") <= WINNOW_MAX_DF).select("fp")
+    pk = p.join(keep, "fp", "left_semi")
+    a = pk.select(F.col("doc_id").alias("id_a"), "fp")
+    b = pk.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-mix profile (code-switching monitor)
+# ---------------------------------------------------------------------------
+
+MIX_PARA_WORDS = 20  # fixed-width word paragraphs (same grain as paragraph_dedup)
+MIX_MOD, MIX_RES = 13, 6  # docs that gain an injected foreign paragraph
+CS_THRESHOLD_PPM = 200_000  # code-switched verdict on the Simpson index
+# deterministic foreign paragraph (German marker words, cycled to the
+# paragraph width) appended in-query so planted mixed-language docs
+# exist on any input — the same in-query adversary pattern as
+# confusable_skeleton_dedup's homoglyph twins
+_DE_WORDS = textstats.LANG_MARKERS["de"]
+MIX_INJECT_PARA = " ".join(
+    _DE_WORDS[i % len(_DE_WORDS)] for i in range(MIX_PARA_WORDS)
+)
+
+_MIX_LANGS = sorted(textstats.LANG_MARKERS)
+_MIX_ALL = sorted(_MIX_LANGS + ["und"])  # decode table incl. the fallback
+_N_MIX = len(_MIX_LANGS)
+_N_ALL = len(_MIX_ALL)
+
+
+def _mix_oracle() -> str:
+    from .text_queries import _marker_count_sql
+
+    encoded = ", ".join(
+        f"({_marker_count_sql(textstats.LANG_MARKERS[lang])} * {_N_MIX} + {rank})"
+        for rank, lang in enumerate(_MIX_LANGS)
+    )
+    lang_array = ", ".join(f"'{l}'" for l in _MIX_LANGS)
+    all_rank = " ".join(
+        f"WHEN lang_guess = '{l}' THEN {r}" for r, l in enumerate(_MIX_ALL)
+    )
+    all_array = ", ".join(f"'{l}'" for l in _MIX_ALL)
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {MIX_MOD} = {MIX_RES}
+                  THEN text || ' ' || '{MIX_INJECT_PARA}'
+                  ELSE text END AS text
+      FROM documents WHERE text <> ''),
+    t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk,
+             len(str_split(text, ' ')) AS n
+      FROM src),
+    paras AS (
+      SELECT doc_id,
+             array_to_string(
+               tk[CAST(s AS INT) + 1 : CAST(s AS INT) + {MIX_PARA_WORDS}],
+               ' ') AS text
+      FROM t, unnest(range(0, n, {MIX_PARA_WORDS})) AS r(s)),
+    lg AS (
+      SELECT doc_id,
+             CASE WHEN greatest({encoded}) // {_N_MIX} > 0
+                  THEN ([{lang_array}])[CAST(greatest({encoded}) % {_N_MIX} AS INT) + 1]
+                  ELSE 'und' END AS lang_guess
+      FROM paras),
+    counts AS (
+      SELECT doc_id, lang_guess, CAST(count(*) AS BIGINT) AS c
+      FROM lg GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             sum(c) AS n_paras,
+             sum(c * c) AS ss,
+             max(c * {_N_ALL} + CASE {all_rank} END) AS enc
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           ([{all_array}])[CAST(enc % {_N_ALL} AS INT) + 1] AS dominant_lang,
+           CAST(1000000 - (ss * 1000000) // (n_paras * n_paras) AS BIGINT)
+             AS simpson_ppm,
+           1000000 - (ss * 1000000) // (n_paras * n_paras) >= {CS_THRESHOLD_PPM}
+             AS code_switched
+    FROM agg
+    """
+
+
+@register("doc_lang_mix")  # oracle assigned below (needs _marker_count_sql)
+def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mix profile (code-switching monitor):
+    paragraphs ({MIX_PARA_WORDS}-word windows, the paragraph_dedup
+    grain) are language-identified with the registered marker-word vote
+    (identical arithmetic-argmax expression to doc_lang_id), then
+    rolled up per document into a Gini-Simpson diversity index in exact
+    integer ppm — 1 - sum(c_l^2)/P^2, the entropy-family measure with
+    no logarithm, so the value is engine-exact. Docs over
+    {CS_THRESHOLD_PPM} ppm are flagged code-switched; CCNet-style
+    whole-document language bucketing (ccnet_lang_buckets) mis-bins
+    exactly these.
+
+    Planted positives: docs with doc_id % {MIX_MOD} == {MIX_RES} gain
+    one injected German-marker paragraph in-query (deterministic on any
+    input), so the monitor always has true code-switched rows to find.
+    Dominant language ties break toward the lexicographically larger
+    code via the same c * n + rank encoding the langid vote uses.
+
+    Scale shape: paragraph explode fans out ~n/{MIX_PARA_WORDS} rows
+    per doc, then TWO doc-keyed map-side-combinable aggs (per-(doc,
+    lang) counts, per-doc rollup) — no window, no skew (doc_id keys),
+    marker counting is a pure JVM filter over the token array."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("text") != "")
+    src = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % MIX_MOD) == MIX_RES,
+            F.concat(F.col("text"), F.lit(" " + MIX_INJECT_PARA)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = src.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    paras = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (n - 1) div {MIX_PARA_WORDS}),"
+                f" s -> array_join(slice(tk, s * {MIX_PARA_WORDS} + 1,"
+                f" {MIX_PARA_WORDS}), ' '))"
+            )
+        ).alias("para_text"),
+    )
+    lg = paras.select(
+        "doc_id", textstats.lang_id_cols(F.col("para_text")).alias("lang_guess")
+    )
+    rank_map = F.array(*[F.lit(l) for l in _MIX_ALL])
+    rank = F.array_position(rank_map, F.col("lang_guess")) - 1
+    counts = lg.groupBy("doc_id", "lang_guess").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_paras"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max(F.col("c") * _N_ALL + rank).alias("enc"),
+    )
+    simpson = F.lit(1_000_000) - F.expr("(ss * 1000000) div (n_paras * n_paras)")
+    return agg.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.element_at(rank_map, (F.pmod(F.col("enc"), F.lit(_N_ALL)) + 1).cast("int")).alias(
+            "dominant_lang"
+        ),
+        simpson.cast("long").alias("simpson_ppm"),
+        (simpson >= CS_THRESHOLD_PPM).alias("code_switched"),
+    )
+
+
+from .relational import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["doc_lang_mix"] = _mix_oracle()

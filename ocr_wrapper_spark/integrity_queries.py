@@ -583,11 +583,20 @@ def doc_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + STITCH_OFF1).alias("doc_id"),
         F.array_join(F.expr("slice(tk, 1, m)"), " ").alias("text"),
     )
+    # when() keeps the slice total: under downstream joins Catalyst may
+    # evaluate this projection speculatively on rows the n-filter later
+    # discards, and m - 4 is a non-positive slice start for short docs
+    # (the dedup_winnowing lesson). The filter still owns the semantics.
     part2 = elig.select(
         (F.col("doc_id") + STITCH_OFF2).alias("doc_id"),
-        F.array_join(
-            F.expr(f"slice(tk, m - {OVERLAP_K - 1}, n - m + {OVERLAP_K})"), " "
-        ).alias("text"),
+        F.when(
+            F.col("n") >= STITCH_MIN_TOKENS,
+            F.array_join(
+                F.expr(f"slice(tk, m - {OVERLAP_K - 1}, n - m + {OVERLAP_K})"), " "
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("text"),
     )
     corpus = d.unionByName(part1).unionByName(part2)
     pg = corpus.select(
@@ -602,9 +611,14 @@ def doc_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_fp"),
         F.md5(
             F.encode(
-                F.array_join(
-                    F.expr(f"slice(tk, n - {OVERLAP_K - 1}, {OVERLAP_K})"), " "
-                ),
+                # when() guard: n - 4 is slice start 0 for a 4-token doc
+                # if this projection is evaluated before the n-filter
+                F.when(
+                    F.col("n") >= OVERLAP_K,
+                    F.array_join(
+                        F.expr(f"slice(tk, n - {OVERLAP_K - 1}, {OVERLAP_K})"), " "
+                    ),
+                ).otherwise(F.lit("")),
                 "UTF-8",
             )
         ).alias("tail_fp"),
