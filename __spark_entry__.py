@@ -50,6 +50,8 @@ _VERIFY_PRIORITY = [
     "host_fair_share_alloc",
     "dedup_winnowing",
     "doc_lang_mix",
+    "cdx_prefix_compression",
+    "bootstrap_token_ci",
     "confusable_skeleton_dedup",
     "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "host_fair_share_alloc",  # water-filling crawl budget (r5 s16)
     "dedup_winnowing",  # MOSS positional fingerprint dedup (r5 s16)
     "doc_lang_mix",  # code-switching Gini-Simpson monitor (r5 s16)
+    "cdx_prefix_compression",  # zipnum front-coding byte budget (r5 s16)
+    "bootstrap_token_ci",  # one-pass Poisson bootstrap CI (r5 s16)
 ]
 
 

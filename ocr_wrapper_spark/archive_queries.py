@@ -594,3 +594,150 @@ def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(v2_tokens, 1) AS BIGINT) AS oov_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX front-coding compression (zipnum-block prefix elimination)
+# ---------------------------------------------------------------------------
+
+CDX_ZIP_BLOCK = 64  # front-coding restarts every 64 ids (the zipnum block)
+
+
+def _frontcode_oracle() -> str:
+    from .curation_queries import _knuth_u_sql
+    from .sources import pages as pages_src
+
+    host_idx = f"len(list_filter({{cdf}}, c -> c < ({_knuth_u_sql('doc_id')})))"
+    ext = f"""CASE
+        WHEN doc_id % {pages_src.PDF_MOD} = 3 THEN 'pdf'
+        WHEN doc_id % {pages_src.PDF_MOD} = {pages_src.JSON_REM} THEN 'json'
+        WHEN doc_id % {pages_src.PDF_MOD} = {pages_src.HOCR_REM} THEN 'hocr'
+        WHEN doc_id % {pages_src.TEXTRACT_MOD} = {pages_src.TEXTRACT_REM} THEN 'textract'
+        ELSE 'html' END"""
+    idpart = (
+        "CASE WHEN length(CAST(doc_id AS VARCHAR)) >= 10 THEN CAST(doc_id AS VARCHAR) "
+        "ELSE lpad(CAST(doc_id AS VARCHAR), 10, '0') END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, CAST({host_idx} AS INT) AS host_idx,
+             concat('com,example,host',
+                    lpad(CAST({host_idx} AS VARCHAR), 2, '0'), ')/',
+                    lang, '/', {idpart}, '.', {ext}) AS urlkey
+      FROM documents),
+    b AS (
+      SELECT host_idx, doc_id // {CDX_ZIP_BLOCK} AS block, urlkey,
+             lag(urlkey) OVER (PARTITION BY host_idx, doc_id // {CDX_ZIP_BLOCK}
+                               ORDER BY urlkey) AS prev
+      FROM h),
+    lc AS (
+      SELECT host_idx, length(urlkey) AS raw,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(length(urlkey), length(prev))),
+                         i -> substring(urlkey, 1, CAST(i AS INT))
+                              = substring(prev, 1, CAST(i AS INT)))) END AS lcp
+      FROM b)
+    SELECT concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'),
+                  '.example.com') AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(raw) AS BIGINT) AS raw_bytes,
+           CAST(sum(raw - lcp) AS BIGINT) AS coded_bytes,
+           CAST(sum(lcp) * 1000000 // sum(raw) AS BIGINT) AS savings_ppm
+    FROM lc GROUP BY host_idx
+    """
+
+
+@register("cdx_prefix_compression")  # oracle spliced below ({cdf})
+def cdx_prefix_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coding budget for the CDX index (the pywb/OpenWayback
+    zipnum trick, public): within each compressed block, every SURT
+    urlkey stores only its suffix after the longest common prefix with
+    the PREVIOUS sorted key. This query measures the exact byte savings
+    per host — the number that decides the index's storage bill.
+
+    The urlkeys are parsed from the REAL pages table (same anatomy
+    check as cdx_url_index — a wrong byte in any url desyncs the
+    closed-form oracle). Front-coding restarts every {CDX_ZIP_BLOCK}
+    ids per host, which is precisely the zipnum block structure: blocks
+    are independently decompressible AND the sort-prefix window is
+    bounded at {CDX_ZIP_BLOCK} rows, so the per-block lag window can
+    never become a single-task sort no matter how Zipf-hot a host is
+    (the crawl_frontier_slots lesson applied at design time).
+
+    The LCP is computed with a monotone prefix-equality count —
+    len(filter(1..min(len), i -> prefix_i(a) = prefix_i(b))) — which
+    equals the longest common prefix exactly because prefix equality
+    is downward-closed; the identical expression runs in both engines
+    (no LCP builtin exists in either).
+
+    Scale shape: a narrow map over the page scan, a lag window over
+    <= {CDX_ZIP_BLOCK}-row partitions, one map-side-combinable host
+    rollup."""
+    from pyspark.sql import Window
+
+    from .sources.pages import DOC_ID_URL_RE, materialize_pages
+
+    pages = spark.read.parquet(materialize_pages(spark, sf_dir))
+    parsed = pages.select(
+        F.regexp_extract("url", r"https://host(\d{2})\.example\.com/", 1)
+        .cast("int")
+        .alias("host_idx"),
+        F.regexp_extract("url", r"\.com/([a-z]*)/", 1).alias("langpart"),
+        F.regexp_extract("url", DOC_ID_URL_RE, 1).alias("idpart"),
+        F.regexp_extract("url", r"\.([a-z]+)$", 1).alias("ext"),
+    )
+    h = parsed.select(
+        "host_idx",
+        F.col("idpart").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("com,example,host"),
+            F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+            F.lit(")/"),
+            F.col("langpart"),
+            F.lit("/"),
+            F.col("idpart"),
+            F.lit("."),
+            F.col("ext"),
+        ).alias("urlkey"),
+    )
+    w = Window.partitionBy(
+        "host_idx", F.expr(f"doc_id div {CDX_ZIP_BLOCK}")
+    ).orderBy("urlkey")
+    b = h.select("host_idx", "urlkey", F.lag("urlkey").over(w).alias("prev"))
+    lc = b.select(
+        "host_idx",
+        F.length("urlkey").alias("raw"),
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .otherwise(
+            F.expr(
+                "size(filter(sequence(1, least(length(urlkey), length(prev))),"
+                " i -> substring(urlkey, 1, i) = substring(prev, 1, i)))"
+            )
+        )
+        .alias("lcp"),
+    )
+    host = F.concat(
+        F.lit("host"),
+        F.lpad(F.col("host_idx").cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+    return (
+        lc.groupBy("host_idx")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("raw").alias("raw_bytes"),
+            F.sum(F.col("raw") - F.col("lcp")).alias("coded_bytes"),
+            F.expr("sum(lcp) * 1000000 div sum(raw)").alias("savings_ppm"),
+        )
+        .select(
+            host.alias("host"), "n_urls", "raw_bytes", "coded_bytes", "savings_ppm"
+        )
+    )
+
+
+from .relational import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["cdx_prefix_compression"] = _frontcode_oracle().replace(
+    "{cdf}", _host_cdf_sql()
+)

@@ -913,3 +913,110 @@ def crawl_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("jaccard_est_ppm"),
         F.abs(est - exact).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass Poisson bootstrap (corpus-metric confidence intervals)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+BOOT_KEY_MULT = 131  # decorrelates replicate draws from every other hash use
+# Poisson(1) CDF thresholds (P(X<=k) for k=0..4; weight 5 beyond). The
+# constants are irrational but LITERAL — both engines parse the same
+# 17-significant-digit decimal to the same IEEE double, and the uniform
+# they gate is knuth_u's exact dyadic rational, so the weight draw is
+# engine-identical bit-for-bit.
+BOOT_CDF = [
+    "0.36787944117144233",
+    "0.73575888234288467",
+    "0.91969860292860584",
+    "0.98101184312384615",
+    "0.99634015317265628",
+]
+
+
+def _bootstrap_oracle() -> str:
+    from .operators.sampling import KNUTH_U_SQL
+
+    u = KNUTH_U_SQL.format(k=f"(doc_id % 4294967296) * {BOOT_KEY_MULT} + replicate")
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_CDF)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text = '' THEN 0
+                  ELSE len(str_split(text, ' ')) END AS n_tokens
+      FROM documents),
+    rep AS (
+      SELECT doc_id, n_tokens, unnest(generate_series(0, {BOOT_B - 1})) AS replicate
+      FROM t),
+    uu AS (SELECT replicate, n_tokens, {u} AS u FROM rep),
+    w AS (SELECT replicate, n_tokens,
+                 CASE {cases} ELSE {len(BOOT_CDF)} END AS w
+          FROM uu)
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(w * n_tokens) * 1000 // sum(w) AS BIGINT)
+             AS mean_tokens_permil
+    FROM w GROUP BY replicate
+    """
+
+
+@register("bootstrap_token_ci")  # oracle assigned below
+def bootstrap_token_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap for corpus metrics (Chamandy et al.,
+    "Estimating uncertainty for massive data streams", public): the
+    classic bootstrap resamples the corpus B times — impossible at
+    10^12 rows — but Poisson(1) per-(doc, replicate) weights are an
+    asymptotically equivalent resample and need only ONE scan: every
+    doc contributes w ~ Poisson(1) copies to each of the {BOOT_B}
+    replicates, and the spread of the replicate means IS the sampling
+    uncertainty of the corpus mean.
+
+    The Poisson draw inverts the CDF at a deterministic Knuth-hash
+    uniform keyed on (doc_id, replicate), so the whole procedure is
+    reproducible and engine-exact (integer sums; the mean reported in
+    exact permil via int64 — sum_tokens * 1000 stays under 2^63 up to
+    ~9e15 corpus tokens, and the replicate mean needs no floats).
+
+    Scale shape: a {BOOT_B}x row explode (narrow, no shuffle) into ONE
+    map-side-combinable groupBy with {BOOT_B} groups — the entire
+    uncertainty estimate costs one aggregation pass, no per-replicate
+    jobs, no driver-side resampling."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        F.when(F.col("text") == "", 0).otherwise(F.size(toks)).alias("n_tokens"),
+    )
+    rep = t.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("replicate"),
+    )
+    from .operators.sampling import knuth_u
+
+    u = knuth_u(
+        F.pmod(F.col("doc_id"), F.lit(4294967296)) * BOOT_KEY_MULT
+        + F.col("replicate")
+    )
+    w = F.lit(len(BOOT_CDF))
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < float(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    agg = rep.select("replicate", "n_tokens", w.alias("w")).groupBy("replicate").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("n_tokens")).alias("sum_tokens"),
+    )
+    return agg.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        F.expr("sum_tokens * 1000 div n_eff").alias("mean_tokens_permil"),
+    )
+
+
+from .relational import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["bootstrap_token_ci"] = _bootstrap_oracle()
