@@ -52,6 +52,7 @@ _VERIFY_PRIORITY = [
     "doc_lang_mix",
     "cdx_prefix_compression",
     "bootstrap_token_ci",
+    "crawl_priority_fusion",
     "confusable_skeleton_dedup",
     "release_k_anonymity",
     # round-5 session-15 additions: never snapshotted

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "doc_lang_mix",  # code-switching Gini-Simpson monitor (r5 s16)
     "cdx_prefix_compression",  # zipnum front-coding byte budget (r5 s16)
     "bootstrap_token_ci",  # one-pass Poisson bootstrap CI (r5 s16)
+    "crawl_priority_fusion",  # OPIC authority x quality frontier head (r5 s16)
 ]
 
 

@@ -550,9 +550,100 @@ def paragraph_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# frontier priority fusion (authority x quality crawl ordering)
+# ---------------------------------------------------------------------------
+
+FUSION_TOP_K = 100  # frontier head size
+
+
+def _fusion_oracle() -> str:
+    from .text_queries import _QC_SCORE_SQL
+    from .pipeline_queries import _host_cdf_sql
+
+    # nests the full crawl_pagerank oracle (identical CTE chain) plus the
+    # registered quality score — the fusion provably orders by the same
+    # authority and quality the standalone queries publish
+    pr_body = _pagerank_oracle()
+    prev = f"pr{PAGERANK_ITERS}"
+    # reuse everything up to the final SELECT of the pagerank oracle
+    from .text_queries import _HOSTED_CTE_SQL
+
+    pr_ctes = pr_body[pr_body.index("WITH ") + 5 : pr_body.index("\n    SELECT ")]
+    return f"""
+    WITH {pr_ctes},
+    {_HOSTED_CTE_SQL},
+    scored AS (
+      SELECT doc_id, CAST(host_idx AS INT) AS host_idx,
+             greatest(CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+                           ELSE {{qc}} END, 0) + 1 AS quality_w
+      FROM hosted),
+    fused AS (
+      SELECT s.doc_id, {_host_name_sql("s.host_idx")} AS host,
+             p.ppm AS pr_ppm, s.quality_w,
+             p.ppm * s.quality_w AS priority
+      FROM scored s JOIN {prev} p ON p.v = s.host_idx)
+    SELECT doc_id, host, pr_ppm, CAST(quality_w AS BIGINT) AS quality_w,
+           CAST(priority AS BIGINT) AS priority
+    FROM fused
+    ORDER BY priority DESC, doc_id
+    LIMIT {FUSION_TOP_K}
+    """
+
+
+@register("crawl_priority_fusion")  # oracle spliced below ({cdf}, {qc})
+def crawl_priority_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier ordering by authority x quality (the OPIC/"crawl the
+    best pages first" fusion, Abiteboul 2003 / Cho-Garcia-Molina —
+    public): each known url's fetch priority is its host's PageRank
+    authority (the registered crawl_pagerank value, identical iteration)
+    times a non-negative document quality weight (the registered
+    hashed-linear classifier score, floored at 0, +1 so authority alone
+    breaks ties on scoreless docs). The frontier head is the exact
+    top-{FUSION_TOP_K} under (priority DESC, doc_id) — a total order,
+    so the set is deterministic.
+
+    Scale shape: the rank vector is a ~|hosts|-row broadcast joined to
+    the scored documents (narrow JVM score map, no shuffle); the
+    head is orderBy + limit, which Spark plans as TakeOrderedAndProject
+    — per-partition top-K then a {FUSION_TOP_K}-row merge, never a
+    global sort. The only corpus-size passes are the one page scan
+    inside the edge aggregation (shared with crawl_pagerank) and the
+    one scored-documents scan."""
+    from .text_queries import _host_idx_col, _qc_score_col
+
+    from .relational import _t
+
+    pr = crawl_pagerank(spark, sf_dir).select("host", "pr_ppm")
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.when(
+        F.col("text") == "", F.lit(0).cast("long")
+    ).otherwise(_qc_score_col(toks))
+    scored = d.select(
+        "doc_id",
+        _host_name(_host_idx_col()).alias("host"),
+        (F.greatest(score, F.lit(0)) + 1).alias("quality_w"),
+    )
+    fused = scored.join(F.broadcast(pr), "host").select(
+        "doc_id",
+        "host",
+        "pr_ppm",
+        "quality_w",
+        (F.col("pr_ppm") * F.col("quality_w")).alias("priority"),
+    )
+    return fused.orderBy(F.col("priority").desc(), "doc_id").limit(FUSION_TOP_K)
+
+
 # splice the Zipf cdf literal into the link-graph oracles (same pattern
 # as text_queries' host-mapped oracles)
 from .pipeline_queries import _host_cdf_sql as _cdf_sql_fn  # noqa: E402
 
 for _name in ("crawl_link_graph", "crawl_pagerank", "crawl_hits", "host_degree_reciprocity"):
     _ORACLES[_name] = _ORACLES[_name].replace("{cdf}", _cdf_sql_fn())
+
+from .text_queries import _QC_SCORE_SQL as _qc_sql  # noqa: E402
+
+_ORACLES["crawl_priority_fusion"] = (
+    _fusion_oracle().replace("{qc}", _qc_sql).replace("{cdf}", _cdf_sql_fn())
+)

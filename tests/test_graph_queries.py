@@ -286,3 +286,46 @@ def test_doc_id_parse_survives_wide_ids(spark):
     )
     got = sorted(r[0] for r in df.select(doc_id_from_url()).collect())
     assert got == [42, wide]
+
+
+# ---------------------------------------------------------------------------
+# frontier priority fusion
+# ---------------------------------------------------------------------------
+
+
+def test_priority_fusion_consistent_with_components_and_plan(spark):
+    """The fusion must equal the join of the two REGISTERED components
+    (crawl_pagerank authority x doc_quality_classifier score) ordered by
+    (priority desc, doc_id) — and the head must be planned as
+    TakeOrderedAndProject, not a global sort."""
+    from ocr_wrapper_spark.graph_queries import (
+        FUSION_TOP_K,
+        crawl_pagerank,
+        crawl_priority_fusion,
+    )
+    from ocr_wrapper_spark.sources.pages import host_for_doc
+    from ocr_wrapper_spark.text_queries import doc_quality_classifier
+
+    import numpy as np
+
+    sf = SF_SMOKE
+    pr = {r.host: r.pr_ppm for r in crawl_pagerank(spark, sf).collect()}
+    qc = {r.doc_id: r.score_ppm for r in doc_quality_classifier(spark, sf).collect()}
+    ids = np.array(sorted(qc), dtype=np.int64)
+    hosts = host_for_doc(ids)
+    fused = sorted(
+        (
+            (
+                -pr[f"host{int(h):02d}.example.com"] * (max(qc[int(i)], 0) + 1),
+                int(i),
+            )
+            for i, h in zip(ids, hosts)
+        )
+    )[:FUSION_TOP_K]
+    expect = [(doc_id, -neg) for neg, doc_id in fused]
+    got = [
+        (r.doc_id, r.priority) for r in crawl_priority_fusion(spark, sf).collect()
+    ]
+    assert got == expect
+    plan = crawl_priority_fusion(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
