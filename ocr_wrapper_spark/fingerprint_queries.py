@@ -112,6 +112,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("gs"),
     )
+    # persist g BEFORE the winnow pass: without the materialization
+    # barrier CollapseProject inlines the full gram-array expression
+    # into every window position of the minima transform — O(n^2) md5
+    # calls per document instead of O(n) (measured: the 500k-doc
+    # replica went from >10 min to seconds). With g stored, slice(gs,
+    # j, w) reads the computed column.
+    from pyspark import StorageLevel
+
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     w = g.select(
         "doc_id",
         F.when(
@@ -126,7 +135,17 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("fps"),
     )
-    p = w.select("doc_id", F.explode("fps").alias("fp"))
+    # persist the winnowed (doc_id, fp) table: it feeds THREE consumers
+    # (the df-cut aggregate and both sides of the pair join). Without it
+    # each consumer recomputes the full gram/winnow chain — and on the
+    # 500k-doc replica AQE coalesced the small semi-join shuffle to ONE
+    # partition, pulling an entire recompute into a single task (the
+    # session-14 multi-consumer persist lesson, re-learned the hard way).
+    from pyspark import StorageLevel
+
+    p = w.select("doc_id", F.explode("fps").alias("fp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     keep = p.groupBy("fp").count().filter(F.col("count") <= WINNOW_MAX_DF).select("fp")
     pk = p.join(keep, "fp", "left_semi")
     a = pk.select(F.col("doc_id").alias("id_a"), "fp")

@@ -112,7 +112,17 @@ def redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hops"),
     )
+    from pyspark import StorageLevel
+
     for _ in range(PJ_ROUNDS):
+        # persist each round: the frame feeds BOTH sides of its own
+        # self-join (shuffled on different keys — ptr vs doc_id), so
+        # without it every round recomputes its full lineage twice and
+        # the final plan scans the source 2^PJ_ROUNDS times. This is
+        # the standard checkpoint discipline of distributed
+        # list-ranking; at 10^12 rows each round materializes one
+        # (id, ptr, hops) table.
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         jump = cur.select(
             F.col("doc_id").alias("j_id"),
             F.col("ptr").alias("j_ptr"),
@@ -475,12 +485,19 @@ def host_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+    # persist the split-tagged scan (feeds the per-split rollup AND the
+    # leakage branch) and the distinct (split, fp) table (feeds the
+    # fp-cardinality agg AND the semi-join) — without these the corpus
+    # is re-scanned and re-hashed once per consumer
+    from pyspark import StorageLevel
+
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
     ps = s.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("host_idx").alias("n_hosts"),
         F.countDistinct("fp").alias("n_fps"),
     )
-    sf = s.select("split", "fp").distinct()
+    sf = s.select("split", "fp").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     fs = sf.groupBy("fp").agg(F.count("*").alias("n_splits"))
     lk = (
         sf.join(fs.filter(F.col("n_splits") >= 2).select("fp"), "fp", "left_semi")
@@ -623,6 +640,12 @@ def doc_pagination_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tail_fp"),
     )
+    # persist: fps feeds four consumers (two df-cut aggregates + both
+    # join sides); without it each consumer re-scans and re-fingerprints
+    # the whole corpus (the multi-consumer persist discipline)
+    from pyspark import StorageLevel
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     tails = fps.select(F.col("doc_id").alias("prev_id"), F.col("tail_fp").alias("fp"))
     heads = fps.select(F.col("doc_id").alias("next_id"), F.col("head_fp").alias("fp"))
     t_ok = tails.groupBy("fp").count().filter(F.col("count") <= STITCH_MAX_DF).select("fp")
