@@ -41,6 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-5 session-18 additions: never snapshotted
+    "postings_elias_fano_budget",
+    "registrable_domain_rollup",
+    "vocab_growth_curve",
     # round-5 session-16 additions: never snapshotted
     "redirect_chain_resolution",
     "token_budget_quality_cut",

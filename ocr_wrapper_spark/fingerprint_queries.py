@@ -310,3 +310,148 @@ def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["doc_lang_mix"] = _mix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps-law crawl-saturation monitor)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+# type grain: 3-word shingles (the dedup/contamination grain — the
+# word-level vocabulary of the synthetic corpus is tiny and saturates in
+# the first bucket, while the shingle-type space keeps growing, which is
+# exactly the property a growth CURVE needs); 10 equal doc-id buckets
+# stand in for crawl-arrival order.
+GROWTH_SHINGLE = 3
+GROWTH_BUCKETS = 10
+
+_GROWTH_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS w,
+             len(str_split(text, ' ')) AS nl
+      FROM documents WHERE text <> ''),
+    width AS (
+      SELECT max(doc_id) // {GROWTH_BUCKETS} + 1 AS width FROM d),
+    occ AS (
+      SELECT doc_id // width AS bucket,
+             CAST(sum(greatest(nl - {GROWTH_SHINGLE - 1}, 0)) AS BIGINT)
+               AS occurrences,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM d CROSS JOIN width GROUP BY 1),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, nl - {GROWTH_SHINGLE - 1}),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+      FROM d WHERE nl >= {GROWTH_SHINGLE}),
+    first AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    newt AS (
+      SELECT first_doc // width AS bucket,
+             CAST(count(*) AS BIGINT) AS new_types
+      FROM first CROSS JOIN width GROUP BY 1),
+    curve AS (
+      SELECT occ.bucket, occurrences, n_docs,
+             coalesce(new_types, 0) AS new_types
+      FROM occ LEFT JOIN newt ON newt.bucket = occ.bucket)
+    SELECT bucket, n_docs, occurrences, new_types,
+           CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+           CAST(sum(occurrences) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_occurrences,
+           CAST(new_types * 1000000 // greatest(occurrences, 1) AS BIGINT)
+             AS novelty_ppm
+    FROM curve
+    """
+
+
+@register("vocab_growth_curve", _GROWTH_ORACLE)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve — the crawl-saturation monitor
+    (Heaps 1978; the "is more crawling still buying new data?" signal a
+    corpus team reads before paying for the next 10 TB). Documents are
+    binned into {GROWTH_BUCKETS} equal doc-id ranges standing in for
+    crawl-arrival order; per bucket the query reports how many NEW
+    {GROWTH_SHINGLE}-word shingle types first appear there, the
+    cumulative type count, and novelty_ppm — new types per million
+    shingle occurrences scanned, the marginal return of that crawl
+    slice. A healthy open crawl shows the Heaps-shape decay (sublinear
+    but unsaturated); novelty_ppm collapsing toward 0 says the frontier
+    is re-crawling what the corpus already holds (the same verdict
+    crawl_overlap_sketch estimates ACROSS two crawls, measured here
+    WITHIN one, exactly). All arithmetic is int64 — type counts,
+    occurrence counts, and a floor-div ppm rate; no logs, no floats
+    (the Heaps exponent itself would need cross-engine libm, so the
+    curve publishes the exact integer points a fit would consume).
+
+    Scale shape at 10^12 docs: the only corpus-sized exchange is the
+    shingle-keyed min(doc_id) aggregation — uniform keys (md5-free:
+    the shingle string itself), map-side partial min, output bounded by
+    the type population. Bucket width is a 1-row broadcast (max doc id,
+    house scalar-subquery shape) onto per-DOC rows, never onto the
+    exploded shingles; per-bucket occurrence totals come from a pure
+    length expression (greatest(nl-{GROWTH_SHINGLE - 1}, 0)) with no
+    explode at all, so documents is scanned twice with narrow
+    projections instead of persisting a corpus-sized shingle frame (the
+    cheap side of the crawl_ingest_funnel tradeoff). The final
+    cumulative window runs over exactly {GROWTH_BUCKETS} rows."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+            F.size(F.split("text", " ")).alias("nl"),
+        )
+    )
+    width = F.broadcast(
+        d.agg(
+            (F.expr(f"max(doc_id) div {GROWTH_BUCKETS}") + 1).alias("width")
+        )
+    )
+    occ = (
+        d.select("doc_id", "nl")
+        .crossJoin(width)
+        .groupBy(F.expr("doc_id div width").alias("bucket"))
+        .agg(
+            F.sum(
+                F.greatest(F.col("nl") - (GROWTH_SHINGLE - 1), F.lit(0))
+            ).cast("long").alias("occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    sh = (
+        d.filter(F.col("nl") >= GROWTH_SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, nl - {GROWTH_SHINGLE}),"
+                    " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    newt = (
+        first.crossJoin(width)
+        .groupBy(F.expr("first_doc div width").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    curve = occ.join(newt, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "occurrences",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "bucket",
+        "n_docs",
+        "occurrences",
+        "new_types",
+        F.sum("new_types").over(cum).cast("long").alias("cum_types"),
+        F.sum("occurrences").over(cum).cast("long").alias("cum_occurrences"),
+        F.expr(
+            "CAST(new_types * 1000000 div greatest(occurrences, 1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

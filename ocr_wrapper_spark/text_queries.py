@@ -2763,3 +2763,141 @@ _ORACLES["wand_block_max"] = (
     .replace("{BM25_CORE}", _BM25_CORE_CTES)
     .replace("{BM25_SCORE}", _BM25_SCORE_SQL)
 )
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano postings budget (static-tier encoding vs block varint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "postings_elias_fano_budget",
+    f"""
+    WITH p AS (
+      SELECT DISTINCT term, doc_id
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+            FROM documents WHERE text <> '')),
+    u AS (SELECT max(doc_id) + 1 AS u FROM p),
+    g AS (
+      SELECT term, doc_id, doc_id // {POSTINGS_BLOCK} AS block,
+             doc_id - lag(doc_id) OVER (
+               PARTITION BY term, doc_id // {POSTINGS_BLOCK}
+               ORDER BY doc_id) AS gap
+      FROM p),
+    b AS (
+      SELECT term, block, count(*) AS n,
+             sum(CASE WHEN gap IS NULL THEN {_VLEN_SQL.format(x="doc_id")}
+                      ELSE {_VLEN_SQL.format(x="gap")} END) AS bytes
+      FROM g GROUP BY term, block),
+    t AS (
+      SELECT term, CAST(sum(n) AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(bytes) AS BIGINT) AS varint_bytes
+      FROM b GROUP BY term),
+    e AS (
+      SELECT term, df, n_blocks, varint_bytes, u,
+             length(bin(u // df)) - 1 AS l
+      FROM t CROSS JOIN u),
+    f AS (
+      SELECT term, df, n_blocks, varint_bytes,
+             CAST((df * l + df + (u >> CAST(l AS INTEGER)) + 7) // 8
+                  AS BIGINT) AS ef_bytes
+      FROM e)
+    SELECT term, df, n_blocks, varint_bytes, ef_bytes,
+           CAST(8 * df AS BIGINT) AS raw_bytes,
+           CASE WHEN ef_bytes < varint_bytes THEN 'ef'
+                WHEN ef_bytes > varint_bytes THEN 'varint'
+                ELSE 'tie' END AS winner,
+           CASE WHEN varint_bytes >= ef_bytes
+                THEN CAST((varint_bytes - ef_bytes) * 1000000
+                          // greatest(varint_bytes, 1) AS BIGINT)
+                ELSE -CAST((ef_bytes - varint_bytes) * 1000000
+                           // greatest(varint_bytes, 1) AS BIGINT)
+           END AS ef_saving_vs_varint_ppm
+    FROM f
+    """,
+)
+def postings_elias_fano_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-tier postings encoding decision: per term, the EXACT byte
+    budget of an Elias-Fano encoding of the (monotone, distinct) doc-id
+    posting list vs the block-varint layout of postings_varint_budget —
+    the accounting an index builder runs to pick the per-term encoding
+    before writing a serving segment (Vigna 2013, "Quasi-succinct
+    indices", and the partitioned-EF follow-up used by modern engines;
+    all public). EF of n ids in universe u spends
+    ``n*l + n + (u >> l)`` bits with ``l = max(0, floor(log2(u/n)))``
+    — closed form, no encode pass needed, which is exactly why the
+    planner can run it as a column expression. floor(log2(x)) is
+    ``length(bin(x)) - 1`` (engine-exact on int64, no libm), and
+    ``floor(log2(u/n)) == floor(log2(u // n))`` for positive ints (a
+    power of two <= u/n is an integer <= floor(u/n)), so the whole
+    budget stays in int64: dense stopword lists come out near n*2 bits
+    (EF wins), sparse tails pay the ``u >> l`` high-bits tax (varint
+    wins) — ``winner`` publishes the split, ``ef_saving_vs_varint_ppm``
+    the margin (both division branches keep the dividend non-negative,
+    so Spark's trunc ``div`` and DuckDB's floor ``//`` agree).
+
+    Scale shape at 10^12 docs: identical to postings_varint_budget —
+    the gap windows partition on (term, {POSTINGS_BLOCK}-id block), so
+    the hottest stopword is millions of bounded groups, never one
+    ordered task; per-term rollup is a sum/count groupBy with map-side
+    combine, output bounded by the vocabulary. The universe u is a
+    1-row broadcast (max over the per-block maxima — computed from the
+    block table, NOT a second scan of the postings), and the EF columns
+    are pure JVM int64 expressions on the |vocab|-row budget table. No
+    collects, no skew exposure, no floats."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    p = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+        .withColumn("block", F.expr(f"doc_id div {POSTINGS_BLOCK}"))
+    )
+    w = Window.partitionBy("term", "block").orderBy("doc_id")
+    g = p.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+    vlen_doc = F.expr(_VLEN_SQL.format(x="doc_id").replace("//", "div"))
+    vlen_gap = F.expr(_VLEN_SQL.format(x="gap").replace("//", "div"))
+    b = g.groupBy("term", "block").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("gap").isNull(), vlen_doc).otherwise(vlen_gap)).alias(
+            "bytes"
+        ),
+        F.max("doc_id").alias("max_id"),
+    )
+    t = b.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("bytes").cast("long").alias("varint_bytes"),
+    )
+    u = F.broadcast(b.agg((F.max("max_id") + 1).alias("u")))
+    e = t.crossJoin(u).withColumn("l", F.expr("length(bin(u div df)) - 1"))
+    f = e.withColumn(
+        "ef_bytes",
+        F.expr("CAST((df * l + df + shiftright(u, CAST(l AS INT)) + 7) div 8 AS BIGINT)"),
+    )
+    return f.select(
+        "term",
+        "df",
+        "n_blocks",
+        "varint_bytes",
+        "ef_bytes",
+        (8 * F.col("df")).cast("long").alias("raw_bytes"),
+        F.when(F.col("ef_bytes") < F.col("varint_bytes"), F.lit("ef"))
+        .when(F.col("ef_bytes") > F.col("varint_bytes"), F.lit("varint"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+        F.when(
+            F.col("varint_bytes") >= F.col("ef_bytes"),
+            F.expr(
+                "CAST((varint_bytes - ef_bytes) * 1000000"
+                " div greatest(varint_bytes, 1) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            -F.expr(
+                "CAST((ef_bytes - varint_bytes) * 1000000"
+                " div greatest(varint_bytes, 1) AS BIGINT)"
+            )
+        )
+        .alias("ef_saving_vs_varint_ppm"),
+    )

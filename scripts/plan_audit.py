@@ -66,6 +66,8 @@ WHITELIST: dict[str, str] = {
     "vocab_drift": "seven 1-row aggregates over the two vocabulary-bounded count tables cross-joined into the single drift row",
     "doclen_quantile_sketch": "crossJoin of three 1-row quantile aggregates (exact / direct-histogram / merged-histogram), exploded into the 5 percentile rows",
     "host_fair_share_alloc": "two 1-row scalar broadcasts (water level, leftover slots) over the |hosts|-row demand table",
+    "postings_elias_fano_budget": "1-row universe broadcast (max doc id + 1, from the per-block maxima) onto the |vocab|-row budget table",
+    "vocab_growth_curve": "1-row bucket-width broadcast (max doc id) onto per-doc rows and the |types|-bounded first-occurrence table; cumulative window over the fixed 10-row bucket curve",
 }
 
 
