@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-18 additions: never snapshotted
+    "neyman_sample_alloc",
+    "streaming_dropdup_watermark",
     "postings_elias_fano_budget",
     "registrable_domain_rollup",
     "vocab_growth_curve",

@@ -3029,3 +3029,179 @@ def epoch_shuffle_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_shard_docs"),
         F.max("n").cast("long").alias("max_shard_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+# sample budget: 1/NEYMAN_DIV of the corpus, allocated across
+# (source, lang) strata by Neyman 1934 optimal allocation
+NEYMAN_DIV = 10
+
+# exact integer sqrt: floor(sqrt(double)) is within ~s*2^-52 of the true
+# root (< 1 for any int64-rooted T), corrected over a +/-2 window with
+# EXACT 128-bit c*c <= T compares — the same double-seed + integer-verify
+# trick the PQ/ADC family uses for argmins. {T} must be a 128-bit typed
+# column expression; {s0} its double-sqrt floor.
+def _isqrt_sql(T: str, s0: str, cast128: str) -> str:
+    def ok(c: str) -> str:
+        return f"CAST(greatest({c}, 0) AS {cast128}) * greatest({c}, 0) <= {T}"
+
+    return (
+        f"CASE WHEN {ok(f'{s0} + 2')} THEN {s0} + 2 "
+        f"WHEN {ok(f'{s0} + 1')} THEN {s0} + 1 "
+        f"WHEN {ok(s0)} THEN {s0} "
+        f"WHEN {ok(f'{s0} - 1')} THEN greatest({s0} - 1, 0) "
+        f"ELSE greatest({s0} - 2, 0) END"
+    )
+
+
+_NEYMAN_ORACLE = f"""
+    WITH x AS (
+      SELECT source, lang,
+             CASE WHEN text = '' THEN 0
+                  ELSE len(str_split(text, ' ')) END AS n
+      FROM documents),
+    s AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS tokens,
+             CAST(count(*) AS HUGEINT) * sum(CAST(n AS HUGEINT) * n)
+               - CAST(sum(n) AS HUGEINT) * sum(n) AS t128
+      FROM x GROUP BY source, lang),
+    w AS (
+      SELECT source, lang, n_docs, tokens,
+             {_isqrt_sql("t128", "CAST(floor(sqrt(CAST(t128 AS DOUBLE))) AS BIGINT)", "HUGEINT")}
+               AS weight
+      FROM s),
+    tot AS (
+      SELECT sum(CAST(weight AS HUGEINT)) AS wsum,
+             sum(n_docs) // {NEYMAN_DIV} AS budget
+      FROM w),
+    q AS (
+      SELECT source, lang, n_docs, tokens, weight,
+             CAST(CAST(budget AS HUGEINT) * weight
+                  // greatest(wsum, 1) AS BIGINT) AS base,
+             CAST(CAST(budget AS HUGEINT) * weight
+                  % greatest(wsum, 1) AS HUGEINT) AS frac,
+             budget
+      FROM w CROSS JOIN tot),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY frac DESC, source, lang) AS rk,
+             budget - sum(base) OVER () AS leftover
+      FROM q)
+    SELECT source, lang, n_docs, tokens, CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_docs,
+           CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                      n_docs) AS BIGINT) AS alloc_capped
+    FROM r
+    """
+
+
+@register("neyman_sample_alloc", _NEYMAN_ORACLE)
+def neyman_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934; every
+    survey-sampling textbook since): when a fixed labeling/eval budget
+    of sample documents is spread over (source, lang) strata, the
+    variance-minimizing allocation is proportional to N_h * S_h —
+    stratum size times stratum standard deviation of the target
+    variable (doc token count here). High-variance strata (a web dump
+    mixing tweets and books) earn proportionally more budget than
+    uniform ones (a boilerplate-heavy template host) of the same size —
+    the step beyond source_mix_apportionment's pure size-proportional
+    shares, and the reason a curation team stratifies at all.
+
+    The whole allocation is EXACT integer arithmetic: N_h * S_h =
+    sqrt(N_h^2 * var_h) = sqrt(N_h * sum(x^2) - sum(x)^2), so the
+    weight is an integer square root of an exactly-computed 128-bit
+    integer — isqrt seeded by the double sqrt and corrected over a
+    +/-2 window with exact 128-bit c*c <= T compares (the double seed
+    is within 1 of the true root for any int64-rooted radicand, so the
+    window can never miss). The budget (1/{NEYMAN_DIV} of the corpus)
+    is then apportioned by largest remainder over the weights — shares
+    sum to EXACTLY the budget (the Hamilton-method discipline of
+    source_mix_apportionment, applied to Neyman weights). Zero-variance
+    strata get weight 0 and alloc 0 (pure Neyman; the min-1-per-stratum
+    practical patch is a trivial post-step), and alloc_capped floors
+    the allocation at stratum size.
+
+    Scale shape at 10^12 docs: one (source, lang)-keyed aggregation
+    with map-side combine (the ONLY corpus pass — count/sum/sum-of-
+    squares are the entire sufficient statistic), then weights, ranks,
+    and remainders on the |sources| x |langs|-row table with a 1-row
+    total broadcast. The 128-bit radicand (DECIMAL(38,0) / HUGEINT)
+    holds to ~1e38: tokens-per-doc^2 * docs-per-stratum * corpus-size
+    at the brief's scale peaks ~1e30."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.col("text") == "", 0).otherwise(F.size(F.split(F.col("text"), " ")))
+    s = (
+        d.select("source", "lang", n.cast("long").alias("n"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("tokens"),
+            F.expr(
+                "CAST(count(*) AS DECIMAL(38,0))"
+                " * sum(CAST(n AS DECIMAL(38,0)) * n)"
+                " - CAST(sum(n) AS DECIMAL(38,0)) * sum(n)"
+            ).alias("t128"),
+        )
+    )
+    w = s.withColumn(
+        "weight",
+        F.expr(
+            _isqrt_sql(
+                "t128",
+                "CAST(floor(sqrt(CAST(t128 AS DOUBLE))) AS BIGINT)",
+                "DECIMAL(38,0)",
+            )
+        ),
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.expr("sum(CAST(weight AS DECIMAL(38,0)))").alias("wsum"),
+            F.expr(f"sum(n_docs) div {NEYMAN_DIV}").alias("budget"),
+        )
+    )
+    q = w.crossJoin(tot).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        "weight",
+        F.expr(
+            "CAST(CAST(budget AS DECIMAL(38,0)) * weight"
+            " div greatest(wsum, 1) AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST(budget AS DECIMAL(38,0)) * weight % greatest(wsum, 1)"
+        ).alias("frac"),
+        "budget",
+    )
+    # tiny-table windows (|sources| x |langs| rows), same as the
+    # apportionment family
+    rk_w = Window.orderBy(F.col("frac").desc(), "source", "lang")
+    all_w = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = q.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        "weight",
+        "base",
+        F.row_number().over(rk_w).alias("rk"),
+        (F.col("budget") - F.sum("base").over(all_w)).alias("leftover"),
+    )
+    alloc = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        F.col("weight").cast("long").alias("weight"),
+        alloc.cast("long").alias("alloc_docs"),
+        F.least(alloc, F.col("n_docs")).cast("long").alias("alloc_capped"),
+    )

@@ -1073,3 +1073,77 @@ def extraction_robustness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "n_changed", (F.col("n_pages") - F.col("n_survived")).cast("long")
     )
+
+
+@register(
+    "streaming_dropdup_watermark",
+    # the stream input carries every event twice (second copy ts+10s,
+    # well inside the 1h watermark); the built-in watermark-bounded
+    # dedup state must emit each event_id exactly once, and only the
+    # columns identical across both copies are returned, so ANY
+    # surviving copy hashes the same
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def streaming_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): the idiomatic
+    state-store twin of streaming_stateful_dedup's hand-rolled
+    applyInPandasWithState operator — same first-seen-per-key contract,
+    but the state lifecycle (insert on first sight, EVICT once the
+    event-time watermark passes the key's last-seen + delay) is owned
+    by Spark's state store instead of user code, which is exactly what
+    a production exactly-once ingest dedup wants: bounded state at any
+    stream length, no custom timeout bookkeeping. The eighth streaming
+    surface (extract / tumbling / sliding / sessions / keyed-state /
+    stream-static / stream-stream watermark join / built-in
+    watermark dedup).
+
+    The planted input doubles every event with its second copy shifted
+    +10 s in event time — a real late-duplicate, well inside the 1 h
+    watermark delay, so the dedup MUST drop it (not merely may); which
+    copy survives is engine-chosen, so the query returns only the
+    columns byte-identical across copies (event_id, user_id,
+    event_type) and the oracle is the plain events table.
+
+    Scale shape: dedup state is hash-partitioned on event_id across
+    the cluster exactly like any keyed stream aggregation; state size
+    is bounded by (keys live within one watermark), not stream length
+    — the property the hand-rolled variant only gets by writing its
+    own eviction. Drained with availableNow into a memory sink."""
+    import os
+    import uuid
+
+    base = _events_stream_dir(spark, sf_dir)
+    ddir = base.rstrip("/") + "_dup10s"
+    if not os.path.exists(ddir + "/_SUCCESS"):
+        ev = spark.read.parquet(base)
+        ev.write.mode("overwrite").parquet(ddir)
+        ev.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 10 SECONDS")
+        ).write.mode("append").parquet(ddir)
+    schema = spark.read.parquet(ddir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(ddir)
+    )
+    # watermarks require TIMESTAMP (ltz); events parquet is ntz — session
+    # TZ is pinned UTC so the cast is deterministic (streaming/stream.py)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"stream_dropdup_{uuid.uuid4().hex[:10]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,142 @@
+"""Neyman allocation and built-in watermark dedup: python replica,
+planted variance split, exact-isqrt spot checks, and a planted
+late-duplicate stream."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+
+def _neyman_replica(rows):
+    from ocr_wrapper_spark.curation_queries import NEYMAN_DIV
+
+    strata: dict[tuple, list[int]] = {}
+    for source, lang, text in rows:
+        n = 0 if text == "" else len(text.split(" "))
+        strata.setdefault((source, lang), []).append(n)
+    stats = {}
+    for key, xs in strata.items():
+        n_docs = len(xs)
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        t = n_docs * s2 - s1 * s1
+        stats[key] = (n_docs, s1, math.isqrt(t))
+    wsum = sum(w for _, _, w in stats.values()) or 1
+    budget = sum(n for n, _, _ in stats.values()) // NEYMAN_DIV
+    base = {k: budget * w // wsum for k, (_, _, w) in stats.items()}
+    frac = {k: budget * w % wsum for k, (_, _, w) in stats.items()}
+    leftover = budget - sum(base.values())
+    ranked = sorted(stats, key=lambda k: (-frac[k], k))
+    out = {}
+    for i, k in enumerate(ranked):
+        alloc = base[k] + (1 if i < leftover else 0)
+        n_docs, s1, w = stats[k]
+        out[k] = (n_docs, s1, w, alloc, min(alloc, n_docs))
+    return out
+
+
+def test_neyman_python_replica_smoke(spark):
+    from ocr_wrapper_spark.curation_queries import neyman_sample_alloc
+
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["source", "lang", "text"]
+    )
+    expect = _neyman_replica(
+        [(r.source, r.lang, r.text) for r in docs.itertuples()]
+    )
+    rows = neyman_sample_alloc(spark, SF_SMOKE).collect()
+    got = {
+        (r.source, r.lang): (r.n_docs, r.tokens, r.weight, r.alloc_docs, r.alloc_capped)
+        for r in rows
+    }
+    assert got == expect
+    # the Hamilton-method invariant: allocations sum to EXACTLY budget
+    from ocr_wrapper_spark.curation_queries import NEYMAN_DIV
+
+    assert sum(r.alloc_docs for r in rows) == len(docs) // NEYMAN_DIV
+
+
+def test_neyman_budget_follows_variance(spark, tmp_path):
+    """Two equal-size strata, one high-variance one constant: pure
+    Neyman sends the WHOLE budget to the noisy stratum (the
+    size-proportional apportionment would split it evenly — the
+    difference this query exists to express)."""
+    from ocr_wrapper_spark.curation_queries import neyman_sample_alloc
+
+    rows = []
+    for i in range(50):  # noisy: alternating 1-token / 99-token docs
+        rows.append((i, "w " * (98 if i % 2 else 0) + "w", "en", "noisy"))
+    for i in range(50, 100):  # constant: every doc 50 tokens
+        rows.append((i, " ".join(["w"] * 50), "en", "flat"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = {r.source: r for r in neyman_sample_alloc(spark, str(tmp_path)).collect()}
+    assert got["flat"].weight == 0 and got["flat"].alloc_docs == 0
+    assert got["noisy"].alloc_docs == 10  # the full 100//10 budget
+    # weight = isqrt(N*sum(x^2) - sum(x)^2) computed from the plant
+    xs = [98 + 1 if i % 2 else 1 for i in range(50)]
+    assert got["noisy"].weight == math.isqrt(50 * sum(x * x for x in xs) - sum(xs) ** 2)
+
+
+def test_isqrt_expression_exact(spark):
+    """The +/-2-corrected double-seeded isqrt matches math.isqrt on
+    perfect squares, off-by-ones, and large radicands where the double
+    seed actually drifts."""
+    from ocr_wrapper_spark.curation_queries import _isqrt_sql
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 2**52 - 1, 2**52, (10**9 + 7) ** 2,
+            (10**9 + 7) ** 2 - 1, 2**62 + 11]
+    expr = _isqrt_sql("CAST(t AS DECIMAL(38,0))", "CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT)", "DECIMAL(38,0)")
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    got = [r.s for r in df.selectExpr(f"({expr}) AS s").collect()]
+    assert got == [math.isqrt(v) for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# built-in watermark-bounded streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dropdup_emits_each_event_once(spark):
+    from ocr_wrapper_spark.pipeline_queries import streaming_dropdup_watermark
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id"])
+    rows = streaming_dropdup_watermark(spark, SF_SMOKE).collect()
+    assert len(rows) == len(ev)
+    assert len({r.event_id for r in rows}) == len(ev)
+
+
+def test_dropdup_planted_late_twin(spark, tmp_path):
+    """Three events, each doubled with a +10 s late twin inside the
+    watermark: exactly three rows out, fields intact."""
+    from ocr_wrapper_spark.pipeline_queries import streaming_dropdup_watermark
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:05:00", "2024-01-01 00:10:00"]
+            ),
+            "user_id": [7, 8, 9],
+            "event_type": ["view", "click", "view"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in streaming_dropdup_watermark(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 7, "view"), (2, 8, "click"), (3, 9, "view")]
