@@ -2901,3 +2901,68 @@ def postings_elias_fano_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ef_saving_vs_varint_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register("decontaminate_fuzzy")  # oracle assigned below (needs _bands_cte_sql)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: training documents that are
+    NEAR-duplicates of the held-out eval slice, found by the MinHash
+    band signature instead of exact shingle identity — the check that
+    catches paraphrased / lightly-edited benchmark leakage that
+    corpus_decontamination's exact 5-gram semi-join misses (the
+    GPT-3-appendix / Llama-style fuzzy pass, run here with the exact
+    same banding pipeline the corpus dedup already uses, so "how close
+    is too close" is a single shared definition engine-wide). Returns
+    one row per contaminated training doc with the count of distinct
+    eval documents whose signature collides on >= 1 band.
+
+    Scale shape at 10^12 docs: signatures and bands are the SAME
+    Arrow-batched UDF stage as dedup_minhash_lsh (shared cost, shared
+    semantics); over-cap band buckets are dropped with the standard
+    MAX_BUCKET cut BEFORE the split (mirrored by the oracle) so a
+    boilerplate band can never fan out. The eval slice is tiny by
+    construction (1/{EVAL_MOD} of docs), so its banded table is the
+    BROADCAST side of the candidate equi-join and the training corpus
+    never shuffles — the asymmetric twin of the dedup self-join, same
+    discipline as decontaminate_bloom's probe side."""
+    # no text filter: the shared bands CTE (and dedup_minhash_lsh) band
+    # EVERY doc — empty docs collapse into one bucket the cap drops
+    d = _t(spark, sf_dir, "documents")
+    bands = dedup._cap_buckets(
+        dedup._minhash_bands(d, "doc_id", "text"),
+        ["band_id", "band_hash"],
+        dedup.MAX_BUCKET,
+    )
+    ev = bands.filter(F.col("doc_id") % EVAL_MOD == EVAL_REM).select(
+        F.col("doc_id").alias("eval_id"), "band_id", "band_hash"
+    )
+    tr = bands.filter(F.col("doc_id") % EVAL_MOD != EVAL_REM)
+    pairs = (
+        tr.join(F.broadcast(ev), ["band_id", "band_hash"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches")
+    )
+
+
+_ORACLES["decontaminate_fuzzy"] = f"""
+    {{BANDS}},
+    capped AS (
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band_id, band) <= {dedup.MAX_BUCKET}),
+    pairs AS (
+      SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+      FROM capped t JOIN capped e
+        ON t.band_id = e.band_id AND t.band = e.band
+      WHERE t.doc_id % {EVAL_MOD} <> {EVAL_REM}
+        AND e.doc_id % {EVAL_MOD} = {EVAL_REM})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches
+    FROM pairs GROUP BY doc_id
+    """.replace("{BANDS}", _bands_cte_sql())

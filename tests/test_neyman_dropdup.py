@@ -140,3 +140,75 @@ def test_dropdup_planted_late_twin(spark, tmp_path):
         for r in streaming_dropdup_watermark(spark, str(tmp_path)).collect()
     )
     assert got == [(1, 7, "view"), (2, 8, "click"), (3, 9, "view")]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) decontamination
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "test"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _band_set(text: str):
+    from ocr_wrapper_spark.operators.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(text)
+    return {
+        (b, tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+        for b in range(N_BANDS)
+    }
+
+
+def test_fuzzy_decon_catches_paraphrase_not_unrelated(spark, tmp_path):
+    """An eval doc that is a light edit of a train doc must surface as
+    contamination (their signatures share bands — verified from the
+    signature function itself, not assumed); an unrelated train doc
+    must not."""
+    from ocr_wrapper_spark.text_queries import EVAL_MOD, EVAL_REM, decontaminate_fuzzy
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = base.replace("tok59", "changed")  # ~0.97 shingle Jaccard
+    other = " ".join(f"zzz{i}" for i in range(60))
+    assert 7 % EVAL_MOD == EVAL_REM
+    sf = _write_docs(tmp_path, [(1, base), (2, other), (7, edited)])
+    assert _band_set(base) & _band_set(edited)  # the plant actually collides
+    assert not (_band_set(other) & _band_set(edited))
+    got = {r.doc_id: r.n_eval_matches for r in decontaminate_fuzzy(spark, sf).collect()}
+    assert got == {1: 1}
+
+
+def test_fuzzy_decon_replica_smoke(spark):
+    """Replica from the signature function over the smoke corpus: the
+    banded broadcast join must equal the brute-force band-intersection
+    pairs (no bucket tops MAX_BUCKET at smoke scale)."""
+    from ocr_wrapper_spark.text_queries import EVAL_MOD, EVAL_REM, decontaminate_fuzzy
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    bands = {int(r.doc_id): _band_set(r.text) for r in docs.itertuples()}
+    expect: dict[int, int] = {}
+    for t, tb in bands.items():
+        if t % EVAL_MOD == EVAL_REM:
+            continue
+        n = sum(
+            1
+            for e, eb in bands.items()
+            if e % EVAL_MOD == EVAL_REM and (tb & eb)
+        )
+        if n:
+            expect[t] = n
+    got = {
+        r.doc_id: r.n_eval_matches
+        for r in decontaminate_fuzzy(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
