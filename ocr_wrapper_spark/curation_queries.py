@@ -3205,3 +3205,115 @@ def neyman_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("long").alias("alloc_docs"),
         F.least(alloc, F.col("n_docs")).cast("long").alias("alloc_capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-bound per-source quality gate
+# ---------------------------------------------------------------------------
+
+# gate: a source ships only when the Wilson 95% LOWER bound on its
+# quality-keep rate clears this (z = 2, the standard "add 2 successes
+# and 2 failures" Agresti-Coull/Wilson regime)
+WILSON_GATE_PPM = 400_000
+_WILSON_SCALE = 10**12  # ppm^2: sqrt comes back in exact ppm units
+
+
+# Wilson z=2 lower bound in ppm, exact-integer convention: s =
+# isqrt(floor(SCALE * (k(n-k)/n + 1))) == floor(10^6 * sqrt(k(n-k)/n + 1))
+# (floor(sqrt(x)) == isqrt(floor(x)) for any real x >= 0: m^2 <= x <
+# (m+1)^2 pins floor(x) into [m^2, (m+1)^2)), then lb_ppm =
+# (10^6*(k+2) - 2s) div (n+4) — at most 1 ppm above the real bound,
+# a stated floor convention mirrored bit-for-bit by the oracle.
+@register(
+    "source_quality_wilson_gate",
+    f"""
+    WITH v AS (
+      SELECT source,
+             CASE WHEN text = '' THEN TRUE
+                  ELSE ({_QC_SCORE_SQL}) > 0 END AS keep
+      FROM documents),
+    c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM v GROUP BY source),
+    a AS (
+      SELECT source, n_docs, n_keep,
+             (CAST(n_keep AS HUGEINT) * (n_docs - n_keep) * {_WILSON_SCALE}
+              + CAST(n_docs AS HUGEINT) * {_WILSON_SCALE}) // (n_docs)
+               AS wil_arg
+      FROM c),
+    s AS (
+      SELECT source, n_docs, n_keep,
+             {_isqrt_sql("wil_arg", "CAST(floor(sqrt(CAST(wil_arg AS DOUBLE))) AS BIGINT)", "HUGEINT")}
+               AS sq
+      FROM a)
+    SELECT source, n_docs, n_keep,
+           CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_ppm,
+           CAST((1000000 * (n_keep + 2) - 2 * sq) // (n_docs + 4) AS BIGINT)
+             AS wilson_lb_ppm,
+           ((1000000 * (n_keep + 2) - 2 * sq) // (n_docs + 4))
+             >= {WILSON_GATE_PPM} AS gated_in
+    FROM s
+    """,
+)
+def source_quality_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate with a Wilson 95% lower confidence bound
+    (Wilson 1927; the z=2 form behind Agresti-Coull "plus four" — every
+    content-moderation / data-vendor acceptance pipeline's standard for
+    "is this source's pass rate REALLY above the bar, or did it just
+    sample lucky"): a source ships only when the LOWER bound of its
+    doc_quality_classifier keep-rate clears {WILSON_GATE_PPM} ppm. The
+    point estimate alone admits a 10-doc source with 5 lucky passes;
+    the Wilson bound makes small-n sources prove themselves — exactly
+    the asymmetry a corpus curator wants when onboarding crawl sources.
+
+    Exact-integer discipline: the bound's square root is the
+    {_WILSON_SCALE}-scaled radicand's integer sqrt (floor(sqrt(x)) ==
+    isqrt(floor(x)) for real x, so pre-flooring the rational radicand
+    is lossless), via the same double-seeded +/-2-corrected isqrt as
+    neyman_sample_alloc; published ppm is within 2 ppm of the real
+    bound (stated floor conventions, mirrored bit-for-bit). 128-bit
+    radicand (k(n-k)*1e12/n peaks ~2.5e35 at 10^12-doc sources).
+
+    Scale shape: the keep verdict is doc_quality_classifier's in-row
+    JVM expression (no shuffle), one source-keyed count/sum agg with
+    map-side combine, then bound arithmetic on the |sources|-row table.
+    No windows, no joins, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    keep = F.when(F.col("text") == "", F.lit(True)).otherwise(
+        _qc_score_col(F.split(F.col("text"), " ")) > 0
+    )
+    c = (
+        d.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        )
+    )
+    a = c.withColumn(
+        "wil_arg",
+        F.expr(
+            f"(CAST(n_keep AS DECIMAL(38,0)) * (n_docs - n_keep) * {_WILSON_SCALE}"
+            f" + CAST(n_docs AS DECIMAL(38,0)) * {_WILSON_SCALE}) div n_docs"
+        ),
+    )
+    s = a.withColumn(
+        "sq",
+        F.expr(
+            _isqrt_sql(
+                "wil_arg",
+                "CAST(floor(sqrt(CAST(wil_arg AS DOUBLE))) AS BIGINT)",
+                "DECIMAL(38,0)",
+            )
+        ),
+    )
+    lb = F.expr("CAST((1000000 * (n_keep + 2) - 2 * sq) div (n_docs + 4) AS BIGINT)")
+    return s.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.expr("CAST(n_keep * 1000000 div n_docs AS BIGINT)").alias("keep_ppm"),
+        lb.alias("wilson_lb_ppm"),
+        (lb >= WILSON_GATE_PPM).alias("gated_in"),
+    )

@@ -455,3 +455,101 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(new_types * 1000000 div greatest(occurrences, 1) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 / Good-Turing vocabulary richness (the growth curve's asymptote)
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS w,
+             len(str_split(text, ' ')) AS nl
+      FROM documents WHERE text <> ''),
+    sh AS (
+      SELECT unnest(list_transform(range(0, nl - {GROWTH_SHINGLE - 1}),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+      FROM d WHERE nl >= {GROWTH_SHINGLE}),
+    df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+    SELECT CAST(count(*) AS BIGINT) AS d_types,
+           CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*) +
+             CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+               THEN CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                    * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    // (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+               ELSE CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) // 2
+             END AS BIGINT) AS chao1_types,
+           CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // sum(c) AS BIGINT) AS unseen_mass_ppm
+    FROM df
+    """
+
+
+@register("vocab_chao1_estimate", _CHAO1_ORACLE)
+def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric vocabulary-richness estimate — the ASYMPTOTE the
+    vocab_growth_curve is climbing toward (Chao 1984 species-richness
+    lower bound; Good 1953 missing-mass estimator; both public and both
+    standard in corpus linguistics): from the {GROWTH_SHINGLE}-shingle
+    frequency spectrum's first two cells alone, chao1_types = D +
+    f1^2/(2*f2) estimates how many shingle TYPES the source population
+    holds including the never-crawled ones (bias-corrected
+    f1*(f1-1)/2 form when f2 = 0), and unseen_mass_ppm = f1/N is the
+    Good-Turing probability that the NEXT shingle crawled is a new
+    type. Together with the growth curve they answer the budget
+    question quantitatively: the curve shows the trend, Chao1 names the
+    ceiling, Good-Turing prices the next unit of crawl. All floor-div
+    int64 with 128-bit f1^2 intermediates (f1 can reach the type
+    population ~1e12; f1^2 ~1e24 needs HUGEINT/DECIMAL(38,0)).
+
+    Scale shape at 10^12 docs: the shingle-df aggregation (uniform
+    string keys, map-side partial counts, |types|-bounded output) —
+    the same single corpus exchange as vocab_growth_curve — then ONE
+    partial-aggregated global rollup to a single row: count, sum, and
+    two conditional sums all combine map-side, so the final exchange
+    carries |partitions| pre-reduced rows. No windows, no joins, no
+    Python, no broadcast side at all."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select(
+            F.split("text", " ").alias("w"),
+            F.size(F.split("text", " ")).alias("nl"),
+        )
+    )
+    sh = d.filter(F.col("nl") >= GROWTH_SHINGLE).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, nl - {GROWTH_SHINGLE}),"
+                " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("shingle")
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("c"))
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    agg = df.agg(
+        F.count("*").cast("long").alias("d_types"),
+        F.sum("c").cast("long").alias("n_occurrences"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    )
+    chao1 = F.expr(
+        "CAST(d_types + CASE WHEN f2 > 0"
+        " THEN CAST(f1 AS DECIMAL(38,0)) * f1 div (2 * f2)"
+        " ELSE CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) div 2 END AS BIGINT)"
+    )
+    return agg.select(
+        "d_types",
+        "n_occurrences",
+        "f1",
+        "f2",
+        chao1.alias("chao1_types"),
+        F.expr(
+            "CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000 div n_occurrences AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+    )

@@ -212,3 +212,148 @@ def test_fuzzy_decon_replica_smoke(spark):
         for r in decontaminate_fuzzy(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Wilson-bound source gate
+# ---------------------------------------------------------------------------
+
+
+def _qc_keep(text: str) -> bool:
+    import hashlib
+
+    from ocr_wrapper_spark.text_queries import QC_BUCKETS
+
+    if text == "":
+        return True
+    score = 0
+    for t in text.split(" "):
+        bucket = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % QC_BUCKETS
+        u = ((bucket % 2**32) * 2654435761 % 2**32) / 2**32
+        score += math.floor(u * 2_000_000) - 1_000_000
+    return score > 0
+
+
+def _wilson_lb_ppm(k: int, n: int) -> int:
+    from ocr_wrapper_spark.curation_queries import _WILSON_SCALE
+
+    arg = (k * (n - k) * _WILSON_SCALE + n * _WILSON_SCALE) // n
+    s = math.isqrt(arg)
+    return (1_000_000 * (k + 2) - 2 * s) // (n + 4)
+
+
+def test_wilson_python_replica_smoke(spark):
+    from ocr_wrapper_spark.curation_queries import (
+        WILSON_GATE_PPM,
+        source_quality_wilson_gate,
+    )
+
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["source", "text"]
+    )
+    agg: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        n, k = agg.get(r.source, (0, 0))
+        agg[r.source] = (n + 1, k + (1 if _qc_keep(r.text) else 0))
+    rows = source_quality_wilson_gate(spark, SF_SMOKE).collect()
+    got = {
+        r.source: (r.n_docs, r.n_keep, r.keep_ppm, r.wilson_lb_ppm, r.gated_in)
+        for r in rows
+    }
+    expect = {
+        s: (
+            n,
+            k,
+            k * 1_000_000 // n,
+            _wilson_lb_ppm(k, n),
+            _wilson_lb_ppm(k, n) >= WILSON_GATE_PPM,
+        )
+        for s, (n, k) in agg.items()
+    }
+    assert got == expect
+    # convention check: published bound within 2 ppm of the float bound
+    # (floor on the scaled sqrt pushes up; the outer floor-div pushes
+    # down — both mirrored exactly, net error bounded by 2 ppm)
+    for s, (n, k) in agg.items():
+        p = k / n
+        true_lb = (p + 2 / n - 2 * math.sqrt(p * (1 - p) / n + 1 / n / n)) / (1 + 4 / n)
+        assert abs(got[s][3] / 1e6 - true_lb) < 2e-6
+
+
+def test_wilson_small_n_must_prove_itself(spark, tmp_path):
+    """Same 60% point rate: a 5-doc source fails the gate, a 1000-doc
+    source passes — the asymmetry the bound exists for."""
+    from ocr_wrapper_spark.curation_queries import source_quality_wilson_gate
+
+    # find single-token texts with known verdicts
+    pos = next(f"tok{i}" for i in range(1000) if _qc_keep(f"tok{i}"))
+    neg = next(f"tok{i}" for i in range(1000) if not _qc_keep(f"tok{i}"))
+    rows = []
+    did = 0
+    for i in range(5):  # tiny source: 3/5 keep
+        rows.append((did, pos if i < 3 else neg, "en", "tiny"))
+        did += 1
+    for i in range(1000):  # big source: 600/1000 keep
+        rows.append((did, pos if i < 600 else neg, "en", "big"))
+        did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.source: r for r in source_quality_wilson_gate(spark, str(tmp_path)).collect()
+    }
+    assert got["tiny"].keep_ppm == got["big"].keep_ppm == 600_000
+    assert not got["tiny"].gated_in  # 3/5 could be luck
+    assert got["big"].gated_in  # 600/1000 cannot
+    assert got["tiny"].wilson_lb_ppm < got["big"].wilson_lb_ppm
+
+
+# ---------------------------------------------------------------------------
+# Chao1 / Good-Turing richness
+# ---------------------------------------------------------------------------
+
+
+def test_chao1_python_replica_smoke(spark):
+    from ocr_wrapper_spark.fingerprint_queries import (
+        GROWTH_SHINGLE,
+        vocab_chao1_estimate,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    freq: dict[str, int] = {}
+    for text in docs.text:
+        tk = text.split(" ") if text else []
+        for i in range(len(tk) - GROWTH_SHINGLE + 1):
+            sh = " ".join(tk[i : i + GROWTH_SHINGLE])
+            freq[sh] = freq.get(sh, 0) + 1
+    d = len(freq)
+    n = sum(freq.values())
+    f1 = sum(1 for c in freq.values() if c == 1)
+    f2 = sum(1 for c in freq.values() if c == 2)
+    chao1 = d + (f1 * f1 // (2 * f2) if f2 else f1 * (f1 - 1) // 2)
+    r = vocab_chao1_estimate(spark, SF_SMOKE).collect()[0]
+    assert (r.d_types, r.n_occurrences, r.f1, r.f2) == (d, n, f1, f2)
+    assert r.chao1_types == chao1
+    assert r.unseen_mass_ppm == f1 * 1_000_000 // n
+    assert r.chao1_types >= r.d_types  # the estimate is a lower BOUND >= D
+
+
+def test_chao1_saturated_vs_singleton_corpora(spark, tmp_path):
+    """A corpus where every shingle repeats >= 3x: f1 = 0, Chao1 == D,
+    unseen mass 0 (crawl complete). A corpus of all-distinct shingles:
+    unseen mass 1e6 and the f2=0 bias-corrected branch fires."""
+    from ocr_wrapper_spark.fingerprint_queries import vocab_chao1_estimate
+
+    page = " ".join(f"w{i}" for i in range(10))
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    sf = _write_docs(tmp_path / "a", [(i, page) for i in range(3)])
+    r = vocab_chao1_estimate(spark, sf).collect()[0]
+    assert r.f1 == 0 and r.chao1_types == r.d_types == 8
+    assert r.unseen_mass_ppm == 0
+    distinct = " ".join(f"u{i}" for i in range(5))  # 3 shingles, each once
+    sf2 = _write_docs(tmp_path / "b", [(0, distinct)])
+    r2 = vocab_chao1_estimate(spark, sf2).collect()[0]
+    assert r2.f1 == 3 and r2.f2 == 0
+    assert r2.chao1_types == 3 + 3 * 2 // 2  # bias-corrected branch
+    assert r2.unseen_mass_ppm == 1_000_000
