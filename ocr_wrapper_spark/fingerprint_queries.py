@@ -553,3 +553,115 @@ def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000 div n_occurrences AS BIGINT)"
         ).alias("unseen_mass_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host Good-Turing novelty (crawl-where-the-new-content-is)
+# ---------------------------------------------------------------------------
+
+
+@register("host_novelty_ranking")  # oracle assigned below (needs hosted CTE)
+def host_novelty_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Good-Turing novelty — the frontier signal
+    crawl_priority_fusion does NOT have: for each host, the unseen-mass
+    estimate f1/N over its own {GROWTH_SHINGLE}-shingle frequency
+    spectrum, i.e. the probability that the next shingle fetched FROM
+    THAT HOST is one the corpus has never seen. Authority x quality
+    (the OPIC fusion) says which hosts matter; this says which hosts
+    still have new material — a template farm re-serving its own
+    boilerplate scores near 0 no matter how authoritative, a fresh
+    forum scores high, and a scheduler multiplying the two fetches
+    important AND novel. Chao1 per host names each host's remaining
+    ceiling (chao1_types - d_types =~ types still uncrawled there).
+
+    Scale shape at 10^12 docs: the spectrum aggregation keys on
+    (host_idx, shingle) — the shingle component keeps the Zipf host
+    skew OFF the exchange (the hottest host's shingles spread over the
+    full hash space; contrast a host-only key, the skew
+    pipeline_host_stats salts against); per-host rollup is then a
+    |hosts|-bounded agg of map-side-combinable conditional sums. Host
+    assignment is the shared in-row Knuth/CDF expression — no join to
+    assign hosts. No windows, no broadcast, no Python."""
+    from .text_queries import _host_idx_col, _t as _tt
+
+    d = (
+        _tt(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select(
+            _host_idx_col().alias("host_idx"),
+            F.split("text", " ").alias("w"),
+            F.size(F.split("text", " ")).alias("nl"),
+        )
+    )
+    sh = d.filter(F.col("nl") >= GROWTH_SHINGLE).select(
+        "host_idx",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, nl - {GROWTH_SHINGLE}),"
+                " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("shingle"),
+    )
+    spec = sh.groupBy("host_idx", "shingle").agg(F.count("*").alias("c"))
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    agg = spec.groupBy("host_idx").agg(
+        F.count("*").cast("long").alias("d_types"),
+        F.sum("c").cast("long").alias("n_occurrences"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    )
+    return agg.select(
+        F.col("host_idx").cast("int").alias("host_idx"),
+        "d_types",
+        "n_occurrences",
+        "f1",
+        F.expr(
+            "CAST(d_types + CASE WHEN f2 > 0"
+            " THEN CAST(f1 AS DECIMAL(38,0)) * f1 div (2 * f2)"
+            " ELSE CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) div 2 END AS BIGINT)"
+        ).alias("chao1_types"),
+        F.expr(
+            "CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000 div n_occurrences AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+    )
+
+
+def _host_novelty_oracle() -> str:
+    from .text_queries import _HOSTED_CTE_SQL
+    from .pipeline_queries import _host_cdf_sql
+
+    hosted = _HOSTED_CTE_SQL.replace("{cdf}", _host_cdf_sql())
+    return f"""
+    WITH {hosted},
+    d AS (
+      SELECT host_idx, str_split(text, ' ') AS w,
+             len(str_split(text, ' ')) AS nl
+      FROM hosted WHERE text <> ''),
+    sh AS (
+      SELECT host_idx,
+             unnest(list_transform(range(0, nl - {GROWTH_SHINGLE - 1}),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+      FROM d WHERE nl >= {GROWTH_SHINGLE}),
+    spec AS (
+      SELECT host_idx, shingle, count(*) AS c
+      FROM sh GROUP BY host_idx, shingle)
+    SELECT CAST(host_idx AS INT) AS host_idx,
+           CAST(count(*) AS BIGINT) AS d_types,
+           CAST(sum(c) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(count(*) +
+             CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+               THEN CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                    * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    // (2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+               ELSE CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) // 2
+             END AS BIGINT) AS chao1_types,
+           CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // sum(c) AS BIGINT) AS unseen_mass_ppm
+    FROM spec GROUP BY host_idx
+    """
+
+
+_ORACLES["host_novelty_ranking"] = _host_novelty_oracle()

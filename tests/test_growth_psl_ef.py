@@ -300,3 +300,51 @@ def test_growth_short_and_empty_docs_guarded(spark, tmp_path):
     assert got[0].new_types == 3 and got[0].n_docs == 1
     assert got[8].occurrences == 0 and got[8].novelty_ppm == 0
     assert got[8].new_types == 0  # a 2-token doc carries no 3-shingle
+
+
+# ---------------------------------------------------------------------------
+# per-host Good-Turing novelty
+# ---------------------------------------------------------------------------
+
+
+def _host_of(doc_id: int) -> int:
+    from ocr_wrapper_spark.sources import pages as pages_src
+
+    cdf = pages_src._host_cdf()
+    u = _knuth(doc_id)
+    return sum(1 for c in cdf if c < u)
+
+
+def test_host_novelty_python_replica_smoke(spark):
+    from ocr_wrapper_spark.fingerprint_queries import (
+        GROWTH_SHINGLE,
+        host_novelty_ranking,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    spec: dict[int, dict[str, int]] = {}
+    for r in docs.itertuples():
+        if r.text == "":
+            continue
+        h = _host_of(int(r.doc_id))
+        tk = r.text.split(" ")
+        for i in range(len(tk) - GROWTH_SHINGLE + 1):
+            sh = " ".join(tk[i : i + GROWTH_SHINGLE])
+            d = spec.setdefault(h, {})
+            d[sh] = d.get(sh, 0) + 1
+    expect = {}
+    for h, freq in spec.items():
+        d = len(freq)
+        n = sum(freq.values())
+        f1 = sum(1 for c in freq.values() if c == 1)
+        f2 = sum(1 for c in freq.values() if c == 2)
+        chao1 = d + (f1 * f1 // (2 * f2) if f2 else f1 * (f1 - 1) // 2)
+        expect[h] = (d, n, f1, chao1, f1 * 1_000_000 // n)
+    got = {
+        r.host_idx: (r.d_types, r.n_occurrences, r.f1, r.chao1_types, r.unseen_mass_ppm)
+        for r in host_novelty_ranking(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # estimator invariants on every host
+    for d, n, f1, chao1, unseen in got.values():
+        assert 0 <= unseen <= 1_000_000 and chao1 >= d
