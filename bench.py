@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "cdx_prefix_compression",  # zipnum front-coding byte budget (r5 s16)
     "bootstrap_token_ci",  # one-pass Poisson bootstrap CI (r5 s16)
     "crawl_priority_fusion",  # OPIC authority x quality frontier head (r5 s16)
+    "postings_elias_fano_budget",  # EF vs varint encoding decision (r5 s18)
+    "registrable_domain_rollup",  # PSL longest-match eTLD+1 rollup (r5 s18)
+    "vocab_growth_curve",  # Heaps-law crawl-saturation monitor (r5 s18)
+    "host_novelty_ranking",  # per-host Good-Turing unseen mass (r5 s18)
+    "neyman_sample_alloc",  # variance-optimal stratified budget (r5 s18)
+    "decontaminate_fuzzy",  # MinHash-banded eval contamination (r5 s18)
 ]
 
 
