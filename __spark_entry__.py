@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-18 additions: never snapshotted
+    "sort_layout_pruning_gain",
+    "syndication_direction",
+    "ann_matryoshka_recall",
     "host_novelty_ranking",
     "source_quality_wilson_gate",
     "vocab_chao1_estimate",

@@ -597,3 +597,98 @@ def coreset_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "radius_firstk_ticks",
         "sum_firstk_ticks",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation recall eval
+# ---------------------------------------------------------------------------
+
+# retrieval runs on the first MRL_DIMS of the 64-dim embedding
+MRL_DIMS = 16
+
+
+def _mrl_recall_oracle() -> str:
+    """Nests ann_topk_cosine's oracle twice — once verbatim (the truth)
+    and once with both vectors prefix-sliced to MRL_DIMS (the truncated
+    ranking) — so the eval grades exactly the registered exact ranking
+    against the same ranking run on the truncated prefix."""
+    from .text_queries import _ORACLES as _TQ_ORACLES
+
+    truth_sql = _TQ_ORACLES["ann_topk_cosine"]
+    trunc_sql = truth_sql.replace(
+        "list_cosine_similarity(c.embedding, q.embedding)",
+        f"list_cosine_similarity(c.embedding[1:{MRL_DIMS}], q.embedding[1:{MRL_DIMS}])",
+    )
+    return f"""
+    WITH truth AS (SELECT * FROM ({truth_sql}) _tr),
+    tr AS (SELECT * FROM ({trunc_sql}) _tc),
+    joined AS (
+      SELECT t.query_id, t.rank AS truth_rank,
+             CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN tr p ON p.query_id = t.query_id AND p.vec_id = t.vec_id)
+    SELECT query_id,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(hit) * 1000000 // {TOPK} AS BIGINT) AS recall_ppm,
+           (max(CASE WHEN truth_rank = 1 THEN hit ELSE 0 END) = 1) AS top1_hit
+    FROM joined GROUP BY query_id
+    """
+
+
+@register("ann_matryoshka_recall", _mrl_recall_oracle())
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"; public): recall@{TOPK} of
+    ranking on only the FIRST {MRL_DIMS} of 64 embedding dimensions
+    against the full-dimension exact ranking — the measurement behind
+    the now-standard serving pattern where a 4x-shorter prefix powers
+    the first-stage scan (4x less bandwidth and memory — at a 10^12-row
+    corpus the difference between an in-RAM and an on-disk index) and
+    the full vector only reranks survivors. Output mirrors
+    ann_pq_recall_eval, so the two compression strategies (prefix
+    truncation vs product quantization) are directly comparable per
+    query on the same truth; a synthetic-embedding caveat applies to
+    absolute numbers (MRL-trained models front-load information;
+    these embeddings don't), which is exactly why the eval MEASURES
+    instead of assumes.
+
+    Scale shape: two brute-force rankings over the shared
+    Arrow-batched matmul scorer (the prefix ranking slices JVM-side
+    before Python, so the scorer moves {MRL_DIMS}/64 of the bytes),
+    then a (query, vec) equi-join of two {TOPK}-row-per-query tables
+    and a |queries|-row rollup — the eval adds no exchange beyond the
+    rankings it grades (same discipline as ann_pq_recall_eval)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.cosine_topk_bruteforce(e, queries, k=TOPK, round_digits=4)
+    e16 = e.select("vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding"))
+    q16 = queries.select(
+        "query_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding")
+    )
+    trunc = similarity.cosine_topk_bruteforce(e16, q16, k=TOPK, round_digits=4)
+    joined = truth.alias("t").join(
+        trunc.alias("p"),
+        (F.col("t.query_id") == F.col("p.query_id"))
+        & (F.col("t.vec_id") == F.col("p.vec_id")),
+        "left",
+    )
+    hit = F.when(F.col("p.vec_id").isNotNull(), 1).otherwise(0)
+    return (
+        joined.select(
+            F.col("t.query_id").alias("query_id"),
+            F.col("t.rank").alias("truth_rank"),
+            hit.alias("hit"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.expr(f"CAST(sum(hit) * 1000000 div {TOPK} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            (
+                F.max(F.when(F.col("truth_rank") == 1, F.col("hit")).otherwise(0)) == 1
+            ).alias("top1_hit"),
+        )
+    )

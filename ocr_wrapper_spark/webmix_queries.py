@@ -532,3 +532,98 @@ def registrable_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fqdn").cast("long").alias("n_hosts"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sort-layout pruning-gain advisor (physical design without a sort)
+# ---------------------------------------------------------------------------
+
+# row-group width (rows) for the min-max pruning model — the parquet
+# row-group / Iceberg file-split analogue at test scale
+LAYOUT_GROUP = 256
+
+
+@register(
+    "sort_layout_pruning_gain",
+    f"""
+    WITH {{HOSTED}},
+    cur AS (
+      SELECT host_idx, count(DISTINCT doc_id // {LAYOUT_GROUP}) AS groups_unsorted,
+             count(*) AS n_docs
+      FROM hosted GROUP BY host_idx),
+    off AS (
+      SELECT host_idx, n_docs, groups_unsorted,
+             coalesce(sum(n_docs) OVER (ORDER BY host_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off_rows
+      FROM cur)
+    SELECT CAST(host_idx AS INT) AS host_idx,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(groups_unsorted AS BIGINT) AS groups_unsorted,
+           CAST((off_rows + n_docs - 1) // {LAYOUT_GROUP}
+                - off_rows // {LAYOUT_GROUP} + 1 AS BIGINT) AS groups_sorted,
+           CAST((groups_unsorted - ((off_rows + n_docs - 1) // {LAYOUT_GROUP}
+                - off_rows // {LAYOUT_GROUP} + 1)) * 1000000
+                // greatest(groups_unsorted, 1) AS BIGINT) AS pruning_gain_ppm
+    FROM off
+    """,
+)
+def sort_layout_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design advisor: the EXACT row-group pruning gain a
+    host-sorted table layout would buy for host-equality scans —
+    the number every Iceberg/Delta operator wants before paying for a
+    rewrite with a sort key (min-max zone pruning: a row group is
+    skippable iff it contains no row of the predicate host). Per host:
+    row groups its docs touch under the CURRENT id-ordered layout
+    (distinct doc_id div {LAYOUT_GROUP}) vs under a host-sorted layout
+    — where its docs become one contiguous run, so groups touched is
+    the CLOSED FORM (offset + n - 1) div G - off_rows div G + 1 from the
+    cumulative host offsets alone. No sorted table is materialized and
+    NO global sort runs anywhere: the advisor predicts the benefit of
+    a sort it never performs — that asymmetry is the point (the Zipf
+    host serving ~13% of docs touches ~all groups unsorted but only
+    ~n/G sorted; tail hosts collapse from n groups to 1-2).
+
+    Scale shape at 10^12 docs: one (host, group)-keyed distinct (the
+    group component bounds per-key cardinality; map-side partial
+    distinct), a |hosts|-row rollup, and the offset cumulative over
+    those ~|hosts| rows (tiny-table window, whitelisted). Host
+    assignment is the shared in-row Knuth/CDF expression. All int64
+    floor-div; the gain division keeps a non-negative dividend
+    (groups_sorted <= groups_unsorted: a contiguous run can never
+    touch more groups than a scattered one of equal size)."""
+    from .text_queries import _host_idx_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        _host_idx_col().alias("host_idx"), "doc_id"
+    )
+    cur = d.groupBy("host_idx").agg(
+        F.countDistinct(F.expr(f"doc_id div {LAYOUT_GROUP}")).alias("groups_unsorted"),
+        F.count("*").alias("n_docs"),
+    )
+    wo = (
+        Window.orderBy("host_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cur.withColumn(
+        "off_rows", F.coalesce(F.sum("n_docs").over(wo), F.lit(0))
+    )
+    sorted_groups = F.expr(
+        f"(off_rows + n_docs - 1) div {LAYOUT_GROUP}"
+        f" - off_rows div {LAYOUT_GROUP} + 1"
+    )
+    return off.select(
+        F.col("host_idx").cast("int").alias("host_idx"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("groups_unsorted").cast("long").alias("groups_unsorted"),
+        sorted_groups.cast("long").alias("groups_sorted"),
+        F.expr(
+            f"CAST((groups_unsorted - ((off_rows + n_docs - 1) div {LAYOUT_GROUP}"
+            f" - off_rows div {LAYOUT_GROUP} + 1)) * 1000000"
+            " div greatest(groups_unsorted, 1) AS BIGINT)"
+        ).alias("pruning_gain_ppm"),
+    )
+
+
+_ORACLES["sort_layout_pruning_gain"] = _ORACLES["sort_layout_pruning_gain"].replace(
+    "{HOSTED}", _HOSTED_CTE_SQL.replace("{cdf}", _cdf_sql_fn())
+)

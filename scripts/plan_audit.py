@@ -69,6 +69,7 @@ WHITELIST: dict[str, str] = {
     "postings_elias_fano_budget": "1-row universe broadcast (max doc id + 1, from the per-block maxima) onto the |vocab|-row budget table",
     "vocab_growth_curve": "1-row bucket-width broadcast (max doc id) onto per-doc rows and the |types|-bounded first-occurrence table; cumulative window over the fixed 10-row bucket curve",
     "neyman_sample_alloc": "1-row weight-total broadcast and remainder-rank windows over the |sources|x|langs|-row stratum table (the apportionment-family tiny-table shape)",
+    "sort_layout_pruning_gain": "cumulative host-offset window over the ~|hosts|-row counts table (the crawl_frontier_slots offsets shape); the corpus-sized stage is the keyed distinct above it",
 }
 
 

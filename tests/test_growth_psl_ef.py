@@ -348,3 +348,120 @@ def test_host_novelty_python_replica_smoke(spark):
     # estimator invariants on every host
     for d, n, f1, chao1, unseen in got.values():
         assert 0 <= unseen <= 1_000_000 and chao1 >= d
+
+
+# ---------------------------------------------------------------------------
+# sort-layout pruning-gain advisor
+# ---------------------------------------------------------------------------
+
+
+def test_sort_layout_python_replica_smoke(spark):
+    from ocr_wrapper_spark.webmix_queries import (
+        LAYOUT_GROUP,
+        sort_layout_pruning_gain,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id"])
+    by_host: dict[int, list[int]] = {}
+    for doc_id in docs.doc_id:
+        by_host.setdefault(_host_of(int(doc_id)), []).append(int(doc_id))
+    expect = {}
+    offset = 0
+    for h in sorted(by_host):
+        ids = by_host[h]
+        unsorted = len({i // LAYOUT_GROUP for i in ids})
+        srt = (offset + len(ids) - 1) // LAYOUT_GROUP - offset // LAYOUT_GROUP + 1
+        expect[h] = (
+            len(ids),
+            unsorted,
+            srt,
+            (unsorted - srt) * 1_000_000 // max(unsorted, 1),
+        )
+        offset += len(ids)
+    got = {
+        r.host_idx: (r.n_docs, r.groups_unsorted, r.groups_sorted, r.pruning_gain_ppm)
+        for r in sort_layout_pruning_gain(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the invariant the gain division relies on, on every host
+    for n, uns, srt, _ in got.values():
+        assert srt <= uns
+    # and the advisor must actually find gains somewhere (Zipf head)
+    assert any(g > 0 for *_, g in got.values())
+
+
+# ---------------------------------------------------------------------------
+# syndication direction
+# ---------------------------------------------------------------------------
+
+
+def _cap_sec(doc_id: int) -> int:
+    return (doc_id % 365) * 86400 + (doc_id * 7919) % 86400
+
+
+def test_syndication_direction_consistency(spark):
+    """Every linked pair appears exactly once with {source, copy} ==
+    {id_a, id_b}, the source captured no later than the copy (id
+    tie-break), and the lag equal to the closed-form timestamp delta."""
+    from ocr_wrapper_spark.archive_queries import (
+        headline_syndication_pairs,
+        syndication_direction,
+    )
+
+    linked = {
+        (r.id_a, r.id_b)
+        for r in headline_syndication_pairs(spark, SF_SMOKE).collect()
+        if r.linked
+    }
+    rows = syndication_direction(spark, SF_SMOKE).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == linked
+    for r in rows:
+        assert {r.source_id, r.copy_id} == {r.id_a, r.id_b}
+        ts_s, ts_c = _cap_sec(r.source_id), _cap_sec(r.copy_id)
+        assert (ts_s, r.source_id) < (ts_c, r.copy_id)
+        assert r.lag_seconds == abs(ts_s - ts_c)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka recall
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_python_replica_smoke(spark):
+    import numpy as np
+
+    from ocr_wrapper_spark.embedding_queries import (
+        MRL_DIMS,
+        TOPK,
+        ann_matryoshka_recall,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.array(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+
+    def topk(vecs):
+        n = np.linalg.norm(vecs, axis=1)
+        out = {}
+        for qi in ids[ids % 100 == 0]:
+            q = vecs[ids == qi][0]
+            cos = np.round(vecs @ q / np.maximum(n * np.linalg.norm(q), 1e-300), 4)
+            order = sorted(zip(-cos, ids))[:TOPK]
+            out[int(qi)] = [int(i) for _, i in order]
+        return out
+
+    truth, trunc = topk(V), topk(V[:, :MRL_DIMS])
+    expect = {
+        q: (
+            len(set(truth[q]) & set(trunc[q])),
+            len(set(truth[q]) & set(trunc[q])) * 1_000_000 // TOPK,
+            truth[q][0] in trunc[q],
+        )
+        for q in truth
+    }
+    got = {
+        r.query_id: (r.n_hits, r.recall_ppm, r.top1_hit)
+        for r in ann_matryoshka_recall(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert all(0 <= v[0] <= TOPK for v in got.values())
