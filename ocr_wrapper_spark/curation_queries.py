@@ -3317,3 +3317,97 @@ def source_quality_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lb.alias("wilson_lb_ppm"),
         (lb >= WILSON_GATE_PPM).alias("gated_in"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter-overlap ablation matrix
+# ---------------------------------------------------------------------------
+
+
+def _filter_overlap_oracle() -> str:
+    """Nests the four registered filter oracles verbatim, so the matrix
+    grades exactly the verdicts the individual queries publish. All four
+    live in relational.ORACLES already (text_queries is imported above),
+    so no registry round-trip is needed."""
+    osql = _ORACLES
+    return f"""
+    WITH qf AS (SELECT doc_id, keep AS q FROM ({osql["doc_quality_classifier"]}) _q),
+    rf AS (SELECT doc_id, keep AS r FROM ({osql["doc_repetition_filter"]}) _r),
+    pf AS (SELECT doc_id, (n_emails + n_ips + n_phones) = 0 AS p
+           FROM ({osql["doc_pii_redaction"]}) _p),
+    lf AS (SELECT doc_id, lang_guess = lang AS l FROM ({osql["doc_lang_id"]}) _l),
+    m AS (
+      SELECT qf.doc_id, q, r, p, l
+      FROM qf JOIN rf USING (doc_id) JOIN pf USING (doc_id) JOIN lf USING (doc_id)),
+    g AS (
+      SELECT q AS quality_keep, r AS repetition_keep, p AS pii_clean,
+             l AS lang_match, CAST(count(*) AS BIGINT) AS n_docs
+      FROM m GROUP BY 1, 2, 3, 4),
+    t AS (SELECT sum(n_docs) AS total FROM g)
+    SELECT quality_keep, repetition_keep, pii_clean, lang_match, n_docs,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN t
+    """
+
+
+@register("filter_overlap_matrix")  # oracle assigned below (needs the registry)
+def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation overlap matrix: the joint distribution of the
+    four registered quality-gate verdicts — hashed-linear quality
+    (doc_quality_classifier), Gopher repetition
+    (doc_repetition_filter), PII-clean (doc_pii_redaction counts all
+    zero), and lang-ID agreement (doc_lang_id guess == ground truth) —
+    one row per verdict combination with exact counts and corpus share.
+    This is the ablation planning table every curation team builds
+    before touching thresholds: which filters are near-redundant (their
+    disagreement cells are tiny), which documents are cut by EXACTLY
+    one filter (the cells with a single False — the marginal effect of
+    dropping that filter), and how much of the corpus survives the full
+    conjunction. Composing the REGISTERED queries (not re-stating their
+    logic) keeps the matrix in lockstep with the verdicts it audits —
+    the oracle nests the four component oracles verbatim for the same
+    reason.
+
+    Scale shape at 10^12 docs: quality / PII / lang verdicts are
+    in-row JVM expressions; repetition contributes its documented
+    doc_id-keyed aggs; the four frames then join on the uniform doc_id
+    key and collapse into a <= 16-row matrix via map-side-combinable
+    counts, with the corpus total as a 1-row broadcast onto those 16
+    rows. No windows over corpus rows, no Python."""
+    from .text_queries import (
+        doc_lang_id,
+        doc_pii_redaction,
+        doc_quality_classifier,
+        doc_repetition_filter,
+    )
+
+    q = doc_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q")
+    )
+    r = doc_repetition_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("r"))
+    p = doc_pii_redaction(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0).alias("p"),
+    )
+    l = doc_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("lang_guess") == F.col("lang")).alias("l")
+    )
+    m = q.join(r, "doc_id").join(p, "doc_id").join(l, "doc_id")
+    g = m.groupBy(
+        F.col("q").alias("quality_keep"),
+        F.col("r").alias("repetition_keep"),
+        F.col("p").alias("pii_clean"),
+        F.col("l").alias("lang_match"),
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    t = F.broadcast(g.agg(F.sum("n_docs").alias("total")))
+    return g.crossJoin(t).select(
+        "quality_keep",
+        "repetition_keep",
+        "pii_clean",
+        "lang_match",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 div total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+_ORACLES["filter_overlap_matrix"] = _filter_overlap_oracle()

@@ -70,6 +70,7 @@ WHITELIST: dict[str, str] = {
     "vocab_growth_curve": "1-row bucket-width broadcast (max doc id) onto per-doc rows and the |types|-bounded first-occurrence table; cumulative window over the fixed 10-row bucket curve",
     "neyman_sample_alloc": "1-row weight-total broadcast and remainder-rank windows over the |sources|x|langs|-row stratum table (the apportionment-family tiny-table shape)",
     "sort_layout_pruning_gain": "cumulative host-offset window over the ~|hosts|-row counts table (the crawl_frontier_slots offsets shape); the corpus-sized stage is the keyed distinct above it",
+    "filter_overlap_matrix": "1-row corpus-total broadcast onto the <=16-row verdict-combination matrix",
 }
 
 

@@ -357,3 +357,51 @@ def test_chao1_saturated_vs_singleton_corpora(spark, tmp_path):
     assert r2.f1 == 3 and r2.f2 == 0
     assert r2.chao1_types == 3 + 3 * 2 // 2  # bias-corrected branch
     assert r2.unseen_mass_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# filter-overlap ablation matrix
+# ---------------------------------------------------------------------------
+
+
+def test_filter_overlap_matrix_consistency(spark):
+    """The matrix must equal the merge of the four registered verdict
+    queries, cell for cell, and its marginals must match each filter's
+    own keep counts."""
+    from ocr_wrapper_spark.curation_queries import filter_overlap_matrix
+    from ocr_wrapper_spark.text_queries import (
+        doc_lang_id,
+        doc_pii_redaction,
+        doc_quality_classifier,
+        doc_repetition_filter,
+    )
+
+    q = {r.doc_id: r.keep for r in doc_quality_classifier(spark, SF_SMOKE).collect()}
+    rp = {r.doc_id: r.keep for r in doc_repetition_filter(spark, SF_SMOKE).collect()}
+    p = {
+        r.doc_id: (r.n_emails + r.n_ips + r.n_phones) == 0
+        for r in doc_pii_redaction(spark, SF_SMOKE).collect()
+    }
+    lg = {
+        r.doc_id: r.lang_guess == r.lang
+        for r in doc_lang_id(spark, SF_SMOKE).collect()
+    }
+    expect: dict[tuple, int] = {}
+    for d in q:
+        key = (q[d], rp[d], p[d], lg[d])
+        expect[key] = expect.get(key, 0) + 1
+    total = len(q)
+    rows = filter_overlap_matrix(spark, SF_SMOKE).collect()
+    got = {
+        (r.quality_keep, r.repetition_keep, r.pii_clean, r.lang_match): (
+            r.n_docs,
+            r.share_ppm,
+        )
+        for r in rows
+    }
+    assert got == {
+        k: (n, n * 1_000_000 // total) for k, n in expect.items()
+    }
+    assert sum(r.n_docs for r in rows) == total
+    # marginal: quality-keep rows sum to the quality filter's own count
+    assert sum(r.n_docs for r in rows if r.quality_keep) == sum(q.values())
