@@ -2966,3 +2966,124 @@ _ORACLES["decontaminate_fuzzy"] = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches
     FROM pairs GROUP BY doc_id
     """.replace("{BANDS}", _bands_cte_sql())
+
+
+# ---------------------------------------------------------------------------
+# incremental postings delta (index refresh between releases)
+# ---------------------------------------------------------------------------
+
+# release slices shared with shard_manifest_diff / vocab_drift
+# (archive_queries.py): v1 lacks the docs crawled since, v2 lacks the
+# dead pages — both memberships are closed-form in doc_id, so delta
+# classification is a pure row expression, never a join.
+DELTA_ADD_MOD, DELTA_ADD_REM = 50, 3
+DELTA_DEL_MOD, DELTA_DEL_REM = 41, 5
+
+
+@register(
+    "postings_delta_update",
+    f"""
+    WITH p AS (
+      SELECT DISTINCT term, doc_id,
+             doc_id % {DELTA_ADD_MOD} <> {DELTA_ADD_REM} AS in_v1,
+             doc_id % {DELTA_DEL_MOD} <> {DELTA_DEL_REM} AS in_v2
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+            FROM documents WHERE text <> '')),
+    adds AS (
+      SELECT term, doc_id, doc_id // {POSTINGS_BLOCK} AS block,
+             doc_id - lag(doc_id) OVER (
+               PARTITION BY term, doc_id // {POSTINGS_BLOCK}
+               ORDER BY doc_id) AS gap
+      FROM p WHERE in_v2 AND NOT in_v1),
+    ab AS (
+      SELECT term,
+             CAST(sum(CASE WHEN gap IS NULL THEN {_VLEN_SQL.format(x="doc_id")}
+                           ELSE {_VLEN_SQL.format(x="gap")} END) AS BIGINT)
+               AS add_varint_bytes
+      FROM adds GROUP BY term),
+    c AS (
+      SELECT term,
+             CAST(sum(CASE WHEN in_v1 AND in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             CAST(sum(CASE WHEN in_v2 AND NOT in_v1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_add,
+             CAST(sum(CASE WHEN in_v1 AND NOT in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_del
+      FROM p GROUP BY term)
+    SELECT c.term, n_keep, n_add, n_del,
+           CAST((n_add + n_del) * 1000000
+                // greatest(n_keep + n_add + n_del, 1) AS BIGINT) AS churn_ppm,
+           coalesce(add_varint_bytes, 0) AS add_varint_bytes
+    FROM c LEFT JOIN ab ON ab.term = c.term
+    """,
+)
+def postings_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance accounting: per term, the postings
+    DELTA between two releases — ids kept, added (docs crawled since
+    v1), and deleted (dead pages dropped from v2) — plus the varint
+    byte cost of the add-segment and the churn rate. This is the
+    LSM-style refresh decision every serving index makes on a corpus
+    update: terms with low churn patch a delta segment (add list +
+    tombstones) onto the standing index, terms past a churn threshold
+    rebuild — and the two registered sizing queries
+    (postings_varint_budget / postings_elias_fano_budget) price the
+    rebuild while this one prices the patch.
+
+    Scale shape at 10^12 docs: BOTH release memberships are closed-form
+    in doc_id (the shard_manifest_diff / vocab_drift release-slice
+    convention), so delta classification is a pure row expression —
+    no v1-vs-v2 join, no second scan, one distinct-postings pass. The
+    add-gap windows partition on (term, {POSTINGS_BLOCK}-id block)
+    exactly like the budget queries (bounded groups, stopword-proof),
+    per-term rollups are map-side-combinable conditional sums, and the
+    final assembly joins two |vocab|-bounded tables. churn division
+    keeps a non-negative dividend (trunc == floor)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    p = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+        .withColumn("in_v1", F.expr(f"doc_id % {DELTA_ADD_MOD} != {DELTA_ADD_REM}"))
+        .withColumn("in_v2", F.expr(f"doc_id % {DELTA_DEL_MOD} != {DELTA_DEL_REM}"))
+    )
+    # p feeds BOTH the add-gap branch and the per-term counts: persist
+    # once so the explode+distinct exchange is not recomputed per branch
+    # (the dedup_winnowing multi-consumer lesson)
+    from pyspark import StorageLevel
+
+    p = p.persist(StorageLevel.MEMORY_AND_DISK)
+    adds = (
+        p.filter(F.col("in_v2") & ~F.col("in_v1"))
+        .withColumn("block", F.expr(f"doc_id div {POSTINGS_BLOCK}"))
+    )
+    w = Window.partitionBy("term", "block").orderBy("doc_id")
+    gaps = adds.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+    vlen_doc = F.expr(_VLEN_SQL.format(x="doc_id").replace("//", "div"))
+    vlen_gap = F.expr(_VLEN_SQL.format(x="gap").replace("//", "div"))
+    ab = gaps.groupBy("term").agg(
+        F.sum(F.when(F.col("gap").isNull(), vlen_doc).otherwise(vlen_gap))
+        .cast("long")
+        .alias("add_varint_bytes")
+    )
+    c = p.groupBy("term").agg(
+        F.sum(F.when(F.col("in_v1") & F.col("in_v2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum(F.when(F.col("in_v2") & ~F.col("in_v1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_add"),
+        F.sum(F.when(F.col("in_v1") & ~F.col("in_v2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_del"),
+    )
+    return c.join(ab, "term", "left").select(
+        "term",
+        "n_keep",
+        "n_add",
+        "n_del",
+        F.expr(
+            "CAST((n_add + n_del) * 1000000"
+            " div greatest(n_keep + n_add + n_del, 1) AS BIGINT)"
+        ).alias("churn_ppm"),
+        F.coalesce("add_varint_bytes", F.lit(0)).cast("long").alias("add_varint_bytes"),
+    )

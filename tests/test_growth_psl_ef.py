@@ -465,3 +465,57 @@ def test_matryoshka_python_replica_smoke(spark):
     }
     assert got == expect
     assert all(0 <= v[0] <= TOPK for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# incremental postings delta
+# ---------------------------------------------------------------------------
+
+
+def test_postings_delta_python_replica_smoke(spark):
+    from ocr_wrapper_spark.text_queries import (
+        DELTA_ADD_MOD,
+        DELTA_ADD_REM,
+        DELTA_DEL_MOD,
+        DELTA_DEL_REM,
+        POSTINGS_BLOCK,
+        postings_delta_update,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    postings: dict[str, set[int]] = {}
+    for r in docs.itertuples():
+        if r.text == "":
+            continue
+        for t in r.text.split(" "):
+            postings.setdefault(t, set()).add(int(r.doc_id))
+    expect = {}
+    for t, ids in postings.items():
+        keep = add = dele = 0
+        adds = []
+        for i in sorted(ids):
+            v1 = i % DELTA_ADD_MOD != DELTA_ADD_REM
+            v2 = i % DELTA_DEL_MOD != DELTA_DEL_REM
+            if v1 and v2:
+                keep += 1
+            elif v2:
+                add += 1
+                adds.append(i)
+            elif v1:
+                dele += 1
+        blocks: dict[int, list[int]] = {}
+        for i in adds:
+            blocks.setdefault(i // POSTINGS_BLOCK, []).append(i)
+        ab = sum(
+            _vlen(b[0]) + sum(_vlen(y - x) for x, y in zip(b, b[1:]))
+            for b in blocks.values()
+        )
+        churn = (add + dele) * 1_000_000 // max(keep + add + dele, 1)
+        expect[t] = (keep, add, dele, churn, ab)
+    got = {
+        r.term: (r.n_keep, r.n_add, r.n_del, r.churn_ppm, r.add_varint_bytes)
+        for r in postings_delta_update(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # adds exist in the slices
+    assert any(v[2] > 0 for v in got.values())  # deletes exist too
