@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "host_novelty_ranking",  # per-host Good-Turing unseen mass (r5 s18)
     "neyman_sample_alloc",  # variance-optimal stratified budget (r5 s18)
     "decontaminate_fuzzy",  # MinHash-banded eval contamination (r5 s18)
+    "vocab_chao1_estimate",  # Chao1/Good-Turing richness ceiling (r5 s18)
+    "source_quality_wilson_gate",  # Wilson-bound source gate (r5 s18)
+    "sort_layout_pruning_gain",  # zone-pruning sort-key advisor (r5 s18)
+    "syndication_direction",  # directed copy graph over linkage (r5 s18)
+    "ann_matryoshka_recall",  # prefix-truncation recall eval (r5 s18)
+    "filter_overlap_matrix",  # four-gate ablation matrix (r5 s18)
+    "postings_delta_update",  # LSM patch-vs-rebuild accounting (r5 s18)
 ]
 
 
