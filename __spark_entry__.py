@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
     # round-5 session-18 additions: never snapshotted
+    "host_colink_similarity",
     "postings_delta_update",
     "filter_overlap_matrix",
     "sort_layout_pruning_gain",

@@ -647,3 +647,99 @@ from .text_queries import _QC_SCORE_SQL as _qc_sql  # noqa: E402
 _ORACLES["crawl_priority_fusion"] = (
     _fusion_oracle().replace("{qc}", _qc_sql).replace("{cdf}", _cdf_sql_fn())
 )
+
+
+# ---------------------------------------------------------------------------
+# structural mirror detection (co-link Jaccard)
+# ---------------------------------------------------------------------------
+
+# mirror-candidate verdict: hosts sharing this fraction of their
+# distinct outlink targets. Deliberately below 1.0: partial mirrors and
+# sites sharing a syndication backbone are exactly what the monitor
+# wants visible.
+COLINK_MIRROR_PPM = 600_000
+
+
+@register(
+    "host_colink_similarity",
+    f"""
+    WITH {_LINKS_CTE_SQL},
+    d AS (SELECT DISTINCT src_host, dst_host FROM links),
+    deg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS n_out FROM d GROUP BY 1),
+    shared AS (
+      SELECT a.src_host AS host_a, b.src_host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM d a JOIN d b ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+      GROUP BY 1, 2)
+    SELECT CAST(host_a AS INT) AS host_a, CAST(host_b AS INT) AS host_b,
+           da.n_out AS n_out_a, db.n_out AS n_out_b, n_shared,
+           CAST(n_shared * 1000000 // (da.n_out + db.n_out - n_shared)
+                AS BIGINT) AS jaccard_ppm,
+           n_shared * 1000000 // (da.n_out + db.n_out - n_shared)
+             >= {COLINK_MIRROR_PPM} AS mirror_candidate
+    FROM shared
+    JOIN deg da ON da.src_host = shared.host_a
+    JOIN deg db ON db.src_host = shared.host_b
+    """,
+)
+def host_colink_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural mirror detection: host-pair Jaccard over DISTINCT
+    outlink-target sets — the link-structure arm of Bharat & Broder's
+    mirror identification (their 1999 study used both content and
+    connectivity; host_mirror_pairs is this repo's content arm, and a
+    pair flagged by BOTH is as close to a confirmed mirror as offline
+    analysis gets). Two sites serving the same template farm or
+    syndication backbone link to near-identical target sets even when
+    their extracted text differs — exactly the evasion the content arm
+    misses. Edges are parsed from the RAW payload bytes (the
+    crawl_link_graph anchors), so a mirror faking its text but keeping
+    its nav structure is still caught.
+
+    Scale shape at 10^12 docs: the ONLY corpus-sized stage is the
+    shared payload-parse + (src, dst)-keyed distinct (map-side
+    partials bounded by |hosts|^2 per task); everything after —
+    degrees, the dst-keyed pair join (each dst fans out to <= |hosts|
+    srcs), the pair rollup — runs on <= |hosts|^2-row tables. Jaccard
+    is exact int64 ppm (|A| + |B| - shared >= 1 whenever a pair
+    exists, and the dividend is non-negative, so trunc div == floor
+    div)."""
+    d = (
+        _edges(spark, sf_dir)
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    deg = d.groupBy("src_host").agg(F.count("*").cast("long").alias("n_out"))
+    a, b = d.alias("a"), d.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dst_host") == F.col("b.dst_host"))
+            & (F.col("a.src_host") < F.col("b.src_host")),
+        )
+        .groupBy(
+            F.col("a.src_host").alias("host_a"),
+            F.col("b.src_host").alias("host_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    da = deg.select(F.col("src_host").alias("host_a"), F.col("n_out").alias("n_out_a"))
+    db = deg.select(F.col("src_host").alias("host_b"), F.col("n_out").alias("n_out_b"))
+    jac = F.expr("n_shared * 1000000 div (n_out_a + n_out_b - n_shared)")
+    return (
+        shared.join(da, "host_a")
+        .join(db, "host_b")
+        .select(
+            F.col("host_a").cast("int").alias("host_a"),
+            F.col("host_b").cast("int").alias("host_b"),
+            "n_out_a",
+            "n_out_b",
+            "n_shared",
+            jac.cast("long").alias("jaccard_ppm"),
+            (jac >= COLINK_MIRROR_PPM).alias("mirror_candidate"),
+        )
+    )
+
+
+_ORACLES["host_colink_similarity"] = _ORACLES["host_colink_similarity"].replace(
+    "{cdf}", _cdf_sql_fn()
+)

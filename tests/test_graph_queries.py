@@ -329,3 +329,48 @@ def test_priority_fusion_consistent_with_components_and_plan(spark):
     assert got == expect
     plan = crawl_priority_fusion(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_colink_similarity_matches_link_graph_sets(spark):
+    """Pairwise Jaccard must equal the brute-force set computation over
+    the distinct (src, dst) edges crawl_link_graph itself reports —
+    pinning the dst-keyed pair join to the set-algebra definition."""
+    from ocr_wrapper_spark.graph_queries import (
+        COLINK_MIRROR_PPM,
+        crawl_link_graph,
+        host_colink_similarity,
+    )
+
+    out: dict[int, set[int]] = {}
+    for r in crawl_link_graph(spark, SF_SMOKE).collect():
+        out.setdefault(int(r.src[4:6]), set()).add(int(r.dst[4:6]))
+    expect = {}
+    hosts = sorted(out)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1 :]:
+            shared = len(out[a] & out[b])
+            if shared == 0:
+                continue
+            union = len(out[a]) + len(out[b]) - shared
+            jac = shared * 1_000_000 // union
+            expect[(a, b)] = (
+                len(out[a]),
+                len(out[b]),
+                shared,
+                jac,
+                jac >= COLINK_MIRROR_PPM,
+            )
+    got = {
+        (r.host_a, r.host_b): (
+            r.n_out_a,
+            r.n_out_b,
+            r.n_shared,
+            r.jaccard_ppm,
+            r.mirror_candidate,
+        )
+        for r in host_colink_similarity(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert expect  # the nav-wall anchors guarantee co-links at smoke scale
+    for (a, b), (_, _, _, jac, _) in got.items():
+        assert a < b and 0 <= jac <= 1_000_000
