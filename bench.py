@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "ann_matryoshka_recall",  # prefix-truncation recall eval (r5 s18)
     "filter_overlap_matrix",  # four-gate ablation matrix (r5 s18)
     "postings_delta_update",  # LSM patch-vs-rebuild accounting (r5 s18)
+    "host_colink_similarity",  # link-structure mirror detection (r5 s18)
 ]
 
 
