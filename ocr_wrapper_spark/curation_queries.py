@@ -3039,21 +3039,31 @@ def epoch_shuffle_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (source, lang) strata by Neyman 1934 optimal allocation
 NEYMAN_DIV = 10
 
-# exact integer sqrt: floor(sqrt(double)) is within ~s*2^-52 of the true
-# root (< 1 for any int64-rooted T), corrected over a +/-2 window with
-# EXACT 128-bit c*c <= T compares — the same double-seed + integer-verify
-# trick the PQ/ADC family uses for argmins. {T} must be a 128-bit typed
-# column expression; {s0} its double-sqrt floor.
+# exact integer sqrt on the full 128-bit radicand grid: the double seed
+# floor(sqrt(double(T))) drifts by up to ~s * 2^-52 (the DOUBLE cast
+# already rounds T itself past 2^53 — measured off-by-5 at T ~ 2^111,
+# found by tests/test_numeric_properties.py), so one integer NEWTON step
+# s1 = (s0 + T div s0) div 2 contracts the error quadratically
+# (e -> e^2 / 2s + 1 < 2 for any T < 2^126), and a +/-2 window with
+# EXACT 128-bit c*c <= T compares finishes the job. Every piece is the
+# same integer arithmetic in Spark and DuckDB, so both engines produce
+# the identical exact root. {T} must be a 128-bit typed column
+# expression; {s0} its double-sqrt floor (the raw seed).
 def _isqrt_sql(T: str, s0: str, cast128: str) -> str:
+    s1 = (
+        f"CAST((greatest({s0}, 1) + {T} {{d}} greatest({s0}, 1)) {{d}} 2"
+        f" AS BIGINT)".replace("{d}", "div" if cast128.startswith("DECIMAL") else "//")
+    )
+
     def ok(c: str) -> str:
         return f"CAST(greatest({c}, 0) AS {cast128}) * greatest({c}, 0) <= {T}"
 
     return (
-        f"CASE WHEN {ok(f'{s0} + 2')} THEN {s0} + 2 "
-        f"WHEN {ok(f'{s0} + 1')} THEN {s0} + 1 "
-        f"WHEN {ok(s0)} THEN {s0} "
-        f"WHEN {ok(f'{s0} - 1')} THEN greatest({s0} - 1, 0) "
-        f"ELSE greatest({s0} - 2, 0) END"
+        f"CASE WHEN {ok(f'{s1} + 2')} THEN {s1} + 2 "
+        f"WHEN {ok(f'{s1} + 1')} THEN {s1} + 1 "
+        f"WHEN {ok(s1)} THEN {s1} "
+        f"WHEN {ok(f'{s1} - 1')} THEN greatest({s1} - 1, 0) "
+        f"ELSE greatest({s1} - 2, 0) END"
     )
 
 
@@ -3115,10 +3125,11 @@ def neyman_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole allocation is EXACT integer arithmetic: N_h * S_h =
     sqrt(N_h^2 * var_h) = sqrt(N_h * sum(x^2) - sum(x)^2), so the
     weight is an integer square root of an exactly-computed 128-bit
-    integer — isqrt seeded by the double sqrt and corrected over a
-    +/-2 window with exact 128-bit c*c <= T compares (the double seed
-    is within 1 of the true root for any int64-rooted radicand, so the
-    window can never miss). The budget (1/{NEYMAN_DIV} of the corpus)
+    integer — isqrt seeded by the double sqrt, tightened by one integer
+    Newton step (the double seed drifts ~s * 2^-52 past 2^53; Newton
+    contracts that quadratically to < 2 for any radicand under 2^126),
+    and finished over a +/-2 window with exact 128-bit c*c <= T
+    compares — so the window can never miss on the full domain. The budget (1/{NEYMAN_DIV} of the corpus)
     is then apportioned by largest remainder over the weights — shares
     sum to EXACTLY the budget (the Hamilton-method discipline of
     source_mix_apportionment, applied to Neyman weights). Zero-variance
@@ -3270,7 +3281,7 @@ def source_quality_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-integer discipline: the bound's square root is the
     {_WILSON_SCALE}-scaled radicand's integer sqrt (floor(sqrt(x)) ==
     isqrt(floor(x)) for real x, so pre-flooring the rational radicand
-    is lossless), via the same double-seeded +/-2-corrected isqrt as
+    is lossless), via the same Newton-corrected double-seeded isqrt as
     neyman_sample_alloc; published ppm is within 2 ppm of the real
     bound (stated floor conventions, mirrored bit-for-bit). 128-bit
     radicand (k(n-k)*1e12/n peaks ~2.5e35 at 10^12-doc sources).
