@@ -495,7 +495,9 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew — and each window group is one duplicate cluster (tiny). At
     10^12 documents this is the same fingerprint-keyed exchange the
     exact-dedup path uses, with ~n/PARA_WORDS times the rows."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("text") != "")
+    from .text_queries import _t as _tt
+
+    d = _tt(spark, sf_dir, "documents").filter(F.col("text") != "")
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
     paras = d.select(

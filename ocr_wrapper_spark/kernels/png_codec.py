@@ -83,6 +83,8 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     per-row work is vectorized where the filter allows."""
     stride = w * ch
     rows = raw.reshape(h, 1 + stride)
+    if not rows[:, 0].any():  # all scanlines filter 0 (our own encoder's
+        return rows[:, 1:].copy()  # output): no reconstruction needed
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

@@ -123,10 +123,24 @@ def render_barcode(img: np.ndarray, digits: str, x0: int, y0: int,
 # ---------------------------------------------------------------------------
 
 
+def _solid_run_starts(b: np.ndarray, win: int, axis: int) -> np.ndarray:
+    """Boolean array of positions where a solid dark run of >= win starts
+    along ``axis``: run-sum via one cumulative sum instead of a
+    sliding_window_view ``.all`` reduction (O(H*W) not O(H*W*win);
+    identical positions — a window is all-dark iff its sum equals win)."""
+    c = np.cumsum(b, axis=axis, dtype=np.int32)
+    if axis == 1:
+        pad = np.zeros((b.shape[0], 1), dtype=np.int32)
+        c = np.concatenate([pad, c], axis=1)
+        return (c[:, win:] - c[:, :-win]) == win
+    pad = np.zeros((1, b.shape[1]), dtype=np.int32)
+    c = np.concatenate([pad, c], axis=0)
+    return (c[win:, :] - c[:-win, :]) == win
+
+
 def _solid_row_hits(b: np.ndarray, win: int) -> np.ndarray:
     """(y, x) positions where a horizontal solid dark run of >= win starts."""
-    sw = np.lib.stride_tricks.sliding_window_view(b, win, axis=1)
-    return np.argwhere(sw.all(axis=2))
+    return np.argwhere(_solid_run_starts(b, win, axis=1))
 
 
 def _extent(row: np.ndarray, x: int) -> tuple[int, int]:
@@ -193,8 +207,8 @@ def _decode_qr(b: np.ndarray):
 
 
 def _decode_barcode(b: np.ndarray):
-    sw = np.lib.stride_tricks.sliding_window_view(b, _BC_MIN_RUN, axis=0)
-    col_hit = sw.all(axis=2).any(axis=0)
+    col_full = _solid_run_starts(b, _BC_MIN_RUN, axis=0)
+    col_hit = col_full.any(axis=0)
     xs = np.flatnonzero(col_hit)
     if xs.shape[0] == 0:
         return None
@@ -210,7 +224,7 @@ def _decode_barcode(b: np.ndarray):
     # >= _BC_MIN_RUN stretch (other dark content above/below the symbol,
     # e.g. text lines, must not stretch the box)
     mid = bars[0][0] + bars[0][1] // 2
-    run_starts = np.flatnonzero(sw.all(axis=2)[:, mid])
+    run_starts = np.flatnonzero(col_full[:, mid])
     if run_starts.shape[0] == 0:
         return None
     y_top, y_bot = _extent(b[:, mid], int(run_starts[0]))

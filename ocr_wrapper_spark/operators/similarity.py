@@ -431,14 +431,20 @@ def ivf_topk_cosine(
     def top_clusters_udf(n_top: int):
         return top_clusters_pandas_udf(Cn, n_centroids, n_top)
 
+    # norms are computed ONCE per corpus row / per probe row and carried
+    # through the join as scalars; per-candidate work is then a single
+    # dot-product fold instead of three O(dim) array folds (the norm of
+    # a vector does not depend on the candidate pair).
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_cnorm"),
         F.element_at(top_clusters_udf(1)(F.col(vec_col)), 1).alias("cluster"),
     )
     probes = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qnorm"),
         F.explode(top_clusters_udf(n_probe)(F.col(vec_col))).alias("cluster"),
     )
     cand = assigned.join(F.broadcast(probes), "cluster").select(
@@ -446,12 +452,14 @@ def ivf_topk_cosine(
         id_col,
         F.col(vec_col).alias("_cvec"),
         "_qvec",
+        "_cnorm",
+        "_qnorm",
     )
     scored = cand.select(
         query_id_col,
         id_col,
         F.round(
-            _dot(F.col("_cvec"), F.col("_qvec")) / (_norm(F.col("_cvec")) * _norm(F.col("_qvec"))),
+            _dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
             round_digits,
         ).alias("cosine"),
     )

@@ -50,8 +50,41 @@ def money_sum(expr, alias: str, cents: int = 100):
     return (F.sum(F.round(expr * cents, 0).cast("long")) / float(cents)).alias(alias)
 
 
+# Parallelize-on-read floor: below this input size the per-row compute a
+# query can possibly do is too small for a repartition exchange to pay off.
+_SPLIT_MIN_BYTES = 256 * 1024
+
+
+def _scan_parallel(df: DataFrame, size_bytes: int) -> DataFrame:
+    """Scale-adaptive scan parallelism (optimization guide §2.5, "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read"). The test corpora are single parquet files with one row
+    group, so a bare scan plans ONE task and every corpus-size map
+    (explode / md5 / scoring) runs on one core regardless of cluster
+    width. When the scan plans fewer splits than the cluster has cores,
+    spread it with a round-robin exchange sized to the core count; the
+    exchange moves only the (small, by construction: few splits = few
+    row groups = bounded bytes) input once, and the branch never fires
+    at production scale where thousands of files already give the scan
+    full parallelism."""
+    if size_bytes < _SPLIT_MIN_BYTES:
+        return df
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par * 2)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    return _scan_parallel(spark.read.parquet(path), size)
 
 
 # ---------------------------------------------------------------------------

@@ -44,12 +44,18 @@ HASH_BITS = 60
 # host_for_doc; see text_queries._host_idx_col.)
 def _host_term_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # distinct on (host, term) BEFORE hashing: md5 runs once per
+    # distinct pair instead of once per token occurrence (map-side
+    # partial dedup collapses each task to <= |hosts| x |vocab-per-task|
+    # rows before the exchange). The second distinct keeps the result
+    # identical to dedup-after-hash even under a 60-bit collision.
     terms = (
         d.filter(F.col("text") != "")
         .select(
             _host_idx_col().alias("host_idx"),
             F.explode(F.split("text", " ")).alias("term"),
         )
+        .distinct()
         .select("host_idx", _hex_slice_col(F.md5(F.col("term")), 1).alias("h"))
         .distinct()
     )
@@ -324,15 +330,23 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.filter(F.col("text") != "").select(
         F.explode(F.split("text", " ")).alias("term")
     )
+    # ONE term-keyed aggregation feeds both the sketch and the truth
+    # side: the md5 bucket hashes are computed per DISTINCT term (not
+    # per occurrence), and the sketch counters are the sum of term
+    # frequencies landing in each bucket — identical counts, ~|vocab|
+    # hash evaluations instead of |corpus tokens|, and the 4x
+    # posexplode now runs over the tiny tf table (guide §2.3 "aggregate
+    # before you shuffle").
+    tf = occ.groupBy("term").agg(F.count("*").alias("true_count"))
     a = _hex_slice_col(F.md5(F.col("term")), 1)
     b = _hex_slice_col(F.md5(F.col("term")), 16)
     buckets = F.array(*[(a + F.lit(j) * b) % CMS_WIDTH for j in range(CMS_DEPTH)])
     sketch = (
-        occ.select(F.posexplode(buckets).alias("depth", "bucket"))
+        tf.select(F.col("true_count"), F.posexplode(buckets).alias("depth", "bucket"))
         .groupBy("depth", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("true_count").alias("cnt"))
     )
-    truth = occ.groupBy("term").agg(F.count("*").alias("true_count"))
+    truth = tf
     w = Window.partitionBy(F.col("true_count") % 1).orderBy(
         F.col("true_count").desc(), "term"
     )

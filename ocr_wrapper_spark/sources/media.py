@@ -95,12 +95,25 @@ def scan_code_attrs(doc_id: int) -> tuple[str, str, int, int]:
     return "CODE128", f"{doc_id % 10_000_000_000:010d}", 10 + (doc_id * 13) % 40, y0
 
 
+_SCAN_TEXT_BAND: list[np.ndarray] = []
+
+
+def _scan_text_band() -> np.ndarray:
+    """The distractor text band is tilt-0 for every scan page — render it
+    once per worker instead of once per document (same array, the heavy
+    per-page work is the code symbol + the PNG encode)."""
+    if not _SCAN_TEXT_BAND:
+        from ..kernels.raster_tilt import render_text_raster
+
+        _SCAN_TEXT_BAND.append(render_text_raster(0.0, width=SCAN_W, height=SCAN_TEXT_H))
+    return _SCAN_TEXT_BAND[0]
+
+
 def build_scan_raster(doc_id: int) -> np.ndarray:
     from ..kernels.raster_codes import render_barcode, render_qr
-    from ..kernels.raster_tilt import render_text_raster
 
     img = np.zeros((SCAN_H, SCAN_W), dtype=np.float32)
-    img[:SCAN_TEXT_H] = render_text_raster(0.0, width=SCAN_W, height=SCAN_TEXT_H)
+    img[:SCAN_TEXT_H] = _scan_text_band()
     kind, data, x0, y0 = scan_code_attrs(doc_id)
     if kind == "QRCODE":
         render_qr(img, data, x0, y0)

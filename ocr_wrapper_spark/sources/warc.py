@@ -162,7 +162,7 @@ def materialize_warc(
     spark: SparkSession,
     sf_dir: str,
     base_dir: str = "/tmp/spark_graft_warc",
-    n_files: int = 8,
+    n_files: int = 64,
 ) -> str:
     """Write (once) the documents corpus as WARC files — the crawl-
     native input shape — and return the directory. Same deterministic

@@ -18,7 +18,9 @@ from .relational import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .relational import _t as _rt
+
+    return _rt(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
