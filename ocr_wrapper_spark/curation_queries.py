@@ -3387,6 +3387,12 @@ def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_repetition_filter,
     )
 
+    # Deliberately four independent branches joined on doc_id, NOT one
+    # fused projection: fusing all four verdict expression trees into a
+    # single Project was measured 1.4x SLOWER at sf1.0 (3.3 vs 2.3 s) —
+    # the combined tree exceeds whole-stage-codegen limits and falls
+    # back to interpreted evaluation, while the branches each stay
+    # codegen'd and run as parallel jobs.
     q = doc_quality_classifier(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("q")
     )

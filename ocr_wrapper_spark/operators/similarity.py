@@ -988,6 +988,14 @@ def kcenter_greedy(
         F.lit(None).cast("long").alias("radius_ticks"),
     )
     for it in range(2, k + 1):
+        # persist the per-iteration state: iteration i's 1-row argmax
+        # job otherwise re-executes the whole unrolled relax chain
+        # (i-1 distance evaluations per vector), turning k iterations
+        # into O(k^2) distance work; with the cache each argmax reads
+        # the previous iteration's materialized minima and computes
+        # exactly ONE new distance per vector. Integer-tick distances,
+        # so materialization cannot perturb results.
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
         ordk = F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))
         top = state.agg(
             F.max(ordk).alias("o"),

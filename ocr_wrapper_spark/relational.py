@@ -76,15 +76,28 @@ def _scan_parallel(df: DataFrame, size_bytes: int) -> DataFrame:
     return df
 
 
+# Tables whose consumers run heavy per-row kernels (tokenize / md5 /
+# shingle / vector math) over the scan: for these the single-row-group
+# input file starves 31 of 32 cores and the one-time round-robin
+# exchange pays for itself many times over. The purely relational
+# tables (lineitem, events, ...) are shuffle-bound in their first keyed
+# exchange anyway — repartitioning them only adds a stage (measured:
+# sessionize_events 0.31 -> 1.2 s at sf1.0 with a blanket repartition).
+_SCAN_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name not in _SCAN_HEAVY_TABLES:
+        return df
     try:
         size = os.path.getsize(path)
     except OSError:
         size = 0
-    return _scan_parallel(spark.read.parquet(path), size)
+    return _scan_parallel(df, size)
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +544,11 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # bare read, no scan-spread: the per-row work is ONE md5 of the text
+    # and the partial aggregation collapses rows before the fp-keyed
+    # exchange, so a pre-repartition of the raw text costs more than the
+    # single-task map it saves (measured 0.32 -> 0.69 s at sf1.0).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         d.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))

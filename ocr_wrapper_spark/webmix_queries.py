@@ -353,10 +353,18 @@ def boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fp_md5", F.md5(F.col("para")))
     )
-    tmpl = paras.groupBy("host_idx", "fp_md5").agg(
-        (F.countDistinct("doc_id") >= TEMPLATE_MIN_DOCS).alias("is_template")
+    # Template verdict via two window functions over ONE
+    # (host, fingerprint)-keyed exchange: max(dense_rank over doc_id)
+    # IS the distinct-doc count, so the aggregate+join-back (which
+    # recomputed the whole paragraph explode a second time and shuffled
+    # the paragraph strings twice) collapses into a single shuffle+sort
+    # (guide §2.4: window keyed like the aggregation needs no second
+    # exchange).
+    w_rank = Window.partitionBy("host_idx", "fp_md5").orderBy("doc_id")
+    w_part = Window.partitionBy("host_idx", "fp_md5")
+    joined = paras.withColumn("_dr", F.dense_rank().over(w_rank)).withColumn(
+        "is_template", F.max("_dr").over(w_part) >= TEMPLATE_MIN_DOCS
     )
-    joined = paras.join(tmpl, ["host_idx", "fp_md5"])
     kept_struct = F.when(
         ~F.col("is_template"), F.struct(F.col("s"), F.col("para"))
     )
