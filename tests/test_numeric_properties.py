@@ -171,3 +171,43 @@ def test_psl_longest_match_dominates_any_shorter_rule(doc_id):
     win = ".".join(tk[-kmax:])
     for j in matches:
         assert win.endswith(".".join(tk[-j:]))
+
+
+# ---------------------------------------------------------------------------
+# Wilson gate radicand stays 128-bit on the Spark side (r5 ADVICE finding:
+# the former `... div n_docs` IntegralDivide wrapped past 2^63)
+# ---------------------------------------------------------------------------
+
+
+def _wilson_row_py(n: int, k: int) -> tuple[int, int, bool]:
+    S = 10**12
+    wil_arg = (k * (n - k) * S + n * S) // n
+    sq = math.isqrt(wil_arg)
+    lb = (1_000_000 * (k + 2) - 2 * sq) // (n + 4)
+    return k * 1_000_000 // n, lb, lb >= 400_000
+
+
+def test_wilson_gate_radicand_past_int64(spark):
+    """Sources large enough that k(n-k)*1e12/n passes 2^63 (the regime
+    where the old IntegralDivide silently wrapped) publish the exact
+    integer Wilson bound."""
+    from ocr_wrapper_spark.curation_queries import wilson_gate_from_counts
+
+    cases = [
+        ("tiny", 10, 5),
+        ("edge63", 40_000_000, 20_000_000),       # radicand ~1e19 > 2^63
+        ("big", 10**11, 49_999_999_999),          # radicand ~2.5e22
+        ("huge", 10**12, 500_000_000_000),        # radicand ~2.5e23 * 1e12 / n
+        ("allkeep", 10**12, 10**12),
+        ("nokeep", 10**12, 0),
+    ]
+    df = spark.createDataFrame(
+        [(s, n, k) for s, n, k in cases], "source string, n_docs long, n_keep long"
+    )
+    got = {r["source"]: r for r in wilson_gate_from_counts(df).collect()}
+    for s, n, k in cases:
+        keep_ppm, lb, gated = _wilson_row_py(n, k)
+        r = got[s]
+        assert r["keep_ppm"] == keep_ppm, s
+        assert r["wilson_lb_ppm"] == lb, (s, r["wilson_lb_ppm"], lb)
+        assert r["gated_in"] == gated, s
