@@ -41,7 +41,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
-    # round-5 session-18 additions: never snapshotted
+    # round-6 optimization rewrites: plans changed this round, so their
+    # newest driver row predates the current code — re-verify first
+    "cdc_chunk_dedup",
+    "cms_heavy_hitters",
+    "kmv_distinct_sketch",
+    "hll_register_estimate",
+    "sketch_union_corpus",
+    "ann_topk_ivf",
+    "ann_topk_ivf_lloyd",
+    "boilerplate_strip_rewrite",
+    "embedding_kcenter_coreset",
+    "coreset_coverage_eval",
+    "dedup_clusters",
+    "dedup_canonical_selection",
+    "host_components",
+    "source_quality_wilson_gate",
+    "doc_exact_dedup",
+    "media_qr_decode",
+    "pipeline_qr_extract",
+    "media_phash_dedup",
+    "media_raster_tilt",
+    "pipeline_warc_extract",
+    "filter_overlap_matrix",
+    "paragraph_dedup",
+    # never inside any CORRECTNESS_r1-r5 driver snapshot (the r5
+    # snapshot consumed the previous 50-name head; these were next)
+    "ann_topk_pq",
+    "ann_pq_recall_eval",
+    "embedding_hard_negatives",
+    "embedding_label_outliers",
+    "collocation_lift_topk",
+    "dedup_containment",
+    "asof_join_attribution",
+    "priority_sample_topk",
+    "robots_disallow_filter",
+    "host_template_paragraphs",
+    "lang_alpha_sampling",
+    "langid_confusion_eval",
+    "quality_classifier_eval",
+    "doc_blocklist_filter",
+    "char_coverage_alphabet",
+    "bpe_encode_lengths",
+    "dedup_minhash_eval",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "bm25_retrieval",
+    "retrieval_eval_mrr",
+    "phrase_search",
+    "eval_ngram_overlap",
+    "url_template_traps",
+    "dsir_importance_weights",
+    "recrawl_schedule",
+    "training_shard_manifest",
+    "wet_export_digest",
+    "html_text_density",
+    "ccnet_lang_buckets",
+    "decontaminate_bloom",
+    "semantic_dedup",
+    "cdx_url_index",
+    "source_mix_apportionment",
+    "host_downsample_cap",
+    "doc_length_histogram",
+    "bloom_filter_stats",
+    "doc_bigram_lm_score",
+    "doc_quality_tiers",
+    "crawl_hits",
+    "host_degree_reciprocity",
+    "html_anchor_stats",
+    "crawl_link_graph",
+    "crawl_pagerank",
+    "paragraph_dup_ratio",
+    # --- below: prior rounds' ordering (r5 snapshot covered its head;
+    # duplicates above win the ordering, _ordered dedupes) ---
+    # round-5 session-18 additions
     "host_colink_similarity",
     "postings_delta_update",
     "filter_overlap_matrix",

@@ -3297,12 +3297,37 @@ def source_quality_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
         )
     )
-    a = c.withColumn(
-        "wil_arg",
-        F.expr(
-            f"(CAST(n_keep AS DECIMAL(38,0)) * (n_docs - n_keep) * {_WILSON_SCALE}"
-            f" + CAST(n_docs AS DECIMAL(38,0)) * {_WILSON_SCALE}) div n_docs"
-        ),
+    return wilson_gate_from_counts(c)
+
+
+def wilson_gate_from_counts(c: DataFrame) -> DataFrame:
+    """(source, n_docs, n_keep) -> the published Wilson-gate row.
+
+    The radicand floor-division stays 128-bit on the Spark side: the
+    previous `(...DECIMAL...) div n_docs` went through IntegralDivide,
+    which returns BIGINT and silently wraps once the quotient passes
+    2^63 (~4e7 balanced-keep docs per source — the r5 ADVICE finding).
+    Exact decomposition instead: with x = k(n-k) and (q1, r1) =
+    divmod(x, n), floor(x*S/n) = q1*S + floor(r1*S/n); every
+    intermediate is <= ~2.5e23 so the DECIMAL division results fit
+    their (38,6) types exactly, and wil_arg itself is the full
+    <= 2.5e35 radicand in DECIMAL(38,0). Identical values wherever the
+    old form did not overflow — a pure widening."""
+    S = _WILSON_SCALE
+    a = (
+        c.withColumn(
+            "_x", F.expr("CAST(n_keep AS DECIMAL(38,0)) * (n_docs - n_keep)")
+        )
+        .withColumn("_q1", F.expr("CAST((_x - _x % n_docs) / n_docs AS DECIMAL(38,0))"))
+        .withColumn("_r1", F.expr("_x % n_docs"))
+        .withColumn(
+            "wil_arg",
+            F.expr(
+                f"CAST(_q1 * {S}"
+                f" + CAST((_r1 * {S} - (_r1 * {S}) % n_docs) / n_docs AS DECIMAL(38,0))"
+                f" + {S} AS DECIMAL(38,0))"
+            ),
+        )
     )
     s = a.withColumn(
         "sq",
