@@ -293,6 +293,10 @@ _VERIFY_PRIORITY = [
     "url_canonical_dedup",
 ]
 
+# the r6 head repeats names that also appear in the historical blocks
+# below it — first occurrence wins the ordering
+_VERIFY_PRIORITY = list(dict.fromkeys(_VERIFY_PRIORITY))
+
 
 def _ordered(d: dict) -> dict:
     head = {name: d[name] for name in _VERIFY_PRIORITY if name in d}

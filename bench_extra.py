@@ -55,6 +55,8 @@ def main() -> None:
             os.makedirs(args.plans, exist_ok=True)
             with open(os.path.join(args.plans, f"{name}{args.suffix}.txt"), "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+        if args.reps == 0:  # plan capture only
+            continue
         best, n = None, 0
         for _ in range(args.reps):
             t0 = time.perf_counter()

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .curation_queries import _HEX_A_SQL, _hex_slice_col
 from .pipeline_queries import _host_cdf_sql
-from .relational import register, _t
+from .relational import register, _t, _td
 from .text_queries import FP_MD5_SQL, _HOSTED_CTE_SQL, fp_md5_col
 
 # ---------------------------------------------------------------------------
@@ -57,7 +57,7 @@ _ASCII_RE = r"[^\x20-\x7e]"
     FROM hk a JOIN hk b ON a.bk = b.bk AND a.doc_id < b.doc_id
     """,
 )
-def headline_syndication_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def headline_syndication_pairs(spark: SparkSession, sf_dir: str, _spread: bool = False) -> DataFrame:
     """Syndicated-article detection: candidate pairs from prefix
     blocking (identical first-{LINK_BLOCK_T}-token hash, the standard
     record-linkage blocking key), verified by Levenshtein distance over
@@ -76,7 +76,13 @@ def headline_syndication_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected to printable ASCII in both engines first — Spark counts
     characters, DuckDB counts bytes, and the explicit projection makes
     them provably equal on any input."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    # standalone, the expensive head/edit-distance columns are count-
+    # prunable and a scan spread only adds an exchange; composed
+    # (syndication_direction forces the distance for every pair) the
+    # caller asks for the spread read explicitly.
+    d = (_td(spark, sf_dir) if _spread else _t(spark, sf_dir, "documents")).filter(
+        F.col("text") != ""
+    )
     tk = F.split("text", " ")
     h = d.select(
         "doc_id",
@@ -774,7 +780,7 @@ def syndication_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     new join. The oracle nests the pairs query's CTE chain and adds the
     same arithmetic, so the direction verdict is graded against the
     exact same linkage both engines already agree on."""
-    pairs = headline_syndication_pairs(spark, sf_dir).filter(F.col("linked"))
+    pairs = headline_syndication_pairs(spark, sf_dir, _spread=True).filter(F.col("linked"))
     ts_a = F.expr(_CAP_SEC_SQL.format(d="id_a"))
     ts_b = F.expr(_CAP_SEC_SQL.format(d="id_b"))
     src_is_a = (ts_a < ts_b) | ((ts_a == ts_b) & (F.col("id_a") < F.col("id_b")))

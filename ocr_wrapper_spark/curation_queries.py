@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from . import graph_queries as gq
 from .operators.components import connected_components
 from .relational import ORACLES as _ORACLES
-from .relational import register
+from .relational import _td, register
 from .text_queries import (
     FP_MD5_SQL,
     _QC_SCORE_SQL,
@@ -2023,7 +2023,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no skew by construction), and against a fingerprint-bucketed
     corpus table both co-locate shuffle-free. No windows, no
     driver-side state."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = _td(spark, sf_dir).filter(F.col("text") != "")
     fp = d.select("doc_id", fp_md5_col(F.col("text")).alias("fp"))
     cs = fp.groupBy("fp").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("rep")
@@ -2704,7 +2704,7 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-keyed equi-joins, never a broadcast of an unbounded
     vocabulary; N arrives as a 1-row broadcast; the global top-K uses
     the constant-key WindowGroupLimit idiom over the pair table."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     toks = d.filter(F.col("text") != "").select(F.split("text", " ").alias("tk"))
     uni = (
         toks.select(F.explode("tk").alias("term"))
@@ -2803,7 +2803,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a corpus where whole-doc fingerprints see nothing."""
     from .text_queries import _t
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _td(spark, sf_dir).select("doc_id", "text")
     # Boundary offsets computed PER DOCUMENT inside one row (array
     # higher-order functions): no per-position row materialization, no
     # doc-keyed exchange, no join-back — the r5 verdict's "one md5 call
@@ -3405,29 +3405,52 @@ def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and collapse into a <= 16-row matrix via map-side-combinable
     counts, with the corpus total as a 1-row broadcast onto those 16
     rows. No windows over corpus rows, no Python."""
-    from .text_queries import (
-        doc_lang_id,
-        doc_pii_redaction,
-        doc_quality_classifier,
-        doc_repetition_filter,
-    )
+    from .functions import redact
+    from .operators import textstats
+    from .relational import _td
+    from .text_queries import _qc_score_col
 
-    # Deliberately four independent branches joined on doc_id, NOT one
-    # fused projection: fusing all four verdict expression trees into a
-    # single Project was measured 1.4x SLOWER at sf1.0 (3.3 vs 2.3 s) —
-    # the combined tree exceeds whole-stage-codegen limits and falls
-    # back to interpreted evaluation, while the branches each stay
-    # codegen'd and run as parallel jobs.
-    q = doc_quality_classifier(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("q")
-    )
-    r = doc_repetition_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("r"))
-    p = doc_pii_redaction(spark, sf_dir).select(
+    # Four independent branches joined on doc_id, NOT one fused
+    # projection: fusing all four verdict trees into a single Project
+    # was measured 1.4x SLOWER at sf1.0 — the combined tree exceeds
+    # whole-stage-codegen limits and falls back to interpreted
+    # evaluation, while separate branches stay codegen'd and run as
+    # parallel jobs. Each branch reads through the SPREAD documents
+    # scan (_td): unlike the standalone component queries (whose
+    # expensive columns Catalyst count-prunes), the joins here force
+    # every verdict to be computed, so the single-task scan was the
+    # bottleneck (8.6 -> 2.3 s). The verdict expressions are the same
+    # column trees the registered component queries publish.
+    toks = F.split(F.col("text"), " ")
+    empty = F.col("text") == ""
+    q = _td(spark, sf_dir).select(
         "doc_id",
-        ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0).alias("p"),
+        F.when(empty, F.lit(True)).otherwise(_qc_score_col(toks) > 0).alias("q"),
     )
-    l = doc_lang_id(spark, sf_dir).select(
-        "doc_id", (F.col("lang_guess") == F.col("lang")).alias("l")
+    r = textstats.with_repetition_stats(_td(spark, sf_dir)).select(
+        "doc_id", F.col("keep").alias("r")
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@example.org")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" node 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 up")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit(" call +43"), (F.col("doc_id") + 1000000).cast("string")),
+        ).otherwise(""),
+    )
+    n_emails, n_ips, n_phones = redact.pii_count_cols(injected)
+    p = _td(spark, sf_dir).select(
+        "doc_id", ((n_emails + n_ips + n_phones) == 0).alias("p")
+    )
+    l = _td(spark, sf_dir).select(
+        "doc_id", (textstats.lang_id_cols(F.col("text")) == F.col("lang")).alias("l")
     )
     m = q.join(r, "doc_id").join(p, "doc_id").join(l, "doc_id")
     g = m.groupBy(

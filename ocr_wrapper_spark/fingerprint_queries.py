@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import textstats
-from .relational import _t, register
+from .relational import _t, _td, register
 
 # ---------------------------------------------------------------------------
 # winnowing fingerprint dedup
@@ -514,7 +514,7 @@ def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries |partitions| pre-reduced rows. No windows, no joins, no
     Python, no broadcast side at all."""
     d = (
-        _t(spark, sf_dir, "documents")
+        _td(spark, sf_dir)
         .filter(F.col("text") != "")
         .select(
             F.split("text", " ").alias("w"),

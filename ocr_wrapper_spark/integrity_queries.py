@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import _t, register
+from .relational import _t, _td, register
 
 # ---------------------------------------------------------------------------
 # redirect-chain resolution (pointer jumping / path doubling)
@@ -368,7 +368,7 @@ def token_budget_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only per-doc work is the narrow JVM score map."""
     from .text_queries import _qc_score_col
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     empty = F.col("text") == ""
     scored = d.select(

@@ -76,14 +76,16 @@ def _scan_parallel(df: DataFrame, size_bytes: int) -> DataFrame:
     return df
 
 
-# Tables whose consumers run heavy per-row kernels (tokenize / md5 /
-# shingle / vector math) over the scan: for these the single-row-group
-# input file starves 31 of 32 cores and the one-time round-robin
-# exchange pays for itself many times over. The purely relational
-# tables (lineitem, events, ...) are shuffle-bound in their first keyed
-# exchange anyway — repartitioning them only adds a stage (measured:
-# sessionize_events 0.31 -> 1.2 s at sf1.0 with a blanket repartition).
-_SCAN_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+# Tables whose consumers ALWAYS run heavy per-row kernels over the scan
+# (vector math on every row): for these the single-row-group input file
+# starves 31 of 32 cores and the one-time round-robin exchange pays for
+# itself many times over. `documents` is NOT spread by default — many
+# documents queries are cheap under the bench's `.count()` because
+# Catalyst prunes their expensive projections, and for those the
+# exchange is pure overhead (measured: 24 bench queries regressed
+# 1.3-4x under a blanket documents spread while 20 gained 2-12x). The
+# heavy documents consumers opt in via `_td` instead.
+_SCAN_HEAVY_TABLES = frozenset({"embeddings"})
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -98,6 +100,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         size = 0
     return _scan_parallel(df, size)
+
+
+def _td(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
+    """Spread-scan documents read — opt-in for the queries whose
+    per-row kernel work (per-token/char md5, shingle explode, template
+    vote) survives count-pruning and dominated their runtime when the
+    scan planned one task (guide §2.5). Queries whose expensive columns
+    Catalyst prunes keep the bare `_t` read instead."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    return _scan_parallel(spark.read.parquet(path), size)
 
 
 # ---------------------------------------------------------------------------

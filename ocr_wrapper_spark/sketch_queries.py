@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .curation_queries import _HEX_A_SQL, _HEX_B_SQL, _hex_slice_col
 from .operators.sampling import KNUTH_U_SQL
 from .pipeline_queries import _host_cdf_sql
-from .relational import register
+from .relational import _td, register
 from .text_queries import _HOST_NAME_SQL, _HOSTED_CTE_SQL, _host_idx_col, _host_name_col, _t
 
 # 60-bit md5 hashes: the canonical curation-module helpers (_HEX_A_SQL /
@@ -43,7 +43,7 @@ HASH_BITS = 60
 # two cardinality sketches. (host_idx mirrors sources/pages.py
 # host_for_doc; see text_queries._host_idx_col.)
 def _host_term_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     # distinct on (host, term) BEFORE hashing: md5 runs once per
     # distinct pair instead of once per token occurrence (map-side
     # partial dedup collapses each task to <= |hosts| x |vocab-per-task|
@@ -326,7 +326,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank<=K before the exchange). The probe joins a K-row candidate
     list against the <= 32k-row sketch — broadcast, no corpus data
     moves."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     occ = d.filter(F.col("text") != "").select(
         F.explode(F.split("text", " ")).alias("term")
     )
@@ -877,7 +877,7 @@ def crawl_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitelisted). The exact n_inter/n_union columns are themselves
     cheap here (same keyed agg) — at a real 10^12 scale the estimator
     columns are the product and the exact columns are the audit."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = _td(spark, sf_dir).filter(F.col("text") != "")
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_OVERLAP_PARA_WORDS))
     dh = (

@@ -14,7 +14,7 @@ from .operators import dedup, similarity, textstats
 from .operators.sampling import KNUTH_U_SQL
 
 _U_SQL = KNUTH_U_SQL.format(k="doc_id")
-from .relational import register
+from .relational import _td, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -498,19 +498,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency > NGRAM_MAX_DF bounds fanout per shingle while
     keeping Jaccard over the discriminative set. Mirrored in the oracle
     (`keep` CTE)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(d, threshold=0.8, max_df=NGRAM_MAX_DF)
 
 
 @register("dedup_minhash_lsh")  # oracle assigned below (_minhash_oracle)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return dedup.lsh_candidate_pairs(d)
 
 
 @register("dedup_simhash")  # oracle assigned below (_simhash_oracle)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return dedup.simhash_near_pairs(d, max_hamming=3)
 
 
@@ -2502,7 +2502,7 @@ def url_parallel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's pages spread over |host|/PARA_GROUP distinct keys). At 10^12
     urls this is a plain keyed join with no hot key and no broadcast
     needed."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     pages = d.select(
         "doc_id",
         "n_chars",
@@ -2934,7 +2934,7 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as decontaminate_bloom's probe side."""
     # no text filter: the shared bands CTE (and dedup_minhash_lsh) band
     # EVERY doc — empty docs collapse into one bucket the cap drops
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     bands = dedup._cap_buckets(
         dedup._minhash_bands(d, "doc_id", "text"),
         ["band_id", "band_hash"],

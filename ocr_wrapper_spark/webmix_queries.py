@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .graph_queries import PARA_WORDS
 from .operators.sampling import KNUTH_U_SQL, knuth_u
 from .relational import ORACLES as _ORACLES
-from .relational import register
+from .relational import _td, register
 from .text_queries import (
     _HOST_NAME_SQL,
     _HOSTED_CTE_SQL,
@@ -106,7 +106,7 @@ def host_template_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup is doc_id-keyed with map-side combine. Empty pages
     carry no paragraphs and are excluded, matching paragraph_dup_ratio's
     contract."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = _td(spark, sf_dir).filter(F.col("text") != "")
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
     paras = d.select(
@@ -333,7 +333,7 @@ def boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly is ONE doc_id-keyed aggregation whose groups are bounded
     by document length (collect_list of a page's own paragraphs, never
     a host's or the corpus's)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = _td(spark, sf_dir).filter(F.col("text") != "")
     toks = F.split(F.col("text"), " ")
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PARA_WORDS))
     paras = (
@@ -601,7 +601,7 @@ def sort_layout_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch more groups than a scattered one of equal size)."""
     from .text_queries import _host_idx_col
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _td(spark, sf_dir).select(
         _host_idx_col().alias("host_idx"), "doc_id"
     )
     cur = d.groupBy("host_idx").agg(
