@@ -55,7 +55,14 @@ def money_sum(expr, alias: str, cents: int = 100):
 _SPLIT_MIN_BYTES = 256 * 1024
 
 
-def _scan_parallel(df: DataFrame, size_bytes: int) -> DataFrame:
+# (path, mtime, size) -> planned scan splits: the .rdd conversion that
+# answers "how many tasks will this scan plan" costs a driver-side
+# analysis pass; queries composing several spread reads of the same
+# file would otherwise pay it per read.
+_SCAN_SPLITS_MEMO: dict[tuple, int] = {}
+
+
+def _scan_parallel(df: DataFrame, size_bytes: int, path: str | None = None) -> DataFrame:
     """Scale-adaptive scan parallelism (optimization guide §2.5, "input
     skew: one huge unsplittable file ... repartition immediately after
     the read"). The test corpora are single parquet files with one row
@@ -71,9 +78,26 @@ def _scan_parallel(df: DataFrame, size_bytes: int) -> DataFrame:
         return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _planned_splits(df, path) < par:
         df = df.repartition(par * 2)
     return df
+
+
+def _planned_splits(df: DataFrame, path: str | None) -> int:
+    import os
+
+    if path is None:
+        return df.rdd.getNumPartitions()
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return df.rdd.getNumPartitions()
+    n = _SCAN_SPLITS_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_SPLITS_MEMO[key] = n
+    return n
 
 
 # Tables whose consumers ALWAYS run heavy per-row kernels over the scan
@@ -99,7 +123,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = os.path.getsize(path)
     except OSError:
         size = 0
-    return _scan_parallel(df, size)
+    return _scan_parallel(df, size, path)
 
 
 def _td(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
@@ -115,7 +139,7 @@ def _td(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
         size = os.path.getsize(path)
     except OSError:
         size = 0
-    return _scan_parallel(spark.read.parquet(path), size)
+    return _scan_parallel(spark.read.parquet(path), size, path)
 
 
 # ---------------------------------------------------------------------------
