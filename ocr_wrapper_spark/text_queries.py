@@ -1524,17 +1524,31 @@ _HOSTED_CTE_SQL = f"""hosted AS (
 _HOST_NAME_SQL = "concat('host', lpad(CAST(host_idx AS VARCHAR), 2, '0'), '.example.com')"
 
 
-def _host_idx_col():
-    from .operators.sampling import knuth_u
+def _cdf_count_below(u):
+    """host_idx = count of Zipf-CDF thresholds strictly below u, written
+    as an inline sum of literal comparisons instead of an
+    `F.aggregate(array(...), ...)` fold. Same integer count, same double
+    comparisons — but higher-order functions never enter whole-stage
+    codegen (ArrayAggregate.eval runs the interpreted expression tree per
+    row), and jstack'd slow sessions showed executors pinned in that
+    interpreted eval at ~20x the CPU of a JIT-settled session. The
+    comparison chain codegens into the surrounding stage, which both
+    removes the interpreter cost and the JIT-warmup lottery."""
     from .sources import pages as pages_src
 
-    u = knuth_u(F.col("doc_id"))  # overflow-safe at full int64 id range
     cdf = pages_src._host_cdf()
-    return F.aggregate(
-        F.array(*[F.lit(float(c)) for c in cdf]),
-        F.lit(0),
-        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
-    )
+    terms = [F.when(F.lit(float(c)) < u, 1).otherwise(0) for c in cdf]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def _host_idx_col():
+    from .operators.sampling import knuth_u
+
+    u = knuth_u(F.col("doc_id"))  # overflow-safe at full int64 id range
+    return _cdf_count_below(u)
 
 
 def _host_name_col():
@@ -2553,15 +2567,9 @@ def url_parallel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _para_host_idx():
     from .operators.sampling import knuth_u
-    from .sources import pages as pages_src
 
     u = knuth_u(F.expr(f"doc_id div {PARA_GROUP}"))
-    cdf = pages_src._host_cdf()
-    return F.aggregate(
-        F.array(*[F.lit(float(c)) for c in cdf]),
-        F.lit(0),
-        lambda acc, c: acc + F.when(c < u, 1).otherwise(0),
-    )
+    return _cdf_count_below(u)  # codegen-able comparison chain (see _cdf_count_below)
 
 
 _ORACLES["url_parallel_candidates"] = _ORACLES["url_parallel_candidates"].replace(
