@@ -41,6 +41,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # put queries NEVER seen in any CORRECTNESS_r*.json first, then the ones
 # whose last green row is stalest, then the rest. Update per round.
 _VERIFY_PRIORITY = [
+    # round-6 final-session rewrites (spread reads restored on the two
+    # frontier queries; the shared Zipf host-index expression inlined for
+    # codegen): their newest driver rows predate the current code
+    "crawl_priority_fusion",
+    "host_novelty_ranking",
+    "crawl_frontier_slots",
+    "crawl_ingest_funnel",
+    "doclen_quantile_sketch",
+    "host_concentration_profile",
+    "host_disjoint_split",
+    "host_fair_share_alloc",
+    "host_mirror_pairs",
+    "host_reputation_filter",
+    "release_k_anonymity",
+    "sort_layout_pruning_gain",
+    "streaming_watermark_join",
+    "url_parallel_candidates",
     # round-6 optimization rewrites: plans changed this round, so their
     # newest driver row predates the current code — re-verify first
     "cdc_chunk_dedup",
